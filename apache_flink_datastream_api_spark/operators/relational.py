@@ -1,0 +1,214 @@
+"""Relational / aggregation corpus (TPC-H-style) over the driver tables.
+
+The reference's aggregation surface is only sum/min/max/count reduces
+(SURVEY.md §2.4) — Spark's DataFrame API gives the full relational algebra
+for free, and these queries pin it down against a DuckDB oracle while
+exercising the physical patterns that matter at 100 TB:
+
+- scans with predicate pushdown + column pruning (q6 reads 4 of 11 cols),
+- broadcast joins for dimension tables (region/nation/customer/supplier all
+  broadcast under the 64 MB threshold; lineitem never shuffles for them),
+- partial (map-side) aggregation before the shuffle in every groupBy,
+- AQE choosing shuffle partition counts at runtime.
+
+Float determinism: every SUM over doubles goes through DECIMAL so the
+result is exact and order-independent — a Spark 32-partition sum and a
+DuckDB single-thread sum land on the same bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+
+def _dec(col: str, prec: int = 18, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# --- Q1: pricing summary (scan + groupBy, no join) -------------------------
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    disc, tax = F.col("l_discount").cast("decimal(4,2)"), F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1) - disc)
+    charge = disc_price * (F.lit(1) + tax)
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (3-way join + top-k) ----------------------------
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        # customer is tiny (1.5k rows at sf0.01, ~15M at sf100) — explicit
+        # broadcast so the fact table never shuffles for this dim.
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+TPCH_Q3_ORACLE = """
+SELECT l_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5: local supplier volume (6-way join) --------------------------------
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("region", "nation", "customer", "supplier", "orders", "lineitem")}
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --- Q6: forecast revenue (pushdown showcase: 4 cols, tight filter) --------
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+    return l.agg(revenue.cast("double").alias("revenue"), F.count("*").alias("n_items"))
+
+
+TPCH_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+"""
+
+
+# --- top-k users by total value (sort/limit over events) -------------------
+
+def topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+TOPK_USERS_ORACLE = """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+"""
+
+
+SPECS = [
+    QuerySpec("tpch_q1_pricing_summary", tpch_q1, TPCH_Q1_ORACLE,
+              "scan+groupBy aggregate, decimal-exact sums", ("relational",)),
+    QuerySpec("tpch_q3_shipping_priority", tpch_q3, TPCH_Q3_ORACLE,
+              "3-way join + top-k, broadcast customer dim", ("relational", "join")),
+    QuerySpec("tpch_q5_local_supplier", tpch_q5, TPCH_Q5_ORACLE,
+              "6-way join, all dims broadcast", ("relational", "join")),
+    QuerySpec("tpch_q6_forecast_revenue", tpch_q6, TPCH_Q6_ORACLE,
+              "pushdown showcase: tight filter, 4 columns read", ("relational",)),
+    QuerySpec("topk_users_by_value", topk_users, TOPK_USERS_ORACLE,
+              "groupBy + sort/limit over events", ("relational",)),
+]

@@ -1,0 +1,56 @@
+"""Query corpus registry.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline
+extensions) is exposed as a named query: a Spark callable
+``(SparkSession, sf_dir) -> DataFrame`` paired with an equivalent DuckDB
+oracle SQL string. The driver hash-compares the two at sf=0.01
+(order-insensitive, columns sorted by name), so:
+
+- output column names are identical on both sides,
+- doubles are produced from exact DECIMAL arithmetic (order-independent)
+  or rounded, never from raw float accumulation,
+- timestamps are emitted as epoch-millis BIGINTs (``unix_millis`` ≡
+  DuckDB ``epoch_ms``), never as raw timestamps.
+
+Queries with ``oracle=None`` are genuinely non-SQL-expressible (custom
+streaming state machines, approximate algorithms verified by recall tests
+instead) and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+def _collect() -> dict[str, QuerySpec]:
+    from .operators import dataflow, dedup, multimodal, relational, similarity, textops
+    from .streaming import queries as streaming_queries
+
+    specs: dict[str, QuerySpec] = {}
+    for mod in (relational, dataflow, dedup, similarity, textops, multimodal, streaming_queries):
+        for spec in mod.SPECS:
+            assert spec.name not in specs, f"duplicate query name {spec.name}"
+            specs[spec.name] = spec
+    return specs
+
+
+_CACHE: dict[str, QuerySpec] | None = None
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    global _CACHE
+    if _CACHE is None:
+        _CACHE = _collect()
+    return _CACHE

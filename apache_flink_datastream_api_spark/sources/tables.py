@@ -1,0 +1,52 @@
+"""Parquet table loaders for the driver testdata (TESTDATA.md).
+
+Batch entry point for the correctness corpus: every query loads its inputs
+through here so scans stay plain ``spark.read.parquet`` (column pruning and
+predicate pushdown reach the parquet reader — verify with
+``plans.assert_pushed_filters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..schemas import ALL_TABLES
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns (how Spark 4 reads parquet NANOS/NTZ
+    timestamps) to TIMESTAMP_LTZ. Session tz is UTC, so the instant is
+    unchanged and epoch arithmetic (unix_millis) matches DuckDB."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a batch DataFrame.
+
+    Handles parquet TIMESTAMP(NANOS) (which Spark rejects by default) by
+    reading nanos as epoch-nanos longs and truncating to microseconds —
+    set at runtime so it also works under a driver-provided session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Deterministic NTZ->LTZ conversion and epoch math even under a
+    # driver-provided session whose timezone we don't control.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_timestamps(df)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> None:
+    """Register testdata tables as temp views so queries can use spark.sql."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
