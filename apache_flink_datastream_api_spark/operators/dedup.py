@@ -1,1 +1,332 @@
-SPECS = []
+"""Deduplication operators over ``documents`` / ``embeddings``
+(driver-mandated LLM-pipeline extension; no reference file:line).
+
+Five families, each in its 100 TB-shape:
+
+- exact          hash-groupBy on md5(text): one shuffle on a 128-bit key,
+                 map-side partial agg; never materializes text twice.
+- normalized     same, after lowercase/punct-strip/whitespace-collapse.
+- MinHash LSH    shingle → salted-hash family → min per hash → band →
+                 bucket self-join. The join is on (band, signature), so
+                 candidate generation is O(collisions), not O(n²); skewed
+                 buckets (boilerplate docs) are AQE skew-split.
+- SimHash        60-bit signature from token-hash bit votes; one explode +
+                 one wide aggregation (single shuffle per doc).
+- embedding      cosine near-dup among label-partitioned candidates
+                 (label ≈ cluster id: the blocking key that keeps the
+                 self-join from being all-pairs at scale).
+
+Portable hashing (functions.hashing) keeps every signature bit identical
+in the DuckDB oracle. Production at 100 TB would swap md5 → xxhash64
+(same plan shape, ~3× faster hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as X
+from ..functions.hashing import portable_hash64_sql
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+TOKS_S = X.tokens_spark("text")
+TOKS_D = X.tokens_duck("text")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- normalized dedup ------------------------------------------------------
+
+NORM_S = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+NORM_D = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", f"md5({NORM_S}) AS content_hash")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_NORMALIZED_ORACLE = f"""
+SELECT md5({NORM_D}) AS content_hash, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- MinHash + LSH candidate pairs ----------------------------------------
+
+MH_K = 3          # word 3-gram shingles
+MH_HASHES = 16    # hash family size
+MH_BANDS = 4      # 4 bands x 4 rows
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    Plan: scan → explode distinct shingles → explode 16 hash ids →
+    min-agg per (doc, hash) → band signatures → self-join on
+    (band, signature). No all-pairs stage anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.shingles_spark(TOKS_S, MH_K)
+    shingled = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
+    )
+    hashed = (
+        shingled.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(MH_HASHES - 1))).alias("hid"),
+            "shingle",
+        )
+        .selectExpr(
+            "doc_id",
+            "hid",
+            "cast(conv(substr(md5(concat(shingle, '#', hid)), 1, 15), 16, 10) as bigint) AS hv",
+        )
+        .groupBy("doc_id", "hid")
+        .agg(F.min("hv").alias("mh"))
+    )
+    bands = (
+        hashed.withColumn("band", F.expr(f"hid div {MH_HASHES // MH_BANDS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "concat_ws(',', transform(array_sort(collect_list(struct(hid, mh))), s -> cast(s.mh as string)))"
+            ).alias("sig")
+        )
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2")
+    )
+    return (
+        bands.join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("sig") == F.col("sig2"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+_R = MH_HASHES // MH_BANDS
+DEDUP_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({X.shingles_duck('toks', MH_K)}) AS shingle FROM toks
+), hashed AS (
+  SELECT doc_id, h,
+         MIN({portable_hash64_sql("concat(shingle, '#', h)")}) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MH_HASHES - 1})) AS h) hs
+  GROUP BY doc_id, h
+), bands AS (
+  SELECT doc_id, CAST(floor(h / {_R}.0) AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h) AS sig
+  FROM hashed GROUP BY doc_id, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+# --- SimHash signatures ----------------------------------------------------
+
+SIMHASH_BITS = 60  # the portable hash is 60-bit
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document: per-token portable hash, ±1 vote per
+    bit, sign of the vote sum becomes the signature bit. One explode + one
+    wide aggregation — a single shuffle keyed by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.expr(TOKS_S)).alias("t"))
+    h = tok.selectExpr(
+        "doc_id", "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) AS hv"
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(CASE WHEN (shiftright(hv, {b}) & 1) = 1 THEN 1 ELSE -1 END)").alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = " + ".join(
+        f"shiftleft(cast(s{b} > 0 as bigint), {b})" for b in range(SIMHASH_BITS)
+    )
+    return votes.selectExpr("doc_id", f"{sig} AS simhash")
+
+
+_votes_d = ", ".join(
+    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_sig_d = " + ".join(
+    f"(CAST(s{b} > 0 AS BIGINT) << {b})" for b in range(SIMHASH_BITS)
+)
+DEDUP_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS_D}) AS t FROM documents
+), h AS (
+  SELECT doc_id, {portable_hash64_sql('t')} AS hv FROM tok
+), votes AS (
+  SELECT doc_id, {_votes_d} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {_sig_d} AS simhash FROM votes
+"""
+
+
+# --- n-gram Jaccard (exact, on blocked candidate pairs) --------------------
+
+NJ_K = 3
+NJ_THRESHOLD = 0.2
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for candidate pairs blocked by
+    ``source`` (the blocking key bounds the self-join; at 100 TB the block
+    would be an LSH bucket or shard key instead of a metadata column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.shingles_spark(TOKS_S, NJ_K)
+    shingled = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
+    )
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"),
+        F.col("shingle").alias("shingle_b"),
+    )
+    inter = (
+        shingled.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .groupBy("doc_id", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_id"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_id").join(nb, "doc_b")
+        .withColumn("jaccard", F.expr("CAST(c AS DOUBLE) / (na + nb - c)"))
+        .where(F.col("jaccard") >= NJ_THRESHOLD)
+        .select(
+            F.col("doc_id").alias("doc_a"), "doc_b",
+            F.col("jaccard"),
+        )
+    )
+
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {TOKS_D} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, unnest({X.shingles_duck('toks', NJ_K)}) AS shingle FROM toks
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+FROM inter
+JOIN counts na ON na.doc_id = doc_a
+JOIN counts nb ON nb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {NJ_THRESHOLD}
+"""
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+COS_THRESHOLD = 0.3  # testdata embeddings are near-random (max pair ~0.51)
+
+_DOT_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0 as double), (s, v) -> s + v)"
+)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicates among same-``label`` candidates. Norms are
+    precomputed per row (one pass) so the pair stage is a dot product per
+    candidate, and the label blocking keeps the join from being n²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_norm = emb.selectExpr(
+        "vec_id", "label", "embedding",
+        f"sqrt({_DOT_S.format(a='embedding', b='embedding')}) AS norm",
+    )
+    b = with_norm.selectExpr(
+        "vec_id AS vec_b", "label AS label_b", "embedding AS emb_b", "norm AS norm_b"
+    )
+    return (
+        with_norm.join(
+            b, (F.col("label") == F.col("label_b")) & (F.col("vec_id") < F.col("vec_b"))
+        )
+        .withColumn(
+            "cos_sim",
+            F.expr(f"{_DOT_S.format(a='embedding', b='emb_b')} / (norm * norm_b)"),
+        )
+        .where(F.col("cos_sim") >= COS_THRESHOLD)
+        .select(
+            F.col("vec_id").alias("vec_a"), "vec_b",
+            F.col("cos_sim"),
+        )
+    )
+
+
+_DOT_D = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+DEDUP_EMB_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_DOT_D.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) AS cos_sim
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim
+FROM pairs WHERE cos_sim >= {COS_THRESHOLD}
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
+              "exact dedup via md5 hash-groupBy", ("dedup",)),
+    QuerySpec("dedup_normalized", dedup_normalized, DEDUP_NORMALIZED_ORACLE,
+              "normalized-text dedup", ("dedup",)),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_ORACLE,
+              "MinHash banding candidate pairs", ("dedup", "lsh")),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE,
+              "60-bit SimHash signatures", ("dedup",)),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE,
+              "exact n-gram Jaccard on blocked pairs", ("dedup",)),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE,
+              "cosine near-dup, label-blocked", ("dedup", "vector")),
+]

@@ -1,1 +1,141 @@
-SPECS = []
+"""Multimodal columns (driver-mandated extension).
+
+Images / audio / video ride through the engine as opaque ``binary`` columns
+with a typed metadata struct. The Spark-side plumbing — schemas, Arrow
+batch shapes, ``mapInPandas`` signatures, partition sizing — is real and
+tested; the actual codec work is stubbed deterministically because no
+image/audio libraries exist in this container (clearly marked below).
+
+Scale design: binary payloads inflate row size, so multimodal transforms
+
+- never pass payload bytes through a shuffle (metadata is derived FIRST,
+  payloads are dropped or written out before any wide operation),
+- use ``mapInPandas`` (Arrow batches) so bytes move JVM→Python in columnar
+  batches, never row-at-a-time,
+- size batches via ``spark.sql.execution.arrow.maxRecordsPerBatch`` when
+  payloads are large (documented knob, default fine for metadata work).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+DECODE_SCHEMA = "doc_id bigint, width int, height int, n_bytes int, format string"
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat a string column as an opaque binary payload + typed metadata —
+    the column-shape every real multimodal table has."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """STUB — deterministic fake image decode.
+
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
+    the container has no imaging libraries, so dimensions are derived from
+    the payload hash. Swap this function; the Spark plumbing around it
+    (mapInPandas, Arrow batches, schema) is the real, tested part.
+    """
+    h = hashlib.md5(payload).digest()
+    return 1 + h[0] % 64, 1 + h[1] % 64, "fake"
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """payload binary → (width, height, n_bytes, format) via mapInPandas.
+
+    Arrow-batched: each pandas batch holds N payloads as a bytes Series.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "format": [m[2] for m in meta],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: emit n_frames offset rows per payload —
+    pure column expressions (explode over a sequence), no Python."""
+    return df.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    ).withColumn(
+        "byte_offset",
+        (F.col("frame_idx") * F.col("n_bytes") / n_frames).cast("long"),
+    )
+
+
+# --- queries ---------------------------------------------------------------
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata derivation, fully JVM-side (oracle-checked):
+    byte length and content hash of the utf-8 payload."""
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+    )
+
+
+MM_BINARY_META_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode pipeline (stubbed codec → rows-only check;
+    determinism and schema pinned by tests)."""
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return decode_images(docs)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(docs, 4)
+
+
+MM_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       f AS frame_idx,
+       CAST(trunc(f * octet_length(encode(text)) / 4.0) AS BIGINT) AS byte_offset
+FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) fr
+"""
+
+
+SPECS = [
+    QuerySpec("mm_binary_meta", mm_binary_meta, MM_BINARY_META_ORACLE,
+              "binary payload + metadata struct derivation", ("multimodal",)),
+    QuerySpec("mm_image_decode", mm_image_decode, None,
+              "mapInPandas decode plumbing (stub codec)", ("multimodal",)),
+    QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_ORACLE,
+              "frame-offset sampling via explode", ("multimodal",)),
+]

@@ -1,1 +1,163 @@
-SPECS = []
+"""Similarity search over the ``embeddings`` table (driver-mandated
+extension: ANN over an ``array<float>`` column).
+
+- ``knn_bruteforce_cosine``: exact top-k for a query set — the correctness
+  baseline. Plan: broadcast the (tiny) query set against the corpus, one
+  dot product per (query, candidate), rank per query. At 100 TB the corpus
+  side stays partitioned; only queries broadcast.
+- ``knn_lsh_cosine``: the scale path — random-hyperplane LSH. Signatures
+  are banded (multi-probe via 4-bit sub-signatures), candidates come from
+  bucket joins (O(collisions), not O(n·q)), exact cosine re-ranks the
+  candidates. Recall vs brute force is pinned by a test, and the driver
+  records a rows-only check (approximate results are not SQL-oracle
+  material by design).
+
+Hyperplanes are derived from the portable hash family — deterministic,
+seedless, identical on any engine or cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.vectors import dot_duck, dot_spark, norm_duck, norm_spark
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+N_QUERIES = 5   # query set: vec_id < 5
+TOP_K = 10
+
+
+# --- exact brute-force top-k ----------------------------------------------
+
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.selectExpr("vec_id", "embedding", f"{norm_spark('embedding')} AS norm")
+    q = base.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS qid", "embedding AS q_emb", "norm AS q_norm"
+    )
+    pairs = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "cos_sim",
+            F.expr(f"{dot_spark('embedding', 'q_emb')} / (norm * q_norm)"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.col("cos_sim"))
+    )
+
+
+KNN_BRUTEFORCE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_duck('embedding')} AS norm FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS q_emb, norm AS q_norm FROM base WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT q.qid, b.vec_id,
+         {dot_duck('b.embedding', 'q.q_emb')} / (b.norm * q.q_norm) AS cos_sim
+  FROM base b JOIN q ON b.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id AS neighbor_id, rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --- LSH-bucketed ANN (rows-only: approximate by design) -------------------
+
+LSH_BITS = 16
+LSH_BANDS = 4          # 4 sub-signatures of 4 bits -> multi-probe recall
+PLANE_SCALE = 1000
+
+
+def _planes(spark: SparkSession, dim: int) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: component (j, i) =
+    (portable_hash('plane#j#i') mod 2001) - 1000. Built as a DataFrame so
+    the same derivation would run distributed at any dim/bit count."""
+    return (
+        spark.range(LSH_BITS)
+        .selectExpr(
+            "id AS plane_id",
+            f"""transform(sequence(0, {dim - 1}), i ->
+                 CAST(pmod(cast(conv(substr(md5(concat('plane#', id, '#', i)), 1, 15), 16, 10) as bigint),
+                           {2 * PLANE_SCALE + 1}) - {PLANE_SCALE} AS DOUBLE)) AS plane""",
+        )
+    )
+
+
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane signatures → 4-bit band buckets → candidate
+    union → exact cosine re-rank. Candidates per query ≈ n_bands · n/2^4
+    instead of n."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    planes = F.broadcast(_planes(spark, dim))
+    signed = (
+        emb.crossJoin(planes)
+        .withColumn("bit", F.expr(f"CAST({dot_spark('embedding', 'plane')} > 0 AS INT)"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(plane_id, bit))), 0L, "
+                "(s, x) -> s * 2 + x.bit) AS sig"
+            )
+        )
+    )
+    bands = signed.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+                f"named_struct('band', b, 'bucket', shiftright(sig, b * {LSH_BITS // LSH_BANDS}) & {2 ** (LSH_BITS // LSH_BANDS) - 1}))"
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+    base = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "embedding", f"{norm_spark('embedding')} AS norm"
+    )
+    qb = bands.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS qid", "band AS q_band", "bucket AS q_bucket"
+    )
+    cand = (
+        bands.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    q_vec = base.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS qid2", "embedding AS q_emb", "norm AS q_norm"
+    )
+    scored = (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(q_vec), F.col("qid") == F.col("qid2"))
+        .withColumn("cos_sim", F.expr(f"{dot_spark('embedding', 'q_emb')} / (norm * q_norm)"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.col("cos_sim"))
+    )
+
+
+SPECS = [
+    QuerySpec("knn_bruteforce_cosine", knn_bruteforce_cosine, KNN_BRUTEFORCE_ORACLE,
+              "exact cosine top-k, broadcast query set", ("vector",)),
+    QuerySpec("knn_lsh_cosine", knn_lsh_cosine, None,
+              "random-hyperplane LSH ANN (approximate; recall pinned by test)",
+              ("vector", "lsh")),
+]

@@ -1,1 +1,148 @@
-SPECS = []
+"""Text analysis operators over the ``documents`` table (driver-mandated
+extension: no reference file:line — BASELINE.json north_star).
+
+All pure column expressions (whole-stage codegen, no UDFs), emitted for both
+engines from ``functions.text`` so the oracle is mirrored by construction:
+
+- token counting (whitespace tokenization, non-empty tokens)
+- quality scoring (punctuation / stopword / length signals)
+- language ID (marker-word scores + non-ASCII heuristic, deterministic argmax)
+- document fingerprinting (min portable-hash over word 5-gram shingles —
+  the single-fingerprint degenerate case of winnowing)
+
+Scale: each query is a single scan + narrow projection; no shuffle at all
+except the final (tiny) aggregations. At 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as X
+from ..functions.hashing import portable_hash64_sql
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+TOKS_S = X.tokens_spark("text")
+TOKS_D = X.tokens_duck("text")
+
+
+# --- token counting --------------------------------------------------------
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"size({TOKS_S}) AS n_tokens",
+        "length(regexp_replace(text, '\\\\s', '')) AS n_nonspace_chars",
+        f"CAST(length(regexp_replace(text, '\\\\s', '')) AS DOUBLE) / size({TOKS_S}) AS avg_token_len",
+    )
+
+
+TEXT_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       len({TOKS_D}) AS n_tokens,
+       length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace_chars,
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len({TOKS_D}) AS avg_token_len
+FROM documents
+"""
+
+
+# --- quality scoring -------------------------------------------------------
+# score = 0.5*stopword_ratio + 0.3*(1 - punct_ratio) + 0.2*min(1, n_tokens/100)
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = f"size({TOKS_S})"
+    stop = X.count_in_list_spark(TOKS_S, X.STOPWORDS)
+    punct = X.punct_count_spark("text")
+    return docs.selectExpr(
+        "doc_id",
+        f"{nt} AS n_tokens",
+        f"CAST({stop} AS DOUBLE) / {nt} AS stopword_ratio",
+        f"CAST({punct} AS DOUBLE) / length(text) AS punct_ratio",
+        f"0.5 * CAST({stop} AS DOUBLE) / {nt}"
+        f" + 0.3 * (1.0 - CAST({punct} AS DOUBLE) / length(text))"
+        f" + 0.2 * least(1.0, CAST({nt} AS DOUBLE) / 100.0) AS quality_score",
+    )
+
+
+_nt_d = f"len({TOKS_D})"
+_stop_d = X.count_in_list_duck(TOKS_D, X.STOPWORDS)
+_punct_d = X.punct_count_duck("text")
+TEXT_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       {_nt_d} AS n_tokens,
+       CAST({_stop_d} AS DOUBLE) / {_nt_d} AS stopword_ratio,
+       CAST({_punct_d} AS DOUBLE) / length(text) AS punct_ratio,
+       0.5 * CAST({_stop_d} AS DOUBLE) / {_nt_d}
+             + 0.3 * (1.0 - CAST({_punct_d} AS DOUBLE) / length(text))
+             + 0.2 * least(1.0, CAST({_nt_d} AS DOUBLE) / 100.0) AS quality_score
+FROM documents
+"""
+
+
+# --- language ID -----------------------------------------------------------
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: X.count_in_list_spark(TOKS_S, words)
+        for lang, words in X.LANG_MARKERS.items()
+    }
+    case = X.langid_case(scores, X.nonascii_count_spark("text"), "length(text)")
+    return docs.selectExpr("doc_id", "lang AS labeled_lang", f"{case} AS predicted_lang")
+
+
+_scores_d = {
+    lang: X.count_in_list_duck(TOKS_D, words) for lang, words in X.LANG_MARKERS.items()
+}
+TEXT_LANGID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang,
+       {X.langid_case(_scores_d, X.nonascii_count_duck('text'), 'length(text)')} AS predicted_lang
+FROM documents
+"""
+
+
+# --- document fingerprinting ----------------------------------------------
+
+FP_K = 5  # word 5-gram shingles
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min portable-hash over word 5-gram shingles (rolling-hash family);
+    short docs fall back to the hash of the full lowercased text."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.shingles_spark(TOKS_S, FP_K)
+    min_h = (
+        f"array_min(transform({sh}, s -> "
+        f"cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)))"
+    )
+    fallback = "cast(conv(substr(md5(lower(text)), 1, 15), 16, 10) as bigint)"
+    return docs.selectExpr(
+        "doc_id",
+        f"coalesce({min_h}, {fallback}) AS fingerprint",
+        f"size({sh}) AS n_shingles",
+    )
+
+
+_sh_d = X.shingles_duck(TOKS_D, FP_K)
+TEXT_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       coalesce(list_min(list_transform({_sh_d}, s -> {portable_hash64_sql('s')})),
+                {portable_hash64_sql('lower(text)')}) AS fingerprint,
+       len({_sh_d}) AS n_shingles
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("text_tokens", text_tokens, TEXT_TOKENS_ORACLE,
+              "token counting over documents", ("text",)),
+    QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE,
+              "quality scoring: stopword/punct/length signals", ("text",)),
+    QuerySpec("text_langid", text_langid, TEXT_LANGID_ORACLE,
+              "marker-word + non-ASCII language ID", ("text",)),
+    QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE,
+              "min-hash fingerprint over word 5-grams", ("text",)),
+]

@@ -1,1 +1,159 @@
-SPECS = []
+"""Streaming-path correctness queries.
+
+These run the REAL Structured Streaming engine (readStream → transform →
+memory sink via Trigger.AvailableNow) and still hash-match a batch DuckDB
+oracle: bounded replay makes streaming results deterministic
+(SURVEY.md §5 strategy 2).
+
+Emission-granularity note: with a single input file the replay is one
+micro-batch, so update-mode emissions equal the final state — which is
+what the batch oracle computes. The multi-batch path (file-monitor
+round-trip below, plus pytest cases) uses complete-mode aggregation, whose
+final table is batching-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+from .sinks import run_available_now
+from .state import interval_alerts, session_durations
+
+# events.parquet stores ts as TIMESTAMP(NANOS): streamed with an explicit
+# schema reading nanos as long (requires nanosAsLong, set in _events_stream).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The file stream source needs a directory; expose the single table
+    # file through a temp dir (symlink — no copy).
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(stream_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --- W2/T2: event-time windowed aggregation through the streaming engine ---
+
+def w2_eventtime_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_millis("w.start").alias("window_start_ms"), "cnt")
+    )
+    return run_available_now(agg, spark, mode="update")
+
+
+W2_STREAM_ORACLE = """
+SELECT CAST(floor(epoch_ms(ts) / 900000) AS BIGINT) * 900000 AS window_start_ms,
+       COUNT(*) AS cnt
+FROM events GROUP BY 1
+"""
+
+
+# --- X1 streaming: applyInPandasWithState interval alert -------------------
+
+from ..operators.dataflow import ALERT_THRESHOLD_MS, X1_ORACLE  # noqa: E402
+
+
+def x1_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select("user_id", F.unix_millis("ts").alias("ts_ms"), "event_id")
+    )
+    alerts = interval_alerts(stream, ALERT_THRESHOLD_MS)
+    return run_available_now(alerts, spark, mode="update")
+
+
+# --- X2 streaming: session durations state machine -------------------------
+
+from ..operators.dataflow import X2_ORACLE  # noqa: E402
+
+
+def x2_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("action"),
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+    )
+    out = session_durations(stream, logout_action="purchase")
+    # match the batch-analog column order/name: emitted action column
+    return run_available_now(out, spark, mode="update")
+
+
+# --- S1: file-monitor CSV source round-trip (multi-batch) ------------------
+
+S1_LIMIT = 2000
+
+
+def s1_file_monitor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a bounded slice of events as CSV files, stream them back with
+    the file-monitor source in several micro-batches (maxFilesPerTrigger=1),
+    and aggregate in complete mode — final counts are batching-invariant."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < S1_LIMIT)
+        .selectExpr("event_id", "user_id", "event_type", "unix_millis(ts) AS ts_ms")
+    )
+    csv_dir = tempfile.mkdtemp(prefix="s1_csv_")
+    src.repartition(3).write.mode("overwrite").csv(csv_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(csv_dir)
+    )
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return run_available_now(agg, spark, mode="complete")
+
+
+S1_ORACLE = f"""
+SELECT user_id, COUNT(*) AS cnt FROM events WHERE event_id < {S1_LIMIT} GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("w2_eventtime_stream", w2_eventtime_stream, W2_STREAM_ORACLE,
+              "event-time window agg through the streaming engine", ("streaming",)),
+    QuerySpec("x1_stateful_stream", x1_stateful_stream, X1_ORACLE,
+              "applyInPandasWithState interval alert (streaming X1)", ("streaming", "stateful")),
+    QuerySpec("x2_stateful_stream", x2_stateful_stream, X2_ORACLE,
+              "applyInPandasWithState session durations (streaming X2)", ("streaming", "stateful")),
+    QuerySpec("s1_file_monitor_roundtrip", s1_file_monitor_roundtrip, S1_ORACLE,
+              "file-monitor CSV source, multi-batch replay", ("streaming", "source")),
+]

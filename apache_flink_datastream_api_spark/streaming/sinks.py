@@ -1,0 +1,65 @@
+"""Streaming sinks + run helpers (SURVEY.md §2.9 K1-K4, §2.10 E4).
+
+Semantics notes vs the reference:
+- K1 file sink: Spark's file sink is exactly-once via the checkpoint +
+  _spark_metadata commit log (stronger than Flink's row-format
+  StreamingFileSink default).
+- K2 Kafka sink: Spark is at-least-once (no 2PC producer like Flink's
+  ``Semantic.EXACTLY_ONCE``); end-to-end exactly-once needs an idempotent
+  or transactional downstream — documented gap, not hidden.
+- ``run_available_now`` is the bounded-replay harness: process everything
+  available, then stop — the batch-equivalence bridge used by tests and
+  the oracle-checked streaming queries.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def to_console(df: DataFrame, mode: str = "append"):
+    """K3: print() equivalent."""
+    return df.writeStream.outputMode(mode).format("console").start()
+
+
+def to_csv_files(df: DataFrame, path: str, checkpoint: str, mode: str = "append"):
+    """K1: row-format file sink with checkpointed exactly-once commit."""
+    return (
+        df.writeStream.outputMode(mode)
+        .format("csv")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def to_kafka(df: DataFrame, topic: str, bootstrap_servers: str, checkpoint: str):
+    """K2: Kafka sink (at-least-once; see module docstring)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def run_available_now(
+    df: DataFrame, spark: SparkSession, mode: str = "update", timeout_s: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to completion on available data and return
+    the collected result as a batch DataFrame (memory sink)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

@@ -1,0 +1,146 @@
+"""Keyed per-record state machines (SURVEY.md §2.8 X1/X2) as
+``applyInPandasWithState`` processors.
+
+Flink's ``RichMapFunction`` + ``ValueState`` processes one record at a
+time; Spark's state API hands each key a *batch* of rows per micro-batch.
+The processors therefore sort each batch by event time and fold the same
+per-record logic over it — identical outputs when replayed, batched
+emission granularity (the documented semantic difference, SURVEY.md §4).
+
+State backend: default HDFS-backed state store locally; at scale switch to
+RocksDB via ``spark.sql.streaming.stateStore.providerClass`` — state per
+key is a single row here, so the store stays tiny regardless of stream
+length (the eviction story is timeouts, configured by the caller).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# --- X1: interval alert (StatefulOperations.java:84-129 semantics) ---------
+
+X1_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("diff_ms", LongType()),
+    ]
+)
+X1_STATE = StructType([StructField("last_ts", LongType())])
+
+
+def make_interval_alert(threshold_ms: int):
+    """Per key: remember the previous matching event's timestamp; alert
+    when the next one arrives within threshold_ms."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs))
+        sort_cols = ["ts_ms", "event_id"] if "event_id" in rows.columns else ["ts_ms"]
+        rows = rows.sort_values(sort_cols)
+        last = state.get[0] if state.exists else None
+        out: list[tuple[Any, int, int]] = []
+        for ts in rows["ts_ms"]:
+            ts = int(ts)
+            if last is not None and ts - last < threshold_ms:
+                out.append((key[0], ts, ts - last))
+            last = ts
+        state.update((last,))
+        yield pd.DataFrame(out, columns=["user_id", "ts_ms", "diff_ms"])
+
+    return fn
+
+
+def interval_alerts(
+    df: DataFrame,
+    threshold_ms: int,
+    key_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+) -> DataFrame:
+    """X1 streaming operator: df must contain (key_col, ts_ms_col) already
+    filtered to the alert-relevant events (e.g. operation = 'Delete')."""
+    cols = [f"{key_col} AS user_id", f"{ts_ms_col} AS ts_ms"]
+    if "event_id" in df.columns:
+        cols.append("event_id")
+    sel = df.selectExpr(*cols)
+    return sel.groupBy("user_id").applyInPandasWithState(
+        make_interval_alert(threshold_ms),
+        outputStructType=X1_OUTPUT,
+        stateStructType=X1_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- X2: session durations (CourseUseCase.java:114-180 semantics) ----------
+
+X2_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("action", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+X2_STATE = StructType(
+    [StructField("last_action", StringType()), StructField("last_ts", LongType())]
+)
+
+
+def make_session_durations(logout_action: str):
+    """Per key: emit (prev_action, duration) for each event while a session
+    is open; the logout action clears state (next event starts fresh)."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs))
+        sort_cols = ["ts_ms", "event_id"] if "event_id" in rows.columns else ["ts_ms"]
+        rows = rows.sort_values(sort_cols)
+        if state.exists:
+            last_action, last_ts = state.get
+        else:
+            last_action, last_ts = None, None
+        out: list[tuple[Any, str, int, int]] = []
+        for action, ts in zip(rows["action"], rows["ts_ms"]):
+            ts = int(ts)
+            if last_action is not None:
+                out.append((key[0], last_action, ts, ts - last_ts))
+            if action == logout_action:
+                last_action, last_ts = None, None
+            else:
+                last_action, last_ts = action, ts
+        if last_action is None:
+            state.remove()
+        else:
+            state.update((last_action, last_ts))
+        yield pd.DataFrame(out, columns=["user_id", "action", "ts_ms", "duration_ms"])
+
+    return fn
+
+
+def session_durations(
+    df: DataFrame,
+    logout_action: str,
+    key_col: str = "user_id",
+    action_col: str = "action",
+    ts_ms_col: str = "ts_ms",
+) -> DataFrame:
+    cols = [f"{key_col} AS user_id", f"{action_col} AS action", f"{ts_ms_col} AS ts_ms"]
+    if "event_id" in df.columns:
+        cols.append("event_id")
+    sel = df.selectExpr(*cols)
+    return sel.groupBy("user_id").applyInPandasWithState(
+        make_session_durations(logout_action),
+        outputStructType=X2_OUTPUT,
+        stateStructType=X2_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
