@@ -47,3 +47,49 @@ def salted_hash64(col: Column | str, salt: int) -> Column:
 def salted_hash64_sql(expr: str, salt: str) -> str:
     """Member *salt* (a SQL expression) of the hash family (DuckDB side)."""
     return portable_hash64_sql(f"concat({expr}, '#', {salt})")
+
+
+# --- arithmetic hash family (one md5, n derived members) -------------------
+#
+# Salting re-runs md5 per member — n× the hashing cost. For MinHash we
+# instead md5 ONCE and derive members as
+#     h_i = (A_i * (h & (2^30-1)) + B_i * (h >> 30) + C_i) mod (2^61 - 1)
+# Splitting h into 30-bit halves keeps every product < 2^60, so the sum
+# stays < 2^62: no 64-bit overflow in either engine (DuckDB would raise on
+# overflow, Spark would silently wrap — both avoided). A/B/C come from a
+# fixed LCG so the family is identical everywhere.
+
+MERSENNE61 = (1 << 61) - 1
+_LO_MASK = (1 << 30) - 1
+
+
+def hash_family(n: int) -> list[tuple[int, int, int]]:
+    """n deterministic (A, B, C) constant triples (A, B < 2^30)."""
+    out = []
+    x = 123456789
+    def step() -> int:
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return x >> 16
+    for _ in range(n):
+        a = step() % _LO_MASK + 1
+        b = step() % _LO_MASK + 1
+        c = step() % MERSENNE61
+        out.append((a, b, c))
+    return out
+
+
+def family_member_spark(h_expr: str, abc: tuple[int, int, int]) -> str:
+    a, b, c = abc
+    return (
+        f"(({a} * ({h_expr} & {_LO_MASK}) + {b} * shiftright({h_expr}, 30) + {c})"
+        f" % {MERSENNE61})"
+    )
+
+
+def family_member_duck(h_expr: str, abc: tuple[int, int, int]) -> str:
+    a, b, c = abc
+    return (
+        f"(({a} * ({h_expr} & {_LO_MASK}) + {b} * ({h_expr} >> 30) + {c})"
+        f" % {MERSENNE61})"
+    )

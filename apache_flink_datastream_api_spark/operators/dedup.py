@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as X
-from ..functions.hashing import portable_hash64_sql
+from ..functions.hashing import (
+    family_member_duck,
+    family_member_spark,
+    hash_family,
+    portable_hash64_sql,
+)
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -78,41 +83,45 @@ MH_HASHES = 16    # hash family size
 MH_BANDS = 4      # 4 bands x 4 rows
 
 
+_FAMILY = hash_family(MH_HASHES)
+_R = MH_HASHES // MH_BANDS
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
-    Plan: scan → explode distinct shingles → explode 16 hash ids →
-    min-agg per (doc, hash) → band signatures → self-join on
-    (band, signature). No all-pairs stage anywhere.
+    Plan: scan → explode distinct shingles → ONE md5 per shingle → 16
+    arithmetic family members as narrow columns → single groupBy(doc_id)
+    with 16 min()s (map-side partial agg; no 16× row explosion) → band
+    signatures → self-join on (band, signature). Candidate generation is
+    O(bucket collisions), never O(n²); hot buckets are AQE skew-split.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = X.shingles_spark(TOKS_S, MH_K)
-    shingled = docs.select(
+    # Materialize the token array first: referencing the tokenizer inside
+    # the shingle lambda would re-run split+lower per element (~150x/doc).
+    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
+    sh = X.shingles_spark("toks", MH_K)
+    base = toked.select(
         "doc_id", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
+    ).selectExpr(
+        "doc_id",
+        "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS h",
     )
-    hashed = (
-        shingled.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(MH_HASHES - 1))).alias("hid"),
-            "shingle",
-        )
-        .selectExpr(
-            "doc_id",
-            "hid",
-            "cast(conv(substr(md5(concat(shingle, '#', hid)), 1, 15), 16, 10) as bigint) AS hv",
-        )
-        .groupBy("doc_id", "hid")
-        .agg(F.min("hv").alias("mh"))
+    mins = base.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min({family_member_spark('h', _FAMILY[i])})").alias(f"m{i}")
+            for i in range(MH_HASHES)
+        ]
     )
-    bands = (
-        hashed.withColumn("band", F.expr(f"hid div {MH_HASHES // MH_BANDS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "concat_ws(',', transform(array_sort(collect_list(struct(hid, mh))), s -> cast(s.mh as string)))"
-            ).alias("sig")
-        )
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', concat_ws(',', "
+        + ", ".join(f"m{b * _R + j}" for j in range(_R))
+        + "))"
+        for b in range(MH_BANDS)
     )
+    bands = mins.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2")
     )
@@ -128,21 +137,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_R = MH_HASHES // MH_BANDS
+_mins_d = ", ".join(
+    f"min({family_member_duck('h', _FAMILY[i])}) AS m{i}" for i in range(MH_HASHES)
+)
+_bands_d = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, concat_ws(',', "
+    + ", ".join(f"m{b * _R + j}" for j in range(_R))
+    + ") AS sig FROM mins"
+    for b in range(MH_BANDS)
+)
 DEDUP_MINHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {TOKS_D} AS toks FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, unnest({X.shingles_duck('toks', MH_K)}) AS shingle FROM toks
-), hashed AS (
-  SELECT doc_id, h,
-         MIN({portable_hash64_sql("concat(shingle, '#', h)")}) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {MH_HASHES - 1})) AS h) hs
-  GROUP BY doc_id, h
+), base AS (
+  SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh
+), mins AS (
+  SELECT doc_id, {_mins_d} FROM base GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, CAST(floor(h / {_R}.0) AS INT) AS band,
-         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h) AS sig
-  FROM hashed GROUP BY doc_id, 2
+  {_bands_d}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -206,20 +220,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``source`` (the blocking key bounds the self-join; at 100 TB the block
     would be an LSH bucket or shard key instead of a metadata column)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = X.shingles_spark(TOKS_S, NJ_K)
-    shingled = docs.select(
+    toked = docs.select("doc_id", "source", F.expr(TOKS_S).alias("toks"))
+    sh = X.shingles_spark("toks", NJ_K)
+    # Join on the 60-bit shingle hash, not the string — narrower shuffle
+    # keys and cheaper equality at scale (collisions are mirrored exactly
+    # in the oracle, so the comparison stays bit-true).
+    shingled = toked.select(
         "doc_id", "source", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
+    ).selectExpr(
+        "doc_id", "source",
+        "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS sh_h",
     )
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = shingled.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"),
-        F.col("shingle").alias("shingle_b"),
+        F.col("sh_h").alias("sh_h_b"),
     )
     inter = (
         shingled.join(
             b,
             (F.col("source") == F.col("source_b"))
-            & (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("sh_h") == F.col("sh_h_b"))
             & (F.col("doc_id") < F.col("doc_b")),
         )
         .groupBy("doc_id", "doc_b")
@@ -241,14 +262,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, source, {TOKS_D} AS toks FROM documents
-), sh AS (
+), shs AS (
   SELECT DISTINCT doc_id, source, unnest({X.shingles_duck('toks', NJ_K)}) AS shingle FROM toks
+), sh AS (
+  SELECT doc_id, source, {portable_hash64_sql('shingle')} AS sh_h FROM shs
 ), counts AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
   FROM sh a JOIN sh b
-    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ON a.source = b.source AND a.sh_h = b.sh_h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard

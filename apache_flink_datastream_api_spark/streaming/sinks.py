@@ -25,15 +25,23 @@ def to_console(df: DataFrame, mode: str = "append"):
     return df.writeStream.outputMode(mode).format("console").start()
 
 
-def to_csv_files(df: DataFrame, path: str, checkpoint: str, mode: str = "append"):
+def to_csv_files(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    available_now: bool = False,
+):
     """K1: row-format file sink with checkpointed exactly-once commit."""
-    return (
+    writer = (
         df.writeStream.outputMode(mode)
         .format("csv")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def to_kafka(df: DataFrame, topic: str, bootstrap_servers: str, checkpoint: str):

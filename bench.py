@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: results are forced with the noop sink (full execution,
+no driver-side collect/serialization cost). Each query runs twice and the
+second run is reported: the first run pays whole-stage-codegen + JIT
+compilation (a fixed per-plan cost, irrelevant at production scale where it
+amortizes over TBs); the second run measures actual data-path throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_flink_datastream_api_spark.registry import all_queries
+from apache_flink_datastream_api_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "topk_users_by_value",
+    "a1_running_reduce",
+    "a4_keyed_window_count",
+    "w4_session_window",
+    "j1_window_join",
+    "x1_interval_alert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "text_fingerprint",
+    "knn_bruteforce_cosine",
+    "knn_lsh_cosine",
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    specs = all_queries()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        force(specs[name].fn(spark, SF_DIR))  # warm: codegen + JIT, not measured
+        t0 = time.time()
+        force(specs[name].fn(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Physical-plan pinning: pushdown, pruning, broadcast — the properties
+that keep these queries viable at 100 TB."""
+
+from __future__ import annotations
+
+from apache_flink_datastream_api_spark.operators import dataflow, dedup, relational
+from apache_flink_datastream_api_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_read_schema_excludes,
+)
+
+from .conftest import SF_DIR
+
+
+def test_q6_filter_pushdown(spark):
+    df = relational.tpch_q6(spark, SF_DIR)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_discount")
+
+
+def test_q6_column_pruning(spark):
+    df = relational.tpch_q6(spark, SF_DIR)
+    # q6 needs only shipdate/discount/quantity/extendedprice
+    assert_read_schema_excludes(df, "lineitem", "l_returnflag")
+    assert_read_schema_excludes(df, "lineitem", "l_partkey")
+
+
+def test_q3_broadcasts_customer(spark):
+    df = relational.tpch_q3(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_q5_broadcasts_dims(spark):
+    df = relational.tpch_q5(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_filter_pushdown_on_events(spark):
+    df = dataflow.x1_interval_alert(spark, SF_DIR)
+    assert_pushed_filter(df, "event_type")
+
+
+def test_minhash_no_cartesian(spark):
+    assert_no_cartesian(dedup.dedup_minhash_lsh(spark, SF_DIR))
+
+
+def test_jaccard_prunes_text(spark):
+    df = dedup.dedup_ngram_jaccard(spark, SF_DIR)
+    # text is consumed by the shingle projection; n_chars/lang never read
+    assert_read_schema_excludes(df, "documents", "n_chars")

@@ -1,0 +1,241 @@
+"""Streaming parity tests (SURVEY.md §5 strategy 2): replay bounded data
+through the REAL streaming engine and compare against batch analogs —
+multi-batch state persistence, session windows, stream-stream joins,
+late-data capture, sinks."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from apache_flink_datastream_api_spark.operators import dataflow
+from apache_flink_datastream_api_spark.sources.tables import load_table
+from apache_flink_datastream_api_spark.streaming.sinks import run_available_now, to_csv_files
+from apache_flink_datastream_api_spark.streaming.state import interval_alerts, session_durations
+from apache_flink_datastream_api_spark.streaming.watermarks import (
+    LateDataCapture,
+    split_late_batch,
+)
+
+from .conftest import SF_DIR
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.fixture(scope="module")
+def chunked_events_dir(spark):
+    """Events (subset) written as 3 time-ordered CSV chunks — replaying
+    them with maxFilesPerTrigger=1 exercises state across micro-batches
+    with no late arrivals."""
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") < 3000)
+        .selectExpr("event_id", "user_id", "event_type", "unix_millis(ts) AS ts_ms")
+        .orderBy("ts_ms", "event_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="chunks_")
+    n = len(e)
+    for i in range(3):
+        chunk = e[i * n // 3 : (i + 1) * n // 3]
+        with open(os.path.join(d, f"part-{i:03d}.csv"), "w") as f:
+            for r in chunk:
+                f.write(f"{r.event_id},{r.user_id},{r.event_type},{r.ts_ms}\n")
+    return d
+
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
+
+def _chunk_stream(spark, d):
+    return (
+        spark.readStream.schema(CHUNK_SCHEMA).option("maxFilesPerTrigger", 1).csv(d)
+    )
+
+
+def test_x1_state_survives_micro_batches(spark, chunked_events_dir):
+    """Alerts spanning a batch boundary require state persistence: results
+    over 3 micro-batches must equal the single-pass batch analog."""
+    stream = _chunk_stream(spark, chunked_events_dir).where(
+        F.col("event_type") == "error"
+    )
+    got = run_available_now(
+        interval_alerts(stream, dataflow.ALERT_THRESHOLD_MS), spark, mode="update"
+    )
+    want = (
+        dataflow.x1_interval_alert(spark, SF_DIR)
+        .join(
+            load_table(spark, SF_DIR, "events").where(F.col("event_id") < 3000)
+            .select("user_id", F.unix_millis("ts").alias("ts_ms")).distinct(),
+            ["user_id", "ts_ms"],
+        )
+    )
+    cols = ["user_id", "ts_ms", "diff_ms"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() > 0, "fixture produced no alerts - threshold too tight"
+
+
+def test_x2_state_survives_micro_batches(spark, chunked_events_dir):
+    stream = _chunk_stream(spark, chunked_events_dir).withColumnRenamed(
+        "event_type", "action"
+    )
+    got = run_available_now(
+        session_durations(stream, logout_action="purchase"), spark, mode="update"
+    )
+    # batch analog restricted to the same subset
+    e = load_table(spark, SF_DIR, "events").where(F.col("event_id") < 3000)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        e.select(
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.lag("event_type").over(w).alias("prev_action"),
+            F.lag(F.unix_millis("ts")).over(w).alias("prev_ms"),
+        )
+        .where(F.col("prev_action").isNotNull() & (F.col("prev_action") != "purchase"))
+        .select(
+            "user_id",
+            F.col("prev_action").alias("action"),
+            "ts_ms",
+            (F.col("ts_ms") - F.col("prev_ms")).alias("duration_ms"),
+        )
+    )
+    cols = ["user_id", "action", "ts_ms", "duration_ms"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_session_window_streaming_parity(spark):
+    """W4 through the streaming engine (complete mode) equals the batch
+    session_window result."""
+    from apache_flink_datastream_api_spark.streaming.queries import _events_stream
+
+    stream = _events_stream(spark, SF_DIR).withColumn(
+        "ts2", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts2", "6 hours").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "cnt",
+        )
+    )
+    got = run_available_now(agg, spark, mode="complete")
+    want = dataflow.w4_session_window(spark, SF_DIR)
+    cols = ["user_id", "session_start_ms", "session_end_ms", "cnt"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_stream_stream_join(spark):
+    """J1 as an idiomatic watermarked stream-stream inner join (bucket
+    variant is the oracle-checked one; this pins the time-interval form)."""
+    from apache_flink_datastream_api_spark.streaming.queries import _events_stream
+
+    s = _events_stream(spark, SF_DIR)
+    a = s.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    ).withWatermark("a_ts", "1 hour")
+    b = _events_stream(spark, SF_DIR).where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    ).withWatermark("b_ts", "1 hour")
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    got = run_available_now(joined, spark, mode="append").count()
+
+    # batch equivalent of the same interval join
+    e = load_table(spark, SF_DIR, "events")
+    av = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    bv = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    want = av.join(
+        bv,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got == want
+
+
+def test_split_late_batch(spark):
+    rows = [
+        (1, 1000), (2, 5000), (3, 1500),  # 3 is late if delay < 3500
+        (4, 6000), (5, 2000),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_ms long").withColumn(
+        "event_ts", F.timestamp_millis("ts_ms")
+    )
+    on_time, late = split_late_batch(df, "event_ts", 1000, "event_id")
+    assert {r.event_id for r in late.collect()} == {3, 5}
+    assert {r.event_id for r in on_time.collect()} == {1, 2, 4}
+
+
+def test_late_data_capture_streaming(spark, chunked_events_dir):
+    """T3 semantics on a live stream: with delay=0 every row older than the
+    running max is captured as late; totals must add up."""
+    captured = {"late": 0, "on_time": 0}
+
+    cap = LateDataCapture(
+        delay_ms=0,
+        ts_col="event_ts",
+        on_time=lambda df, _id: captured.__setitem__(
+            "on_time", captured["on_time"] + df.count()
+        ),
+        late=lambda df, _id: captured.__setitem__(
+            "late", captured["late"] + df.count()
+        ),
+    )
+    stream = _chunk_stream(spark, chunked_events_dir).withColumn(
+        "event_ts", F.timestamp_millis("ts_ms")
+    )
+    q = (
+        stream.writeStream.foreachBatch(cap)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    total = load_table(spark, SF_DIR, "events").where(F.col("event_id") < 3000).count()
+    assert captured["on_time"] + captured["late"] == total
+    # chunks are time-ordered, so nothing should be late across batches
+    assert captured["late"] == 0
+
+
+def test_csv_file_sink_roundtrip(spark, chunked_events_dir):
+    """K1: streaming file sink writes exactly the input rows."""
+    out = tempfile.mkdtemp(prefix="sink_")
+    stream = _chunk_stream(spark, chunked_events_dir)
+    q = to_csv_files(
+        stream.selectExpr("event_id", "user_id"),
+        out,
+        tempfile.mkdtemp(prefix="ckpt_"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    back = spark.read.schema("event_id long, user_id long").csv(out)
+    expected = (
+        load_table(spark, SF_DIR, "events").where(F.col("event_id") < 3000).count()
+    )
+    assert back.count() == expected
