@@ -200,6 +200,126 @@ LIMIT 10
 """
 
 
+# --- join-shape coverage: anti, outer, semi --------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+Q_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_order_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + conditional agg: per order-priority, how many
+    orders have at least one lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_outer")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("l_orderkey").alias("n_with_items"),
+        )
+    )
+
+
+Q_OUTER_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders, COUNT(l_orderkey) AS n_with_items
+FROM orders LEFT OUTER JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+  ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+# --- rollup / distinct aggregation -----------------------------------------
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): revenue subtotals at every level.
+    Spark expands rollup into a single shuffle with grouping-id — no
+    per-level rescans."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("region", "nation", "customer", "orders")}
+    joined = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+Q_ROLLUP_ORACLE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+Q_DISTINCT_ORACLE = """
+SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# --- analytic window functions ---------------------------------------------
+
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking per partition — the analytic-window surface the
+    reference hand-builds with ValueState (SURVEY.md §2.5 note)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+Q_TOPORDER_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("tpch_q1_pricing_summary", tpch_q1, TPCH_Q1_ORACLE,
               "scan+groupBy aggregate, decimal-exact sums", ("relational",)),
@@ -211,4 +331,14 @@ SPECS = [
               "pushdown showcase: tight filter, 4 columns read", ("relational",)),
     QuerySpec("topk_users_by_value", topk_users, TOPK_USERS_ORACLE,
               "groupBy + sort/limit over events", ("relational",)),
+    QuerySpec("q_customers_without_orders", q_customers_without_orders, Q_ANTI_ORACLE,
+              "left-anti join", ("relational", "join")),
+    QuerySpec("q_order_fill_rates", q_order_fill_rates, Q_OUTER_ORACLE,
+              "left-outer join + conditional agg", ("relational", "join")),
+    QuerySpec("q_revenue_rollup", q_revenue_rollup, Q_ROLLUP_ORACLE,
+              "ROLLUP subtotals, single-shuffle grouping sets", ("relational",)),
+    QuerySpec("q_distinct_customers", q_distinct_customers, Q_DISTINCT_ORACLE,
+              "distinct-count aggregation", ("relational",)),
+    QuerySpec("q_top_order_per_customer", q_top_order_per_customer, Q_TOPORDER_ORACLE,
+              "row_number analytic ranking", ("relational", "window")),
 ]

@@ -1,0 +1,80 @@
+"""Skew-handling: salted two-phase aggregation.
+
+At 100 TB a handful of hot keys (one power user, one boilerplate document)
+can pin a single reducer for hours. Two mitigations exist in this engine:
+
+1. AQE skew-join splitting (on by default in ``session.get_spark``) —
+   handles skewed JOIN partitions at runtime.
+2. This module: explicit salting for AGGREGATIONS, where AQE cannot split
+   a hot group. Phase 1 groups on (key, salt) — hot keys fan out over
+   ``n_salts`` reducers; phase 2 merges the per-salt partials. Both phases
+   get map-side combine, so the extra shuffle moves only
+   |keys| × n_salts rows.
+
+The salted plan is semantically identical to the direct groupBy — the
+registry query's oracle is the PLAIN group-by, which is exactly the point:
+same answer, skew-proof plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation with key salting.
+
+    ``aggs``: output_name -> (phase1_agg_expr, phase2_merge_expr), where
+    phase 2 refers to the phase-1 output column by its output name, e.g.
+    ``{"cnt": (F.count("*"), F.sum("cnt"))}``.
+    """
+    # Salt must vary WITHIN a key (a key-derived salt would not fan out a
+    # hot key at all); partition id does, and costs nothing to compute.
+    salt = F.spark_partition_id() % n_salts
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in aggs.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event totals via the salted two-phase plan; answer is
+    identical to a plain groupBy (the oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        ["user_id"],
+        {
+            "n_events": (F.count("*"), F.sum("n_events")),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,4)")),
+                F.sum("total_value").cast("double"),
+            ),
+        },
+        n_salts=8,
+    )
+
+
+SKEW_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("skew_salted_user_totals", skew_salted_user_totals, SKEW_ORACLE,
+              "salted two-phase agg == plain groupBy", ("scale",)),
+]

@@ -1,0 +1,124 @@
+"""Scale-pattern tests: bucketed shuffle-free joins, salted aggregation,
+multi-sink fan-out, rate-source generators."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from apache_flink_datastream_api_spark.operators.skew import salted_agg
+from apache_flink_datastream_api_spark.plans.inspect import explain_string
+from apache_flink_datastream_api_spark.sources.bucketing import bucketed_join, write_bucketed
+from apache_flink_datastream_api_spark.sources.tables import load_table
+from apache_flink_datastream_api_spark.streaming.fanout import fanout_sinks
+from apache_flink_datastream_api_spark.streaming.sources import (
+    rate_audit_stream,
+    rate_browser_stream,
+)
+
+from .conftest import SF_DIR
+
+
+def test_bucketed_join_elides_exchange(spark):
+    """Two tables bucketed on the join key: the join plan must contain no
+    shuffle (Exchange) on either side."""
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(o, "orders_b", "o_orderkey", 8)
+    write_bucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8
+    )
+    joined = bucketed_join(
+        spark, "orders_b", "lineitem_b", "o_orderkey", force_sort_merge=True
+    )
+    plan = explain_string(joined, "simple")
+    assert "Exchange hashpartitioning" not in plan, (
+        f"bucketed join still shuffles:\n{plan}"
+    )
+    assert "SortMergeJoin" in plan
+    # same answer as the plain join
+    plain = o.join(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    ).count()
+    assert joined.count() == plain
+
+
+def test_salted_agg_matches_plain(spark):
+    e = load_table(spark, SF_DIR, "events")
+    salted = salted_agg(
+        e, ["event_type"], {"cnt": (F.count("*"), F.sum("cnt"))}, n_salts=4
+    )
+    plain = e.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_fanout_single_pass_multi_sink(spark):
+    """One streaming query delivers each batch to two sinks."""
+    import os
+
+    src_dir = tempfile.mkdtemp(prefix="fan_src_")
+    for i in range(2):
+        with open(os.path.join(src_dir, f"f{i}.csv"), "w") as fh:
+            for j in range(50):
+                fh.write(f"{i * 50 + j},u{j % 3}\n")
+    stream = (
+        spark.readStream.schema("id long, user string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(src_dir)
+    )
+    seen = {"a": 0, "b": 0, "batches": 0}
+
+    def sink_a(df, _):
+        seen["a"] += df.count()
+        seen["batches"] += 1
+
+    def sink_b(df, _):
+        seen["b"] += df.count()
+
+    q = fanout_sinks(
+        stream, [sink_a, sink_b], tempfile.mkdtemp(prefix="ckpt_"), available_now=True
+    )
+    q.awaitTermination(300)
+    assert seen["a"] == 100 and seen["b"] == 100
+    assert seen["batches"] == 2  # maxFilesPerTrigger=1 -> one batch per file
+
+
+def test_rate_generators_schema_and_domains(spark):
+    """S3 generators: run one short micro-batch, check schema + domains."""
+    from apache_flink_datastream_api_spark.streaming.sources import (
+        ACTIONS,
+        OPERATIONS,
+        USERS,
+    )
+
+    audit = rate_audit_stream(spark, rows_per_second=500)
+    assert set(audit.schema.fieldNames()) == {
+        "id", "user", "entity", "operation", "timestamp_ms", "duration",
+        "change_count", "event_ts",
+    }
+    browser = rate_browser_stream(spark, rows_per_second=500)
+    assert "action" in browser.schema.fieldNames()
+
+    rows = {"n": 0, "bad": 0}
+
+    def check(df, _):
+        pdf = df.toPandas()
+        rows["n"] += len(pdf)
+        rows["bad"] += int(
+            (~pdf["user"].isin(USERS)).sum() + (~pdf["operation"].isin(OPERATIONS)).sum()
+        )
+
+    q = (
+        audit.writeStream.foreachBatch(check)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 20
+    while rows["n"] == 0 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert rows["n"] > 0, "rate source produced no rows in 20s"
+    assert rows["bad"] == 0
