@@ -11,6 +11,10 @@ State backend: default HDFS-backed state store locally; at scale switch to
 RocksDB via ``spark.sql.streaming.stateStore.providerClass`` — state per
 key is a single row here, so the store stays tiny regardless of stream
 length (the eviction story is timeouts, configured by the caller).
+
+Keys are polymorphic: callers pass the key column and its Spark type
+(audit streams key by a string user, the driver's events by a long
+user_id); output schemas are assembled per call.
 """
 
 from __future__ import annotations
@@ -23,28 +27,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+
+def _sorted(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    rows = pd.concat(list(pdfs))
+    sort_cols = ["ts_ms", "event_id"] if "event_id" in rows.columns else ["ts_ms"]
+    return rows.sort_values(sort_cols)
+
+
 # --- X1: interval alert (StatefulOperations.java:84-129 semantics) ---------
 
-X1_OUTPUT = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("ts_ms", LongType()),
-        StructField("diff_ms", LongType()),
-    ]
-)
 X1_STATE = StructType([StructField("last_ts", LongType())])
 
 
-def make_interval_alert(threshold_ms: int):
+def make_interval_alert(threshold_ms: int, key_name: str):
     """Per key: remember the previous matching event's timestamp; alert
     when the next one arrives within threshold_ms."""
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs))
-        sort_cols = ["ts_ms", "event_id"] if "event_id" in rows.columns else ["ts_ms"]
-        rows = rows.sort_values(sort_cols)
+        rows = _sorted(pdfs)
         last = state.get[0] if state.exists else None
         out: list[tuple[Any, int, int]] = []
         for ts in rows["ts_ms"]:
@@ -53,7 +55,7 @@ def make_interval_alert(threshold_ms: int):
                 out.append((key[0], ts, ts - last))
             last = ts
         state.update((last,))
-        yield pd.DataFrame(out, columns=["user_id", "ts_ms", "diff_ms"])
+        yield pd.DataFrame(out, columns=[key_name, "ts_ms", "diff_ms"])
 
     return fn
 
@@ -65,14 +67,23 @@ def interval_alerts(
     ts_ms_col: str = "ts_ms",
 ) -> DataFrame:
     """X1 streaming operator: df must contain (key_col, ts_ms_col) already
-    filtered to the alert-relevant events (e.g. operation = 'Delete')."""
-    cols = [f"{key_col} AS user_id", f"{ts_ms_col} AS ts_ms"]
-    if "event_id" in df.columns:
+    filtered to the alert-relevant events (e.g. operation = 'Delete').
+    Output: (key_col, ts_ms, diff_ms)."""
+    key_type = dict(df.dtypes)[key_col]
+    cols = [key_col, f"{ts_ms_col} AS ts_ms"]
+    if "event_id" in df.columns and key_col != "event_id":
         cols.append("event_id")
     sel = df.selectExpr(*cols)
-    return sel.groupBy("user_id").applyInPandasWithState(
-        make_interval_alert(threshold_ms),
-        outputStructType=X1_OUTPUT,
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType() if key_type == "bigint" else StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("diff_ms", LongType()),
+        ]
+    )
+    return sel.groupBy(key_col).applyInPandasWithState(
+        make_interval_alert(threshold_ms, key_col),
+        outputStructType=out_schema,
         stateStructType=X1_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -81,29 +92,19 @@ def interval_alerts(
 
 # --- X2: session durations (CourseUseCase.java:114-180 semantics) ----------
 
-X2_OUTPUT = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("action", StringType()),
-        StructField("ts_ms", LongType()),
-        StructField("duration_ms", LongType()),
-    ]
-)
 X2_STATE = StructType(
     [StructField("last_action", StringType()), StructField("last_ts", LongType())]
 )
 
 
-def make_session_durations(logout_action: str):
+def make_session_durations(logout_action: str, key_name: str):
     """Per key: emit (prev_action, duration) for each event while a session
     is open; the logout action clears state (next event starts fresh)."""
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs))
-        sort_cols = ["ts_ms", "event_id"] if "event_id" in rows.columns else ["ts_ms"]
-        rows = rows.sort_values(sort_cols)
+        rows = _sorted(pdfs)
         if state.exists:
             last_action, last_ts = state.get
         else:
@@ -121,7 +122,9 @@ def make_session_durations(logout_action: str):
             state.remove()
         else:
             state.update((last_action, last_ts))
-        yield pd.DataFrame(out, columns=["user_id", "action", "ts_ms", "duration_ms"])
+        yield pd.DataFrame(
+            out, columns=[key_name, "action", "ts_ms", "duration_ms"]
+        )
 
     return fn
 
@@ -133,13 +136,23 @@ def session_durations(
     action_col: str = "action",
     ts_ms_col: str = "ts_ms",
 ) -> DataFrame:
-    cols = [f"{key_col} AS user_id", f"{action_col} AS action", f"{ts_ms_col} AS ts_ms"]
-    if "event_id" in df.columns:
+    """X2 streaming operator. Output: (key_col, action, ts_ms, duration_ms)."""
+    key_type = dict(df.dtypes)[key_col]
+    cols = [key_col, f"{action_col} AS action", f"{ts_ms_col} AS ts_ms"]
+    if "event_id" in df.columns and key_col != "event_id":
         cols.append("event_id")
     sel = df.selectExpr(*cols)
-    return sel.groupBy("user_id").applyInPandasWithState(
-        make_session_durations(logout_action),
-        outputStructType=X2_OUTPUT,
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType() if key_type == "bigint" else StringType()),
+            StructField("action", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+    return sel.groupBy(key_col).applyInPandasWithState(
+        make_session_durations(logout_action, key_col),
+        outputStructType=out_schema,
         stateStructType=X2_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
