@@ -3,7 +3,7 @@ that keep these queries viable at 100 TB."""
 
 from __future__ import annotations
 
-from apache_flink_datastream_api_spark.operators import dataflow, dedup, relational
+from apache_flink_datastream_api_spark.operators import dataflow, dedup, relational, temporal
 from apache_flink_datastream_api_spark.plans.inspect import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -46,6 +46,27 @@ def test_filter_pushdown_on_events(spark):
 
 def test_minhash_no_cartesian(spark):
     assert_no_cartesian(dedup.dedup_minhash_lsh(spark, SF_DIR))
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union+last_value as-of join must stay linear: one Exchange on
+    the key and NO join operator (a join-then-rank regression would show
+    up as a Join node and a second shuffle)."""
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    plan = explain_string(temporal.asof_purchase_click(spark, SF_DIR))
+    assert "Join" not in plan, f"as-of join regressed to a physical join:\n{plan}"
+    assert plan.count("Exchange") <= 2  # key shuffle (+AQE coalesce at most)
+
+
+def test_range_join_uses_equality_key(spark):
+    """The interval join must hash/sort-merge on user_id, never a
+    nested-loop over the range predicate."""
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    plan = explain_string(temporal.range_join_purchase_errors(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(temporal.range_join_purchase_errors(spark, SF_DIR))
 
 
 def test_jaccard_prunes_text(spark):
