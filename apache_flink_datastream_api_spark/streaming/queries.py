@@ -108,6 +108,105 @@ def x2_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, spark, mode="update")
 
 
+# --- J1 idiomatic: watermarked stream-stream interval join -----------------
+
+def j1_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's window join (``chapter3/WindowJoins.java:110-144``)
+    in its idiomatic Structured Streaming form: two watermarked streams,
+    inner equi-join on the key plus an event-time interval condition
+    (SURVEY.md §2.6 J1 option (a); the window-bucket option (b) is the
+    batch-checked ``j1_window_join``). State on both sides is bounded by
+    the watermark — the 100 TB shape for unbounded joins."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .selectExpr("user_id AS v_user", "ts AS v_ts")
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.unix_millis("v_ts").alias("view_ts_ms"),
+        F.unix_millis("p_ts").alias("purchase_ts_ms"),
+    )
+    return run_available_now(joined, spark, mode="append")
+
+
+J1_STREAM_ORACLE = """
+SELECT v.user_id,
+       epoch_ms(v.ts) AS view_ts_ms,
+       epoch_ms(p.ts) AS purchase_ts_ms
+FROM events v JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTES
+"""
+
+
+# --- streaming exact dedup --------------------------------------------------
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a live stream: the input is deliberately doubled
+    (union of two readers over the same files) and ``dropDuplicates`` on
+    the key collapses it back — state is one entry per distinct key in the
+    state store. At 100 TB bound the state with
+    ``dropDuplicatesWithinWatermark`` (keys expire after the lateness
+    horizon) — same operator, bounded memory."""
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = doubled.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_available_now(deduped, spark, mode="append")
+
+
+DEDUP_STREAM_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+# --- stream-static broadcast enrichment ------------------------------------
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich a stream with a static dimension: purchases joined to the
+    customer table. The static side is broadcast once per micro-batch —
+    no shuffle of the stream, the standard dimension-enrichment shape at
+    scale (Flink's equivalent is a broadcast-state join; the reference
+    never needs one)."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"))
+    )
+    customers = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), "c_name", "c_mktsegment"
+        )
+    )
+    enriched = purchases.join(
+        customers, purchases.user_id == customers.c_custkey
+    ).select("event_id", "user_id", "ts_ms", "c_name", "c_mktsegment")
+    return run_available_now(enriched, spark, mode="append")
+
+
+ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+"""
+
+
 # --- S1: file-monitor CSV source round-trip (multi-batch) ------------------
 
 S1_LIMIT = 2000
@@ -156,4 +255,13 @@ SPECS = [
               "applyInPandasWithState session durations (streaming X2)", ("streaming", "stateful")),
     QuerySpec("s1_file_monitor_roundtrip", s1_file_monitor_roundtrip, S1_ORACLE,
               "file-monitor CSV source, multi-batch replay", ("streaming", "source")),
+    QuerySpec("j1_stream_stream_join", j1_stream_stream_join, J1_STREAM_ORACLE,
+              "watermarked stream-stream interval join (J1 idiomatic)",
+              ("streaming", "join")),
+    QuerySpec("dedup_stream", dedup_stream, DEDUP_STREAM_ORACLE,
+              "streaming exact dedup via dropDuplicates state",
+              ("streaming", "dedup")),
+    QuerySpec("stream_static_enrich", stream_static_enrich, ENRICH_ORACLE,
+              "stream-static broadcast dimension enrichment",
+              ("streaming", "join")),
 ]
