@@ -1,0 +1,59 @@
+"""Sketch-based approximate aggregates (driver-mandated scale extension;
+no reference file:line — the reference has only exact sum/min/max/count,
+SURVEY.md §2.4).
+
+These are the 100 TB replacements for their exact counterparts:
+
+- ``approx_count_distinct`` — HyperLogLog++: fixed ~kilobytes of state per
+  group vs an exact distinct's shuffle of every key; map-side combinable,
+  so the shuffle carries sketches, not rows.
+- ``approx_percentile`` — a mergeable quantile sketch with bounded error;
+  the exact ``percentile`` materializes every value per group.
+
+Sketch internals (hash functions, merge order) are engine-specific, so no
+DuckDB oracle can hash-match: these are registered rows-only, and
+``tests/test_sketches.py`` pins accuracy against the exact operators
+(relative error well inside the configured rsd / accuracy bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+RSD = 0.02           # HLL target relative standard deviation
+PCT_ACCURACY = 10_000  # approx_percentile accuracy knob
+
+
+def sketch_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day per event_type via HLL++ (approximate) —
+    the scale path for cardinality over 100 TB of events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=RSD).alias("approx_uniques"))
+        .select(F.unix_millis("day").alias("day_ms"), "event_type", "approx_uniques")
+    )
+
+
+def sketch_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of value per event_type via the mergeable percentile
+    sketch (bounded-memory replacement for exact percentile)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, PCT_ACCURACY).alias("p50"),
+        F.percentile_approx("value", 0.95, PCT_ACCURACY).alias("p95"),
+        F.percentile_approx("value", 0.99, PCT_ACCURACY).alias("p99"),
+    )
+
+
+SPECS = [
+    QuerySpec("sketch_daily_uniques", sketch_daily_uniques, None,
+              "HLL++ approximate distinct users per day (accuracy pinned in tests)",
+              ("sketch", "approx")),
+    QuerySpec("sketch_value_percentiles", sketch_value_percentiles, None,
+              "mergeable approximate percentiles (accuracy pinned in tests)",
+              ("sketch", "approx")),
+]

@@ -170,6 +170,46 @@ FROM events GROUP BY 1
 """
 
 
+# --- moving aggregate over an explicit row frame ---------------------------
+
+def user_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-event moving sum/average of value, ordered by event
+    time. The frame sum goes through DECIMAL so both engines accumulate
+    exactly (sliding-window float subtraction/segment-tree strategies
+    differ between engines); the average is one double division at the
+    end. One shuffle on user_id; the sort rides the same exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    base = ev.select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return base.select(
+        "user_id", "ts_ms",
+        F.sum("v").over(w).cast("double").alias("msum5"),
+        (F.sum("v").over(w).cast("double") / F.count("*").over(w)).alias("mavg5"),
+    )
+
+
+MOVING_AVG_ORACLE = """
+WITH base AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+SELECT user_id, ts_ms,
+       CAST(SUM(v) OVER w AS DOUBLE) AS msum5,
+       CAST(SUM(v) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS mavg5
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- pivot: per-user event-type count matrix -------------------------------
 
 def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,4 +242,6 @@ SPECS = [
               "exact linear-interpolation percentiles per group", ("agg",)),
     QuerySpec("event_type_pivot", event_type_pivot, PIVOT_ORACLE,
               "pinned-values pivot count matrix", ("agg",)),
+    QuerySpec("user_moving_avg", user_moving_avg, MOVING_AVG_ORACLE,
+              "5-event moving sum/avg over an explicit row frame", ("window",)),
 ]
