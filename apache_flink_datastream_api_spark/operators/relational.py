@@ -241,6 +241,29 @@ GROUP BY 1
 """
 
 
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one 1-URGENT order —
+    existence check without duplicating or widening the left side (the
+    probe side never materializes order columns)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+Q_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
 # --- rollup / distinct aggregation -----------------------------------------
 
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,6 +293,32 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all 4 grouping combinations in one
+    shuffle (Spark expands cube with a grouping-id column, same single-
+    pass plan shape as rollup). grouping_id disambiguates subtotal rows
+    from natural NULL groups."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+Q_CUBE_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
@@ -337,6 +386,10 @@ SPECS = [
               "left-outer join + conditional agg", ("relational", "join")),
     QuerySpec("q_revenue_rollup", q_revenue_rollup, Q_ROLLUP_ORACLE,
               "ROLLUP subtotals, single-shuffle grouping sets", ("relational",)),
+    QuerySpec("q_customers_with_urgent_orders", q_customers_with_urgent_orders,
+              Q_SEMI_ORACLE, "left-semi existence join", ("relational", "join")),
+    QuerySpec("q_order_cube", q_order_cube, Q_CUBE_ORACLE,
+              "CUBE with grouping_id, single-pass grouping sets", ("relational",)),
     QuerySpec("q_distinct_customers", q_distinct_customers, Q_DISTINCT_ORACLE,
               "distinct-count aggregation", ("relational",)),
     QuerySpec("q_top_order_per_customer", q_top_order_per_customer, Q_TOPORDER_ORACLE,

@@ -30,7 +30,13 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "q_order_cube",
     "topk_users_by_value",
+    "asof_join_purchase_click",
+    "range_join_purchase_errors",
+    "user_moving_avg",
+    "event_type_pivot",
+    "sketch_daily_uniques",
     "a1_running_reduce",
     "a4_keyed_window_count",
     "w4_session_window",
