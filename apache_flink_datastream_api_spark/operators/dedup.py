@@ -339,6 +339,77 @@ FROM pairs WHERE cos_sim >= {COS_THRESHOLD}
 """
 
 
+# --- duplicate clusters: connected components over candidate pairs ---------
+
+CC_MAX_ITERS = 25
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse MinHash candidate pairs into duplicate CLUSTERS: each doc
+    labeled with the minimum doc_id of its connected component (the
+    canonical representative to keep).
+
+    Iterative min-label propagation: per round, every vertex takes the min
+    label among itself and its neighbors — converges in O(graph diameter)
+    rounds (near-dup components are tiny cliques, so a handful). Each
+    round is one shuffle; ``localCheckpoint`` truncates the lineage so the
+    plan doesn't grow exponentially. This is the scale-correct shape (the
+    same loop MLlib's connected components / GraphFrames run); a
+    driver-side union-find over ``collect()`` would be the anti-pattern.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b), a < b
+    und = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("v")).distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        prop = (
+            und.join(labels, und.src == labels.v)
+            .select(F.col("dst").alias("v"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when no vertex's label changed this round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+DEDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_MINHASH_ORACLE}
+), und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), verts AS (
+  SELECT DISTINCT src AS v FROM und
+), reach(root, node) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.root, u.dst FROM reach r JOIN und u ON u.src = r.node
+)
+SELECT root AS doc_id, MIN(node) AS component_id
+FROM reach GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact dedup via md5 hash-groupBy", ("dedup",)),
@@ -352,4 +423,7 @@ SPECS = [
               "exact n-gram Jaccard on blocked pairs", ("dedup",)),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMB_ORACLE,
               "cosine near-dup, label-blocked", ("dedup", "vector")),
+    QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_ORACLE,
+              "duplicate clusters via iterative connected components",
+              ("dedup", "iterative")),
 ]

@@ -1,0 +1,164 @@
+"""Training-data pipeline operators over ``documents`` (driver-mandated
+extension; no reference file:line): chunking, deterministic sampling,
+TF-IDF term scoring. The shapes a 100 TB corpus-preparation job runs
+between dedup and tokenization.
+
+All built-in column expressions / relational ops — no Python in the data
+path:
+
+- chunking       posexplode over a computed span array: one narrow pass,
+                 output partitioning inherits the input (no shuffle).
+- sampling       hash-gated filter: sampling by ``portable_hash(doc_id)``
+                 is deterministic, reproducible across runs/engines, and
+                 pushes down to a scan filter — the ONLY sane way to
+                 sample 100 TB (no global sort, no count, no rand()).
+- TF-IDF         two aggregations (term-per-doc counts, doc frequency)
+                 and a broadcast-able join; top-k terms per doc by
+                 row_number. The shuffles are on (term) and (doc_id) —
+                 both well-distributed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import text as X
+from ..functions.hashing import portable_hash64_sql
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+TOKS_S = X.tokens_spark("text")
+TOKS_D = X.tokens_duck("text")
+
+
+# --- document chunking ------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping CHUNK_TOKENS-token windows
+    every CHUNK_STRIDE tokens (the standard context-window packing step).
+    Emits (doc_id, chunk_id, n_chunk_tokens, chunk_text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
+    starts = (
+        f"sequence(1, greatest(1, size(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}), "
+        f"{CHUNK_STRIDE})"
+    )
+    return (
+        toked.select("doc_id", "toks", F.posexplode(F.expr(starts)).alias("chunk_id", "start"))
+        .selectExpr(
+            "doc_id",
+            "chunk_id",
+            f"slice(toks, start, {CHUNK_TOKENS}) AS chunk_toks",
+        )
+        .selectExpr(
+            "doc_id",
+            "chunk_id",
+            "size(chunk_toks) AS n_chunk_tokens",
+            "concat_ws(' ', chunk_toks) AS chunk_text",
+        )
+    )
+
+
+CHUNK_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks,
+         generate_subscripts(range(1, greatest(1, len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}) + 1, {CHUNK_STRIDE}), 1) - 1 AS chunk_id,
+         unnest(range(1, greatest(1, len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}) + 1, {CHUNK_STRIDE})) AS start
+  FROM toked
+)
+SELECT doc_id, chunk_id,
+       len(toks[start : start + {CHUNK_TOKENS} - 1]) AS n_chunk_tokens,
+       array_to_string(toks[start : start + {CHUNK_TOKENS} - 1], ' ') AS chunk_text
+FROM starts
+"""
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+SAMPLE_PCT = 25  # keep ~25% per language stratum
+
+
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sample: keep doc when
+    portable_hash(doc_id) mod 100 < pct. Engine-independent, re-runnable,
+    and a pure scan filter — no rand(), no per-stratum counting pass.
+    Emits the kept ids with their stratum for downstream joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (
+        f"pmod(cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) as bigint), 100)"
+    )
+    return docs.selectExpr("doc_id", "lang", "n_chars", f"{gate} AS bucket").where(
+        F.col("bucket") < SAMPLE_PCT
+    )
+
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars,
+       {portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+FROM documents
+WHERE {portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 < {SAMPLE_PCT}
+"""
+
+
+# --- TF-IDF top terms per document -----------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per doc by tf-idf (ln(N/df) idf, integer tf). Ties
+    broken lexicographically so the ranking is total and engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar N: one cheap count, broadcast into the expr
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(TOKS_S)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        tf.join(df_, "term")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({TOKS_D}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+SPECS = [
+    QuerySpec("chunk_documents", chunk_documents, CHUNK_ORACLE,
+              "overlapping token-window chunking via posexplode", ("pipeline", "text")),
+    QuerySpec("sample_documents", sample_documents, SAMPLE_ORACLE,
+              "deterministic hash-gated sampling", ("pipeline",)),
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE,
+              "tf-idf top-k terms per document", ("pipeline", "text")),
+]

@@ -41,6 +41,12 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Streaming state stores are partitioned by shuffle.partitions at query
+    # start and AQE does NOT coalesce them: the 200 default means 200 tiny
+    # state tasks per micro-batch on a single node. Size to the machine
+    # (on a cluster: total executor cores).
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 32))
     # The file stream source needs a directory; expose the single table
     # file through a temp dir (symlink — no copy).
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
