@@ -119,9 +119,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "))"
         for b in range(MH_BANDS)
     )
-    bands = mins.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
-    ).select("doc_id", "bs.band", "bs.sig")
+    # Materialized once: both sides of the bucket self-join read it, and
+    # the upstream (explode + 16-way min agg) is the expensive part.
+    bands = (
+        mins.select(
+            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
+        )
+        .select("doc_id", "bs.band", "bs.sig")
+        .localCheckpoint(eager=True)
+    )
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2")
     )
@@ -225,12 +231,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join on the 60-bit shingle hash, not the string — narrower shuffle
     # keys and cheaper equality at scale (collisions are mirrored exactly
     # in the oracle, so the comparison stays bit-true).
+    # Materialize the shingle table once: it feeds BOTH sides of the
+    # self-join plus the per-doc counts, and Spark has no common-subplan
+    # reuse across those — without this the explode+md5 runs 3x. (At
+    # 100 TB this is an explicit persist of the shingle table to disk —
+    # the standard candidate-generation staging step.)
     shingled = toked.select(
         "doc_id", "source", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
     ).selectExpr(
         "doc_id", "source",
         "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS sh_h",
-    )
+    ).localCheckpoint(eager=True)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = shingled.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"),
