@@ -221,27 +221,33 @@ NJ_K = 3
 NJ_THRESHOLD = 0.2
 
 
+def ngram_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, source, shingle-hash) staging table for n-gram
+    Jaccard. Joining on the 60-bit shingle hash, not the string, keeps
+    shuffle keys narrow and equality cheap at scale (collisions are
+    mirrored exactly in the oracle, so the comparison stays bit-true).
+    Exposed un-materialized so plan tests can pin scan pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "source", F.expr(TOKS_S).alias("toks"))
+    sh = X.shingles_spark("toks", NJ_K)
+    return toked.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
+    ).selectExpr(
+        "doc_id", "source",
+        "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS sh_h",
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for candidate pairs blocked by
     ``source`` (the blocking key bounds the self-join; at 100 TB the block
     would be an LSH bucket or shard key instead of a metadata column)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", "source", F.expr(TOKS_S).alias("toks"))
-    sh = X.shingles_spark("toks", NJ_K)
-    # Join on the 60-bit shingle hash, not the string — narrower shuffle
-    # keys and cheaper equality at scale (collisions are mirrored exactly
-    # in the oracle, so the comparison stays bit-true).
     # Materialize the shingle table once: it feeds BOTH sides of the
     # self-join plus the per-doc counts, and Spark has no common-subplan
     # reuse across those — without this the explode+md5 runs 3x. (At
     # 100 TB this is an explicit persist of the shingle table to disk —
     # the standard candidate-generation staging step.)
-    shingled = toked.select(
-        "doc_id", "source", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
-    ).selectExpr(
-        "doc_id", "source",
-        "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS sh_h",
-    ).localCheckpoint(eager=True)
+    shingled = ngram_shingle_table(spark, sf_dir).localCheckpoint(eager=True)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = shingled.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"),

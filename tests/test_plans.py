@@ -70,6 +70,8 @@ def test_range_join_uses_equality_key(spark):
 
 
 def test_jaccard_prunes_text(spark):
-    df = dedup.dedup_ngram_jaccard(spark, SF_DIR)
-    # text is consumed by the shingle projection; n_chars/lang never read
+    # The full operator checkpoints the shingle stage (lineage truncated),
+    # so pruning is pinned on the staging table it materializes:
+    # text is consumed by the shingle projection; n_chars/lang never read.
+    df = dedup.ngram_shingle_table(spark, SF_DIR)
     assert_read_schema_excludes(df, "documents", "n_chars")
