@@ -15,6 +15,14 @@ length (the eviction story is timeouts, configured by the caller).
 Keys are polymorphic: callers pass the key column and its Spark type
 (audit streams key by a string user, the driver's events by a long
 user_id); output schemas are assembled per call.
+
+API choice: Spark 4's ``transformWithStateInPandas`` (value/list/map
+state + event-time timers — the closest Flink-timer parity) was
+evaluated and works API-wise, but its streaming Python runner requires
+the ``protobuf`` package, absent in this environment; verified 2026-08
+to crash with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
+``applyInPandasWithState`` covers every reference semantic (X1/X2 use no
+timers) and stays the portable choice.
 """
 
 from __future__ import annotations
