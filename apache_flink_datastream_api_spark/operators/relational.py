@@ -174,6 +174,194 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+# --- Q4 (adapted): late orders per priority (correlated-EXISTS semi join) ---
+# Classic Q4 checks l_commitdate < l_receiptdate; the driver tables omit
+# those columns, so the adapted predicate is "shipped after the order date"
+# — same plan shape: a semi join whose condition mixes an equi key with a
+# cross-table inequality.
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q12 (adapted): priority mix per returnflag (case-when aggregation) -----
+# Classic Q12 groups by l_shipmode (absent here); l_returnflag plays the
+# grouping role. The physical pattern is identical: fact-fact equi join,
+# then conditional sums folded into one aggregation pass.
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_ORACLE = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+# --- Q14: promo revenue ratio (broadcast dim + conditional aggregate) -------
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+TPCH_Q14_ORACLE = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# --- Q18: large-volume customers (agg-filter then join back) ----------------
+# The HAVING-filtered aggregate runs FIRST and shrinks the fact side to a
+# handful of orderkeys before any join — at 100 TB the two joins see only
+# the filtered survivors, and AQE converts them to broadcasts at runtime.
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .where(F.col("sum_qty_dec") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+TPCH_Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_totalprice,
+       CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty_dec > 250
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- Q19: bracketed OR-predicate revenue (broadcast join, disjunct filter) --
+# Catalyst extracts the common l_partkey = p_partkey conjunct as the join
+# key and leaves the OR-of-brackets as a post-join filter; part broadcasts
+# so the disjunction never forces a shuffle or a nested-loop join.
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(bracket)
+        .agg(revenue.cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+TPCH_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # --- top-k users by total value (sort/limit over events) -------------------
 
 def topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,6 +566,19 @@ SPECS = [
               "6-way join, all dims broadcast", ("relational", "join")),
     QuerySpec("tpch_q6_forecast_revenue", tpch_q6, TPCH_Q6_ORACLE,
               "pushdown showcase: tight filter, 4 columns read", ("relational",)),
+    QuerySpec("tpch_q4_late_orders", tpch_q4, TPCH_Q4_ORACLE,
+              "correlated-EXISTS semi join with cross-table inequality",
+              ("relational", "join")),
+    QuerySpec("tpch_q12_priority_mix", tpch_q12, TPCH_Q12_ORACLE,
+              "fact-fact join + case-when conditional sums", ("relational", "join")),
+    QuerySpec("tpch_q14_promo_revenue", tpch_q14, TPCH_Q14_ORACLE,
+              "broadcast dim + conditional-aggregate ratio", ("relational", "join")),
+    QuerySpec("tpch_q18_large_volume", tpch_q18, TPCH_Q18_ORACLE,
+              "HAVING-filtered aggregate joined back to orders/customer",
+              ("relational", "join")),
+    QuerySpec("tpch_q19_bracket_revenue", tpch_q19, TPCH_Q19_ORACLE,
+              "OR-of-brackets predicate over broadcast part join",
+              ("relational", "join")),
     QuerySpec("topk_users_by_value", topk_users, TOPK_USERS_ORACLE,
               "groupBy + sort/limit over events", ("relational",)),
     QuerySpec("q_customers_without_orders", q_customers_without_orders, Q_ANTI_ORACLE,

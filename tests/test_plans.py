@@ -39,6 +39,48 @@ def test_q5_broadcasts_dims(spark):
     assert_no_cartesian(df)
 
 
+def test_q4_semi_join_no_cartesian(spark):
+    """Q4's EXISTS has an equi conjunct (orderkey) plus a cross-table
+    inequality — Catalyst must key the semi join on the equi part, never
+    fall back to a nested loop over the inequality."""
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    df = relational.tpch_q4(spark, SF_DIR)
+    plan = explain_string(df)
+    assert "LeftSemi" in plan, f"expected a semi join:\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_cartesian(df)
+
+
+def test_q12_prunes_orders(spark):
+    # q12 needs only orderkey+priority from orders: totalprice/date pruned
+    df = relational.tpch_q12(spark, SF_DIR)
+    assert_read_schema_excludes(df, "orders", "o_totalprice")
+    assert_read_schema_excludes(df, "orders", "o_orderdate")
+    assert_pushed_filter(df, "l_shipdate")
+
+
+def test_q14_q19_broadcast_part(spark):
+    for fn in (relational.tpch_q14, relational.tpch_q19):
+        df = fn(spark, SF_DIR)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
+
+
+def test_q18_agg_before_join(spark):
+    """The HAVING-filtered aggregate must sit BELOW the joins (shrink
+    first, join the survivors) — a join-then-aggregate regression would
+    carry the full lineitem through both joins."""
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    plan = explain_string(relational.tpch_q18(spark, SF_DIR), "simple")
+    first_join = min(i for i, ln in enumerate(plan.splitlines()) if "Join" in ln)
+    agg_lines = [i for i, ln in enumerate(plan.splitlines()) if "HashAggregate" in ln]
+    # formatted bottom-up: in simple-mode tree output, deeper = later lines;
+    # the aggregate must appear BELOW (after) the joins in the tree.
+    assert any(i > first_join for i in agg_lines), plan
+
+
 def test_filter_pushdown_on_events(spark):
     df = dataflow.x1_interval_alert(spark, SF_DIR)
     assert_pushed_filter(df, "event_type")
