@@ -154,10 +154,140 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-bucketed ANN (rows-only: approximate by design) --------------------
+#
+# Inverted-file index, the second scale path next to LSH: a coarse
+# quantizer of IVF_K centroids partitions the corpus; a query probes only
+# its IVF_NPROBE nearest cells, so the exact re-rank touches
+# ~nprobe/K of the corpus instead of all of it. At 100 TB the assignment
+# table is the index (a plain partitioned-by-cluster parquet); centroids
+# stay tiny and broadcast.
+
+IVF_K = 16
+IVF_NPROBE = 6
+EMB_DIM = 64
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: seeds = the IVF_K vectors whose
+    md5(vec_id) sorts first (seedless, engine-independent), refined by ONE
+    distributed Lloyd iteration. The refinement aggregates per-component
+    means as EMB_DIM scalar avg() columns — map-side partial aggregation,
+    one shuffle of K*dim doubles, no row explosion (an explode-based mean
+    would shuffle n*dim rows)."""
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id"))
+            .alias("cluster_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "cos",
+            F.expr(
+                f"{dot_spark('embedding', 'centroid')} / "
+                f"({norm_spark('embedding')} * {norm_spark('centroid')})"
+            ),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(F.max(F.struct("cos", "cluster_id")).alias("best"))
+        .select("vec_id", "embedding", F.col("best.cluster_id").alias("cluster_id"))
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.array(*[F.avg(F.col("embedding")[i]) for i in range(EMB_DIM)]).alias(
+            "centroid"
+        )
+    )
+
+
+def ivf_assignment_table(
+    spark: SparkSession, sf_dir: str, cents: DataFrame | None = None
+) -> DataFrame:
+    """The IVF index: every vector's cell under the refined centroids.
+    This is the table a production pipeline would persist partitioned by
+    cluster_id (partition pruning turns a probe into a K/nprobe scan skip)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if cents is None:
+        cents = _ivf_centroids(emb)
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos",
+            F.expr(
+                f"{dot_spark('embedding', 'centroid')} / "
+                f"({norm_spark('embedding')} * {norm_spark('centroid')})"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("cos", "cluster_id")).alias("best"))
+        .select("vec_id", F.col("best.cluster_id").alias("cluster_id"))
+    )
+
+
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF: probe the IVF_NPROBE cells nearest each query, exact
+    cosine re-rank inside the probed cells only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # K*dim doubles — checkpoint so assignment and probes both reuse the
+    # one computed copy (Spark has no common-subplan reuse across joins).
+    cents = _ivf_centroids(emb).localCheckpoint()
+    assign = ivf_assignment_table(spark, sf_dir, cents)
+
+    base = emb.selectExpr("vec_id", "embedding", f"{norm_spark('embedding')} AS norm")
+    q_vec = base.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS qid", "embedding AS q_emb", "norm AS q_norm"
+    )
+    probes = (
+        q_vec.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos",
+            F.expr(f"{dot_spark('q_emb', 'centroid')} / (q_norm * {norm_spark('centroid')})"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos"), "cluster_id")
+            ),
+        )
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select("qid", "cluster_id")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cluster_id")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(base, "vec_id")
+        .join(
+            F.broadcast(q_vec.selectExpr("qid AS qid2", "q_emb", "q_norm")),
+            F.col("qid") == F.col("qid2"),
+        )
+        .withColumn(
+            "cos_sim", F.expr(f"{dot_spark('embedding', 'q_emb')} / (norm * q_norm)")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank", F.col("cos_sim"))
+    )
+
+
 SPECS = [
     QuerySpec("knn_bruteforce_cosine", knn_bruteforce_cosine, KNN_BRUTEFORCE_ORACLE,
               "exact cosine top-k, broadcast query set", ("vector",)),
     QuerySpec("knn_lsh_cosine", knn_lsh_cosine, None,
               "random-hyperplane LSH ANN (approximate; recall pinned by test)",
               ("vector", "lsh")),
+    QuerySpec("knn_ivf_cosine", knn_ivf_cosine, None,
+              "IVF coarse-quantizer ANN (approximate; recall pinned by test)",
+              ("vector", "ivf")),
 ]

@@ -50,6 +50,9 @@ HEADLINE = [
     "text_fingerprint",
     "knn_bruteforce_cosine",
     "knn_lsh_cosine",
+    "knn_ivf_cosine",
+    "tpch_q18_large_volume",
+    "tpch_q19_bracket_revenue",
 ]
 
 
