@@ -528,6 +528,75 @@ GROUP BY 1
 """
 
 
+# --- set operations (INTERSECT / EXCEPT) ------------------------------------
+# The reference's only set op is U2's union; Spark's set-op surface is
+# pinned here. Both plans are a single shuffle: Catalyst rewrites
+# INTERSECT/EXCEPT to left-semi/left-anti over distinct inputs, with
+# partial distinct before the exchange.
+
+def q_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both clicked and purchased — INTERSECT of key sets."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id")
+    buys = e.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+Q_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-value purchasers who never had a high-value error — EXCEPT
+    (set minus; ``subtract`` is Spark's EXCEPT DISTINCT)."""
+    e = load_table(spark, sf_dir, "events")
+    buys = e.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300)
+    ).select("user_id")
+    errs = e.where(
+        (F.col("event_type") == "error") & (F.col("value") > 300)
+    ).select("user_id")
+    return buys.subtract(errs)
+
+
+Q_EXCEPT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 300
+"""
+
+
+# --- semi-structured: JSON property extraction ------------------------------
+# events.props is a JSON string column ({"k": <0..99>}) — the landing shape
+# of most real event pipelines. Extraction stays JVM-side
+# (get_json_object, codegen'd), never a Python UDF; the grouped rollup
+# shuffles only (k, partial aggregates).
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
 # --- analytic window functions ---------------------------------------------
 
 def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,4 +664,11 @@ SPECS = [
               "distinct-count aggregation", ("relational",)),
     QuerySpec("q_top_order_per_customer", q_top_order_per_customer, Q_TOPORDER_ORACLE,
               "row_number analytic ranking", ("relational", "window")),
+    QuerySpec("q_users_intersect", q_users_intersect, Q_INTERSECT_ORACLE,
+              "INTERSECT of key sets (semi-join rewrite)", ("relational", "setop")),
+    QuerySpec("q_users_except", q_users_except, Q_EXCEPT_ORACLE,
+              "EXCEPT / set minus (anti-join rewrite)", ("relational", "setop")),
+    QuerySpec("json_props_rollup", json_props_rollup, JSON_PROPS_ORACLE,
+              "JSON property extraction + grouped aggregate, JVM-side",
+              ("relational", "semistructured")),
 ]
