@@ -82,6 +82,35 @@ FROM events GROUP BY 1
 """
 
 
+# --- W4 streaming: session windows through the streaming engine ------------
+
+from ..operators.dataflow import W4_ORACLE  # noqa: E402
+
+
+def w4_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's keyed session window
+    (``chapter3/WindowingOperations.java:147-150``) on the REAL streaming
+    engine: ``session_window`` merges per-key gap sessions in the state
+    store, watermark-evicted. Session aggregation only supports
+    append/complete output; complete's final table is batching-invariant
+    and equals the batch oracle (append would hold back sessions newer
+    than the final watermark)."""
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts2", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts2", "6 hours").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "cnt",
+        )
+    )
+    return run_available_now(agg, spark, mode="complete")
+
+
 # --- X1 streaming: applyInPandasWithState interval alert -------------------
 
 from ..operators.dataflow import ALERT_THRESHOLD_MS, X1_ORACLE  # noqa: E402
@@ -255,6 +284,9 @@ SELECT user_id, COUNT(*) AS cnt FROM events WHERE event_id < {S1_LIMIT} GROUP BY
 SPECS = [
     QuerySpec("w2_eventtime_stream", w2_eventtime_stream, W2_STREAM_ORACLE,
               "event-time window agg through the streaming engine", ("streaming",)),
+    QuerySpec("w4_session_stream", w4_session_stream, W4_ORACLE,
+              "session_window agg through the streaming engine (W4)",
+              ("streaming", "window")),
     QuerySpec("x1_stateful_stream", x1_stateful_stream, X1_ORACLE,
               "applyInPandasWithState interval alert (streaming X1)", ("streaming", "stateful")),
     QuerySpec("x2_stateful_stream", x2_stateful_stream, X2_ORACLE,
