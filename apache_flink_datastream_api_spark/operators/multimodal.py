@@ -76,6 +76,69 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, "
+    "out_bytes bigint"
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Decoded image → fit-in-box resize plan via mapInPandas (vectorized
+    pandas arithmetic — no per-row Python loop).
+
+    STUB boundary: real code would call PIL ``img.resize((ow, oh))`` per
+    payload; here the geometry (aspect-preserving fit, identical to what a
+    real resize computes) and the Arrow plumbing are real, the pixel work
+    is represented by the out_bytes = ow*oh*3 estimate.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            ow = (pdf["width"] * scale).clip(lower=1).astype(int)
+            oh = (pdf["height"] * scale).clip(lower=1).astype(int)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": ow,
+                    "out_height": oh,
+                    "out_bytes": (ow * oh * 3).astype("int64"),
+                }
+            )
+
+    return df.select("doc_id", "width", "height").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """payload binary → fixed-dim feature vector via mapInPandas.
+
+    STUB boundary: a real extractor would run a vision model over decoded
+    pixels; the deterministic fake folds the md5 digest into FEATURE_DIM
+    floats in [0, 1). The output column shape (``array<float>``) is the
+    contract — it feeds directly into the ANN operators
+    (`similarity.knn_*`), closing the multimodal → embedding path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [
+                    int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65536.0
+                    for i in range(FEATURE_DIM)
+                ]
+                for h in (hashlib.md5(p).digest() for p in pdf["payload"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video-style frame sampling: emit n_frames offset rows per payload —
     pure column expressions (explode over a sequence), no Python."""
@@ -117,6 +180,19 @@ def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(docs)
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → resize, chained Python stages (Catalyst fuses both
+    mapInPandas into one Python runner stage; rows-only, geometry pinned
+    by tests)."""
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_images(decode_images(docs))
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs)
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(docs, 4)
@@ -138,4 +214,10 @@ SPECS = [
               "mapInPandas decode plumbing (stub codec)", ("multimodal",)),
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_ORACLE,
               "frame-offset sampling via explode", ("multimodal",)),
+    QuerySpec("mm_resize", mm_resize, None,
+              "decode → aspect-preserving resize, chained mapInPandas",
+              ("multimodal",)),
+    QuerySpec("mm_feature_extract", mm_feature_extract, None,
+              "payload → array<float> features (feeds ANN operators)",
+              ("multimodal",)),
 ]
