@@ -626,6 +626,92 @@ FROM (
 """
 
 
+# --- lag/lead analytics ------------------------------------------------------
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days since the customer's previous order (lag) and until the next
+    one (lead) — the analytic surface the reference hand-builds with
+    ValueState, on order history instead of streams."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day_ms = 86_400_000
+    ts = F.unix_millis("o_orderdate")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ((ts - F.lag(ts).over(w)) / day_ms).cast("double").alias("days_since_prev"),
+        ((F.lead(ts).over(w) - ts) / day_ms).cast("double").alias("days_until_next"),
+    )
+
+
+Q_ORDER_GAPS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST((epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) / 86400000.0 AS DOUBLE)
+         AS days_since_prev,
+       CAST((lead(epoch_ms(o_orderdate))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - epoch_ms(o_orderdate)) / 86400000.0 AS DOUBLE)
+         AS days_until_next
+FROM orders
+"""
+
+
+# --- unpivot / melt ----------------------------------------------------------
+
+def q_part_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of part numeric attributes (Spark ``unpivot`` =
+    UNPIVOT/stack; a projection-only narrow op, no shuffle)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "metric_value")
+
+
+Q_PART_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+"""
+
+
+# --- correlated scalar subquery through the SQL entry path -------------------
+
+def q_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with balance above their nation's average — written as
+    SQL with a correlated scalar subquery to exercise the spark.sql()
+    entry path and Catalyst's decorrelation (it rewrites the subquery into
+    one aggregate + join, not a per-row loop)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    # avg comparison via exact decimal cross-multiplication
+    # (bal > sum/cnt  ≡  bal*cnt > sum) — float avg would put boundary
+    # rows at the mercy of summation order.
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM customer_v c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                 FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+Q_ABOVE_AVG_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
 SPECS = [
     QuerySpec("tpch_q1_pricing_summary", tpch_q1, TPCH_Q1_ORACLE,
               "scan+groupBy aggregate, decimal-exact sums", ("relational",)),
@@ -671,4 +757,11 @@ SPECS = [
     QuerySpec("json_props_rollup", json_props_rollup, JSON_PROPS_ORACLE,
               "JSON property extraction + grouped aggregate, JVM-side",
               ("relational", "semistructured")),
+    QuerySpec("q_order_gaps", q_order_gaps, Q_ORDER_GAPS_ORACLE,
+              "lag/lead inter-order gaps per customer", ("relational", "window")),
+    QuerySpec("q_part_unpivot", q_part_unpivot, Q_PART_UNPIVOT_ORACLE,
+              "wide→long unpivot/melt", ("relational",)),
+    QuerySpec("q_above_nation_avg", q_above_nation_avg, Q_ABOVE_AVG_ORACLE,
+              "correlated scalar subquery via spark.sql, decorrelated",
+              ("relational", "sql")),
 ]
