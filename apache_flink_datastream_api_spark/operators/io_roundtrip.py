@@ -1,0 +1,114 @@
+"""Source/sink format roundtrips (SURVEY.md §2.1 S1-S3 / §2.9 K1-K4
+extensions beyond the reference's CSV+Kafka surface).
+
+The reference reads CSV files and Kafka topics and writes rows/Kafka
+(``chapter2/BasicStreamingOperations.java:52-60,94-108``); a production
+Spark engine additionally needs JSON-lines ingestion and partitioned
+columnar output. Both are pinned here as write-then-read-back queries whose
+final aggregate must hash-match the oracle computed from the original
+parquet — any loss/corruption/duplication in the format path breaks the
+match.
+
+Scale notes:
+- JSON reads use an EXPLICIT schema: schema inference reads the data
+  twice and silently widens types; at 100 TB inference is a full extra
+  scan.
+- The parquet sink partitions by a low-cardinality column
+  (``partitionBy``): one directory per value, so downstream queries that
+  filter on it prune whole partitions at file-listing time. High-cardinality
+  partition keys (like custkey) would mean millions of tiny files —
+  bucketing (sources/bucketing.py) is the right tool there.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+JSON_LIMIT = 2000
+
+
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events slice → JSON-lines files → read back (explicit schema) →
+    per-type counts. Timestamps ride as epoch-millis BIGINTs (JSON has no
+    timestamp type; strings would re-open timezone parsing)."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < JSON_LIMIT)
+        .selectExpr("event_id", "user_id", "event_type", "unix_millis(ts) AS ts_ms")
+    )
+    json_dir = tempfile.mkdtemp(prefix="json_src_")
+    src.write.mode("overwrite").json(json_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(json_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.min("ts_ms").alias("first_ts_ms"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
+JSON_ROUNDTRIP_ORACLE = f"""
+SELECT event_type, COUNT(*) AS cnt,
+       MIN(epoch_ms(ts)) AS first_ts_ms,
+       MAX(epoch_ms(ts)) AS last_ts_ms
+FROM events WHERE event_id < {JSON_LIMIT} GROUP BY 1
+"""
+
+
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → parquet partitioned by o_orderpriority → read back with a
+    partition filter → aggregate. The filter on the partition column is
+    satisfied from directory names alone (partition pruning — the scan
+    never opens the skipped partitions' files)."""
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="part_sink_"), "orders")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_orderdate_ms", F.unix_millis("o_orderdate"))
+        .drop("o_orderdate")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir).where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+PARTITIONED_SINK_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("json_source_roundtrip", json_source_roundtrip, JSON_ROUNDTRIP_ORACLE,
+              "JSON-lines write → explicit-schema read → aggregate",
+              ("io", "source")),
+    QuerySpec("partitioned_sink_roundtrip", partitioned_sink_roundtrip,
+              PARTITIONED_SINK_ORACLE,
+              "partitionBy parquet sink → pruned read-back → aggregate",
+              ("io", "sink")),
+]

@@ -111,6 +111,22 @@ def test_range_join_uses_equality_key(spark):
     assert_no_cartesian(temporal.range_join_purchase_errors(spark, SF_DIR))
 
 
+def test_partitioned_sink_readback_prunes(spark):
+    """The read-back filter on the partition column must be a
+    PartitionFilter (satisfied from directory names, skipped partitions
+    never opened) — not a post-scan row filter."""
+    from apache_flink_datastream_api_spark.operators.io_roundtrip import (
+        partitioned_sink_roundtrip,
+    )
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    plan = explain_string(partitioned_sink_roundtrip(spark, SF_DIR))
+    lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("o_orderpriority" in l and "IN (1-URGENT,5-LOW)" in l for l in lines), (
+        plan
+    )
+
+
 def test_jaccard_prunes_text(spark):
     # The full operator checkpoints the shingle stage (lineage truncated),
     # so pruning is pinned on the staging table it materializes:
