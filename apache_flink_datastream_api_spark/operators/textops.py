@@ -48,6 +48,44 @@ FROM documents
 """
 
 
+# --- BPE-ish subword token estimation ---------------------------------------
+# A GPT-style pre-tokenizer regex splits text into word/number/punctuation
+# pieces (with their leading space, as BPE vocabularies do); each piece
+# then costs ~ceil(len/4) subword tokens — the standard chars/4 BPE
+# estimate. Pure regexp + higher-order array expressions: JVM-side in
+# Spark, mirrored verbatim in DuckDB.
+
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\\\s]+"
+BPE_PATTERN_DUCK = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = f"regexp_extract_all(lower(text), '{BPE_PATTERN}', 0)"
+    subtok = (
+        f"aggregate(transform({pieces}, "
+        "x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT)), 0L, (a, b) -> a + b)"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"size({pieces}) AS n_pieces",
+        f"{subtok} AS n_subtokens",
+        f"CAST(n_chars AS DOUBLE) / {subtok} AS chars_per_token",
+    )
+
+
+TEXT_BPE_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{BPE_PATTERN_DUCK}')) AS n_pieces,
+       list_sum(list_transform(regexp_extract_all(lower(text), '{BPE_PATTERN_DUCK}'),
+                x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT))) AS n_subtokens,
+       CAST(n_chars AS DOUBLE)
+         / list_sum(list_transform(regexp_extract_all(lower(text), '{BPE_PATTERN_DUCK}'),
+                    x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT))) AS chars_per_token
+FROM documents
+"""
+
+
 # --- quality scoring -------------------------------------------------------
 # score = 0.5*stopword_ratio + 0.3*(1 - punct_ratio) + 0.2*min(1, n_tokens/100)
 
@@ -151,6 +189,9 @@ FROM documents
 SPECS = [
     QuerySpec("text_tokens", text_tokens, TEXT_TOKENS_ORACLE,
               "token counting over documents", ("text",)),
+    QuerySpec("text_bpe_tokens", text_bpe_tokens, TEXT_BPE_ORACLE,
+              "BPE-ish regex subword estimation (GPT-style pre-tokenizer)",
+              ("text",)),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_ORACLE,
               "quality scoring: stopword/punct/length signals", ("text",)),
     QuerySpec("text_langid", text_langid, TEXT_LANGID_ORACLE,

@@ -82,6 +82,36 @@ FROM events GROUP BY 1
 """
 
 
+# --- W3 streaming: sliding window through the streaming engine -------------
+
+from ..operators.dataflow import A3_ORACLE  # noqa: E402
+
+
+def w3_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sliding window
+    (``chapter3/WindowingOperations.java:92-94``: 10 s size / 5 s slide)
+    on the real streaming engine at the events table's hour scale: each
+    row lands in size/slide = 2 window panes, state is one aggregate per
+    open pane, watermark-evicted."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.unix_millis("ts")).alias("min_ts_ms"),
+            F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "cnt",
+            "min_ts_ms",
+            "max_ts_ms",
+        )
+    )
+    return run_available_now(agg, spark, mode="update")
+
+
 # --- W4 streaming: session windows through the streaming engine ------------
 
 from ..operators.dataflow import W4_ORACLE  # noqa: E402
@@ -284,6 +314,9 @@ SELECT user_id, COUNT(*) AS cnt FROM events WHERE event_id < {S1_LIMIT} GROUP BY
 SPECS = [
     QuerySpec("w2_eventtime_stream", w2_eventtime_stream, W2_STREAM_ORACLE,
               "event-time window agg through the streaming engine", ("streaming",)),
+    QuerySpec("w3_sliding_stream", w3_sliding_stream, A3_ORACLE,
+              "sliding-window agg through the streaming engine (W3)",
+              ("streaming", "window")),
     QuerySpec("w4_session_stream", w4_session_stream, W4_ORACLE,
               "session_window agg through the streaming engine (W4)",
               ("streaming", "window")),
