@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as X
 from ..functions.hashing import portable_hash64_sql
+from ..operators.dedup import NORM_D, NORM_S
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -154,7 +155,82 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# --- composed corpus-cleaning pipeline --------------------------------------
+# The flagship end-to-end shape: quality-filter → exact near-dup removal →
+# deterministic sample → per-language summary, as ONE declarative plan.
+# Catalyst fuses the filter/projection stages into the scan pass; the only
+# shuffles are the dedup window partition (content_hash) and the final tiny
+# groupBy(lang). At 100 TB: scan-speed filters, one well-keyed shuffle,
+# then a 5-row aggregate.
+
+QUALITY_FLOOR = 0.40
+CLEAN_SAMPLE_PCT = 50
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = f"size({TOKS_S})"
+    stop = X.count_in_list_spark(TOKS_S, X.STOPWORDS)
+    punct = X.punct_count_spark("text")
+    quality = (
+        f"0.5 * CAST({stop} AS DOUBLE) / {nt}"
+        f" + 0.3 * (1.0 - CAST({punct} AS DOUBLE) / length(text))"
+        f" + 0.2 * least(1.0, CAST({nt} AS DOUBLE) / 100.0)"
+    )
+    gate = "pmod(cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) as bigint), 100)"
+    scored = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"{nt} AS n_tokens",
+        f"{quality} AS quality_score",
+        f"md5({NORM_S}) AS content_hash",
+        f"{gate} AS bucket",
+    ).where(F.col("quality_score") >= QUALITY_FLOOR)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    kept = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("bucket") < CLEAN_SAMPLE_PCT))
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )
+
+
+_nt_d = f"len({TOKS_D})"
+_stop_d = X.count_in_list_duck(TOKS_D, X.STOPWORDS)
+_punct_d = X.punct_count_duck("text")
+_quality_d = (
+    f"0.5 * CAST({_stop_d} AS DOUBLE) / {_nt_d}"
+    f" + 0.3 * (1.0 - CAST({_punct_d} AS DOUBLE) / length(text))"
+    f" + 0.2 * least(1.0, CAST({_nt_d} AS DOUBLE) / 100.0)"
+)
+CLEAN_CORPUS_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_nt_d} AS n_tokens,
+         {_quality_d} AS quality_score,
+         md5({NORM_D}) AS content_hash,
+         {portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+  FROM documents
+  WHERE {_quality_d} >= {QUALITY_FLOOR}
+), kept AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM scored
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+FROM kept WHERE rn = 1 AND bucket < {CLEAN_SAMPLE_PCT}
+GROUP BY lang
+"""
+
+
 SPECS = [
+    QuerySpec("pipeline_clean_corpus", pipeline_clean_corpus, CLEAN_CORPUS_ORACLE,
+              "quality-filter → dedup → sample → summary, one declarative plan",
+              ("pipeline", "text", "dedup")),
     QuerySpec("chunk_documents", chunk_documents, CHUNK_ORACLE,
               "overlapping token-window chunking via posexplode", ("pipeline", "text")),
     QuerySpec("sample_documents", sample_documents, SAMPLE_ORACLE,

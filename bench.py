@@ -53,6 +53,8 @@ HEADLINE = [
     "knn_ivf_cosine",
     "tpch_q18_large_volume",
     "tpch_q19_bracket_revenue",
+    "pipeline_clean_corpus",
+    "json_props_rollup",
 ]
 
 
