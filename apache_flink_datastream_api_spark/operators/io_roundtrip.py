@@ -103,6 +103,63 @@ GROUP BY 1
 """
 
 
+CORRUPT_MOD = 7  # every 7th record is written malformed
+
+
+def json_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input path: JSON-lines where every CORRUPT_MOD-th record
+    is deterministically broken, read back PERMISSIVE with a corrupt-record
+    column — bad lines survive as a quarantine row (all fields null,
+    raw line captured) instead of killing the job or vanishing silently.
+    The aggregate pins both populations: per-type counts for parsed rows
+    plus one NULL-type row counting the quarantined lines."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < JSON_LIMIT)
+        .selectExpr("event_id", "user_id", "event_type", "unix_millis(ts) AS ts_ms")
+    )
+    lines = src.select(
+        F.when(
+            F.col("event_id") % CORRUPT_MOD == 0,
+            F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "user_id", "event_type", "ts_ms")))
+        .alias("value")
+    )
+    json_dir = tempfile.mkdtemp(prefix="json_corrupt_")
+    lines.write.mode("overwrite").text(json_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(json_dir)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.count("_bad").alias("n_corrupt"),
+    )
+
+
+JSON_CORRUPT_ORACLE = f"""
+SELECT event_type, COUNT(*) AS cnt, 0 AS n_corrupt
+FROM events WHERE event_id < {JSON_LIMIT} AND event_id % {CORRUPT_MOD} <> 0
+GROUP BY event_type
+UNION ALL
+SELECT NULL AS event_type, COUNT(*) AS cnt, COUNT(*) AS n_corrupt
+FROM events WHERE event_id < {JSON_LIMIT} AND event_id % {CORRUPT_MOD} = 0
+"""
+
+
 SPECS = [
     QuerySpec("json_source_roundtrip", json_source_roundtrip, JSON_ROUNDTRIP_ORACLE,
               "JSON-lines write → explicit-schema read → aggregate",
@@ -111,4 +168,7 @@ SPECS = [
               PARTITIONED_SINK_ORACLE,
               "partitionBy parquet sink → pruned read-back → aggregate",
               ("io", "sink")),
+    QuerySpec("json_corrupt_handling", json_corrupt_handling, JSON_CORRUPT_ORACLE,
+              "PERMISSIVE corrupt-record quarantine on malformed JSON",
+              ("io", "source")),
 ]
