@@ -55,6 +55,9 @@ HEADLINE = [
     "tpch_q19_bracket_revenue",
     "pipeline_clean_corpus",
     "json_props_rollup",
+    # streaming engine paths (real readStream -> state store -> sink)
+    "w3_sliding_stream",
+    "x1_stateful_stream",
 ]
 
 

@@ -1,0 +1,48 @@
+"""Partition-invariance: results must be IDENTICAL regardless of
+parallelism. This is the distributed-correctness property behind every
+100 TB claim — a query whose output depends on shuffle partition count
+(float accumulation order, per-partition tie-breaks, rand()) would return
+different answers on a 32-core box and a 1000-executor cluster.
+
+Each representative query runs under shuffle.partitions=1 (serial
+execution order) and a spiky prime (7), and the full sorted outputs must
+match bit-for-bit."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_flink_datastream_api_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+# One per family: scan-agg (decimal sums), set-op, window-analytic,
+# as-of temporal, LSH dedup (hash tie-breaks), exact ANN (float ranking),
+# composed pipeline (filter+dedup+sample), IO roundtrip write/read.
+REPRESENTATIVES = [
+    "tpch_q1_pricing_summary",
+    "q_users_except",
+    "q_top_order_per_customer",
+    "asof_join_purchase_click",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "pipeline_clean_corpus",
+    "json_source_roundtrip",
+]
+
+
+def _run_sorted(spark, name, partitions):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = all_queries()[name].fn(spark, SF_DIR)
+        return sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_partition_invariant(spark, name):
+    serial = _run_sorted(spark, name, 1)
+    spiky = _run_sorted(spark, name, 7)
+    assert serial == spiky
