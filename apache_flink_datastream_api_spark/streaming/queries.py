@@ -272,6 +272,95 @@ WHERE e.event_type = 'purchase'
 """
 
 
+# --- T3: late-data capture on a live multi-batch stream --------------------
+
+LATE_LIMIT = 3000
+LATE_CHUNKS = 3
+LATE_DELAY_MS = 3_600_000  # 1 h allowed lateness
+
+
+def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (``chapter4/EventTimeOperations.java:129-130,170-171``): late rows
+    are routed to a side output instead of silently dropped. Events are
+    deliberately re-chunked by ``event_id % 3`` — each chunk spans the full
+    time range, so batches 1-2 carry genuine late arrivals against the
+    running watermark (max event time seen in prior batches − delay).
+    Output: per micro-batch, how many rows were on time vs captured late —
+    deterministic because file order fixes batch order."""
+    # harness-side fixture write (3k rows), not the operator data path
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < LATE_LIMIT)
+        .selectExpr("event_id", "user_id", "event_type", "unix_millis(ts) AS ts_ms")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="late_chunks_")
+    for i in range(LATE_CHUNKS):
+        with open(os.path.join(d, f"part-{i:03d}.csv"), "w") as f:
+            for r in rows:
+                if r.event_id % LATE_CHUNKS == i:
+                    f.write(f"{r.event_id},{r.user_id},{r.event_type},{r.ts_ms}\n")
+
+    from .watermarks import LateDataCapture
+
+    counts: dict[int, list[int]] = {}
+
+    def _on_time(df: DataFrame, batch_id: int) -> None:
+        counts.setdefault(batch_id, [0, 0])[0] = df.count()
+
+    def _late(df: DataFrame, batch_id: int) -> None:
+        counts.setdefault(batch_id, [0, 0])[1] = df.count()
+
+    cap = LateDataCapture(
+        delay_ms=LATE_DELAY_MS, ts_col="event_ts", on_time=_on_time, late=_late
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(d)
+        .withColumn("event_ts", F.timestamp_millis("ts_ms"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(cap)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="late_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(b, c[0], c[1]) for b, c in sorted(counts.items())],
+        "batch_id long, n_on_time long, n_late long",
+    )
+
+
+LATE_STREAM_ORACLE = f"""
+WITH c AS (
+  SELECT event_id % {LATE_CHUNKS} AS b, epoch_ms(ts) AS ms
+  FROM events WHERE event_id < {LATE_LIMIT}
+), m AS (
+  SELECT b, MAX(ms) AS mx FROM c GROUP BY b
+), wm AS (
+  SELECT b, MAX(mx) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - {LATE_DELAY_MS} AS w
+  FROM m
+)
+SELECT c.b AS batch_id,
+       COUNT(*) FILTER (WHERE wm.w IS NULL OR c.ms >= wm.w) AS n_on_time,
+       COUNT(*) FILTER (WHERE wm.w IS NOT NULL AND c.ms < wm.w) AS n_late
+FROM c JOIN wm ON c.b = wm.b
+GROUP BY c.b
+"""
+
+
 # --- S1: file-monitor CSV source round-trip (multi-batch) ------------------
 
 S1_LIMIT = 2000
@@ -329,6 +418,9 @@ SPECS = [
     QuerySpec("j1_stream_stream_join", j1_stream_stream_join, J1_STREAM_ORACLE,
               "watermarked stream-stream interval join (J1 idiomatic)",
               ("streaming", "join")),
+    QuerySpec("late_data_stream", late_data_stream, LATE_STREAM_ORACLE,
+              "T3 late-data side capture across micro-batches",
+              ("streaming", "watermark")),
     QuerySpec("dedup_stream", dedup_stream, DEDUP_STREAM_ORACLE,
               "streaming exact dedup via dropDuplicates state",
               ("streaming", "dedup")),
