@@ -296,10 +296,15 @@ def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="late_chunks_")
     for i in range(LATE_CHUNKS):
-        with open(os.path.join(d, f"part-{i:03d}.csv"), "w") as f:
+        path = os.path.join(d, f"part-{i:03d}.csv")
+        with open(path, "w") as f:
             for r in rows:
                 if r.event_id % LATE_CHUNKS == i:
                     f.write(f"{r.event_id},{r.user_id},{r.event_type},{r.ts_ms}\n")
+        # FileStreamSource orders by modification time; same-ms writes tie
+        # and the tie-break is not deterministic — force a strict order so
+        # batch k is always chunk k.
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
 
     from .watermarks import LateDataCapture
 
@@ -361,6 +366,81 @@ GROUP BY c.b
 """
 
 
+# --- X3: event-time timers (Flink onTimer parity) ---------------------------
+
+IDLE_GAP_MS = 6 * 3_600_000
+
+
+def x3_idle_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's keyed event-time timer (``onTimer``) pattern — the one
+    DataStream state primitive the reference never registers — via
+    ``applyInPandasWithState`` + EventTimeTimeout: per-user idle-gap bursts
+    close inline when a successor arrives, and by TIMER when the watermark
+    passes last_ts + gap. Replayed over 3 time-ordered chunks; verified
+    empirically: availableNow runs a final timer-flush batch with the
+    global watermark, so emissions = every burst whose gap elapsed before
+    end-of-stream — batching-invariant, hence the exact SQL oracle."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < LATE_LIMIT)
+        .selectExpr("event_id", "user_id", "unix_millis(ts) AS ts_ms")
+        .orderBy("ts_ms", "event_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="idle_chunks_")
+    n = len(rows)
+    for i in range(LATE_CHUNKS):
+        path = os.path.join(d, f"part-{i:03d}.csv")
+        with open(path, "w") as f:
+            for r in rows[i * n // LATE_CHUNKS : (i + 1) * n // LATE_CHUNKS]:
+                f.write(f"{r.event_id},{r.user_id},{r.ts_ms}\n")
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))  # strict batch order
+
+    from .state import idle_alerts
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(d)
+        .withColumn("event_ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("event_ts", "0 seconds")
+    )
+    return run_available_now(idle_alerts(stream, IDLE_GAP_MS), spark, mode="update")
+
+
+X3_IDLE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id
+  FROM events WHERE event_id < {LATE_LIMIT}
+), flagged AS (
+  SELECT *, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+                OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) >= {IDLE_GAP_MS}
+            THEN 1 ELSE 0 END AS new_s
+  FROM e
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sessions AS (
+  SELECT user_id, sid, MAX(ms) AS last_ts_ms, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+), fin AS (
+  SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM sessions
+), gm AS (SELECT MAX(ms) AS wm_final FROM e)
+SELECT user_id, last_ts_ms, n_events
+FROM fin, gm
+WHERE sid < max_sid                 -- closed inline by a successor event
+   OR wm_final > last_ts_ms + {IDLE_GAP_MS}  -- closed by the event-time timer
+"""
+
+
 # --- S1: file-monitor CSV source round-trip (multi-batch) ------------------
 
 S1_LIMIT = 2000
@@ -418,6 +498,9 @@ SPECS = [
     QuerySpec("j1_stream_stream_join", j1_stream_stream_join, J1_STREAM_ORACLE,
               "watermarked stream-stream interval join (J1 idiomatic)",
               ("streaming", "join")),
+    QuerySpec("x3_idle_timeout_stream", x3_idle_timeout_stream, X3_IDLE_ORACLE,
+              "event-time timer (onTimer parity) burst sessionizer",
+              ("streaming", "stateful", "timer")),
     QuerySpec("late_data_stream", late_data_stream, LATE_STREAM_ORACLE,
               "T3 late-data side capture across micro-batches",
               ("streaming", "watermark")),

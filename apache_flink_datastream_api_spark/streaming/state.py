@@ -98,6 +98,85 @@ def interval_alerts(
     )
 
 
+# --- timer parity: idle-gap burst alerts via EventTimeTimeout ---------------
+# Flink's other keyed-state primitive is the event-time timer
+# (``onTimer``); the reference never registers one, but a complete engine
+# needs the pattern. ``applyInPandasWithState`` + EventTimeTimeout is the
+# Spark equivalent: the state handler is re-invoked with hasTimedOut=True
+# once the watermark passes the registered timestamp.
+
+TIMEOUT_STATE = StructType(
+    [StructField("last_ts", LongType()), StructField("n_events", LongType())]
+)
+
+
+def make_idle_alert(gap_ms: int, key_name: str):
+    """Per key: group events into bursts separated by >= gap_ms. A burst
+    with a successor event closes inline; a tail burst (no successor yet)
+    closes when the event-time timer fires — Flink's onTimer shape."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cols = [key_name, "last_ts_ms", "n_events"]
+        if state.hasTimedOut:
+            last_ts, n = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], int(last_ts), int(n))], columns=cols)
+            return
+        rows = _sorted(pdfs)
+        last_ts, n = state.get if state.exists else (None, 0)
+        out: list[tuple[Any, int, int]] = []
+        for ts in rows["ts_ms"]:
+            ts = int(ts)
+            if last_ts is not None and ts - last_ts >= gap_ms:
+                out.append((key[0], last_ts, n))
+                n = 0
+            last_ts = ts
+            n += 1
+        state.update((last_ts, n))
+        # EventTimeTimeout requires a timestamp beyond the current
+        # watermark; an already-expired burst fires at the next advance.
+        state.setTimeoutTimestamp(
+            max(last_ts + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+def idle_alerts(
+    df: DataFrame,
+    gap_ms: int,
+    key_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+    event_time_col: str = "event_ts",
+) -> DataFrame:
+    """Timer-based burst sessionizer. ``df`` must be a streaming frame WITH
+    a watermark on ``event_time_col`` (EventTimeTimeout needs one; the
+    column must survive the projection or the watermark is lost).
+    Output: (key_col, last_ts_ms, n_events), one row per closed burst."""
+    key_type = dict(df.dtypes)[key_col]
+    cols = [key_col, f"{ts_ms_col} AS ts_ms", event_time_col]
+    if "event_id" in df.columns and key_col != "event_id":
+        cols.append("event_id")
+    sel = df.selectExpr(*cols)
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType() if key_type == "bigint" else StringType()),
+            StructField("last_ts_ms", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    return sel.groupBy(key_col).applyInPandasWithState(
+        make_idle_alert(gap_ms, key_col),
+        outputStructType=out_schema,
+        stateStructType=TIMEOUT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # --- X2: session durations (CourseUseCase.java:114-180 semantics) ----------
 
 X2_STATE = StructType(

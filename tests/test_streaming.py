@@ -43,9 +43,13 @@ def chunked_events_dir(spark):
     n = len(e)
     for i in range(3):
         chunk = e[i * n // 3 : (i + 1) * n // 3]
-        with open(os.path.join(d, f"part-{i:03d}.csv"), "w") as f:
+        path = os.path.join(d, f"part-{i:03d}.csv")
+        with open(path, "w") as f:
             for r in chunk:
                 f.write(f"{r.event_id},{r.user_id},{r.event_type},{r.ts_ms}\n")
+        # FileStreamSource orders by modification time; same-ms writes tie
+        # nondeterministically — force strict chunk order.
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
     return d
 
 
@@ -292,3 +296,28 @@ def test_csv_file_sink_roundtrip(spark, chunked_events_dir):
         load_table(spark, SF_DIR, "events").where(F.col("event_id") < 3000).count()
     )
     assert back.count() == expected
+
+
+def test_idle_timer_batching_invariant(spark, chunked_events_dir):
+    """EventTimeTimeout bursts: replaying the same rows as 3 micro-batches
+    or as one batch must emit the identical burst set (timers + inline
+    closes compose to the same sessionization; the final watermark flush
+    makes the result batching-invariant)."""
+    from apache_flink_datastream_api_spark.streaming.state import idle_alerts
+
+    gap = 6 * 3_600_000
+
+    def run(max_files):
+        stream = (
+            spark.readStream.schema(CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", max_files)
+            .csv(chunked_events_dir)
+            .withColumn("event_ts", F.timestamp_millis("ts_ms"))
+            .withWatermark("event_ts", "0 seconds")
+        )
+        out = run_available_now(idle_alerts(stream, gap), spark, mode="update")
+        return _sorted_rows(out, ["user_id", "last_ts_ms", "n_events"])
+
+    chunked, single = run(1), run(3)
+    assert chunked == single
+    assert len(chunked) > 0
