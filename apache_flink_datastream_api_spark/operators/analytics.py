@@ -1,0 +1,304 @@
+"""Deeper TPC-H shapes + analytic window functions.
+
+Extends the relational corpus (operators/relational.py) with the remaining
+TPC-H query shapes expressible over the driver's simplified star schema
+(no partsupp table, so q2/q8/q9/q11/q16/q20 are out of scope by data, not
+by engine capability), plus the analytic-function surface (ntile,
+percent_rank, cume_dist, first_value) the reference hand-builds with
+ValueState (SURVEY.md §2.5 note, §2.8).
+
+Scale notes mirror relational.py: dims broadcast explicitly, fact-fact
+joins shuffle on their join key once, every aggregate is partial
+(map-side) first, and double outputs come from exact DECIMAL arithmetic so
+a 32-partition Spark sum and a single-thread DuckDB sum agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+
+def _dec(col: str, prec: int = 18, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _revenue():
+    return _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+
+
+# --- Q7: volume shipping between nation pairs ------------------------------
+# Reference analog: keyed windowed reduce over a join (SURVEY.md §2.4 A4 +
+# §2.6 J1 generalized). Two broadcast dim joins (supplier, customer are
+# small), one fact-fact join lineitem⋈orders on orderkey.
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = s.join(F.broadcast(n1), s.s_nationkey == n1.s_nk).select("s_suppkey", "supp_nation")
+    cn = c.join(F.broadcast(n2), c.c_nationkey == n2.c_nk).select("c_custkey", "cust_nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+TPCH_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q10: returned-item revenue per customer (top 20) ----------------------
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+TPCH_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- Q13: customer order-count distribution --------------------------------
+# Two-level aggregation over a left-outer join: the classic "distribution"
+# shape. First groupBy shuffles on c_custkey (same key as the join → AQE
+# reuses the exchange), second groupBy is tiny.
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+TPCH_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- Q15: top supplier(s) by revenue ---------------------------------------
+# Aggregate → global max → equality filter. The max is computed over the
+# aggregated (100-row at sf1, ~1M-row at sf10k) table, joined back via a
+# broadcast of a single-row max — no second shuffle of the fact table.
+# Revenue equality is compared on the exact DECIMAL, not the double.
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_revenue_dec"))
+    mx = rev.agg(F.max("total_revenue_dec").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue_dec == mx.mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TPCH_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV}) AS total_revenue_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_dec = (SELECT MAX(total_revenue_dec) FROM rev)
+"""
+
+
+# --- Q17: small-quantity revenue vs per-part average -----------------------
+# Correlated per-part average decorrelated into a self-aggregate + join.
+# The quantity < 0.2*avg comparison is cross-multiplied into exact integer
+# arithmetic (qty*cnt*5 < sum) so no float boundary ambiguity exists.
+# At scale: one shuffle of lineitem by partkey for the aggregate; the
+# (part-sized) aggregate then broadcasts back against lineitem.
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    l = load_table(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    stats = lp.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("qty_sum"),
+        F.count("*").alias("qty_cnt"),
+    )
+    small = lp.join(F.broadcast(stats), lp.l_partkey == stats.agg_partkey).where(
+        _dec("l_quantity") * F.col("qty_cnt") * F.lit(5) < F.col("qty_sum")
+    )
+    return small.agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+        F.count("*").alias("small_qty_lines"),
+    )
+
+
+TPCH_Q17_ORACLE = """
+WITH lp AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), stats AS (
+  SELECT l_partkey AS agg_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+         COUNT(*) AS qty_cnt
+  FROM lp GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS small_qty_lines
+FROM lp JOIN stats ON l_partkey = agg_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * qty_cnt * 5 < qty_sum
+"""
+
+
+# --- Q22-style: wealthy customers with no urgent orders --------------------
+# Scalar subquery (global average over positive balances) + anti join.
+# The above-average comparison cross-multiplies through DECIMAL exactly as
+# q_above_nation_avg does (relational.py). The anti side filters to urgent
+# orders (every customer has *some* order in the driver data — an
+# unconditional NOT EXISTS would be vacuously empty).
+
+def q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("bal_sum"), F.count("*").alias("bal_cnt")
+    )
+    rich = c.join(F.broadcast(pos)).where(
+        _dec("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+Q22_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# --- Analytic window functions: ntile / percent_rank / cume_dist / first ---
+# The reference hand-builds per-key ordered-history logic with ValueState
+# (SURVEY.md §2.8); these are the declarative analytics that subsume it in
+# batch. One shuffle on the partition key; ordering ties broken by custkey
+# so every function is deterministic.
+
+def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+    )
+
+
+Q_QUARTILES_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       ntile(4)       OVER w AS bal_quartile,
+       percent_rank() OVER w AS bal_pct_rank,
+       cume_dist()    OVER w AS bal_cume_dist,
+       first_value(c_custkey) OVER w AS poorest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+SPECS = [
+    QuerySpec("tpch_q7_nation_volume", tpch_q7, TPCH_Q7_ORACLE,
+              "nation-pair shipping volume by year; 2 broadcast dims + fact-fact join",
+              ("relational", "join")),
+    QuerySpec("tpch_q10_returned_items", tpch_q10, TPCH_Q10_ORACLE,
+              "returned-item revenue per customer, top 20", ("relational", "join")),
+    QuerySpec("tpch_q13_order_distribution", tpch_q13, TPCH_Q13_ORACLE,
+              "order-count distribution via outer join + double aggregation",
+              ("relational", "join")),
+    QuerySpec("tpch_q15_top_supplier", tpch_q15, TPCH_Q15_ORACLE,
+              "argmax via broadcast single-row max, decimal-exact equality",
+              ("relational", "join")),
+    QuerySpec("tpch_q17_small_qty_revenue", tpch_q17, TPCH_Q17_ORACLE,
+              "correlated per-part avg decorrelated, cross-multiplied compare",
+              ("relational", "join")),
+    QuerySpec("q22_idle_wealthy_customers", q22_idle_wealthy, Q22_ORACLE,
+              "scalar-subquery threshold + anti join per nation", ("relational", "join")),
+    QuerySpec("q_balance_quartiles", q_balance_quartiles, Q_QUARTILES_ORACLE,
+              "ntile/percent_rank/cume_dist/first_value analytics", ("relational", "window")),
+]
