@@ -282,6 +282,66 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 
+# --- GROUPING SETS: arbitrary (non-hierarchical) grouping combinations -----
+# rollup/cube (relational.py) are the hierarchical/full-lattice cases; this
+# pins arbitrary set lists — still one shuffle, Spark expands the sets with
+# a grouping-id column instead of rescanning per level.
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+# --- RANGE window frame: time-based moving sum per user --------------------
+# user_moving_avg (temporal.py) pins ROWS frames; this pins RANGE frames,
+# where the frame is defined by the ORDER BY *value* (trailing 1 h of event
+# time) — ties all enter the frame together, so no ordering ambiguity, and
+# the sum is DECIMAL-exact.
+
+def q_range_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+        .alias("trailing_1h_value"),
+    )
+
+
+Q_RANGE_MOVING_SUM_ORACLE = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts)
+           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_1h_value
+FROM events
+"""
+
+
 SPECS = [
     QuerySpec("tpch_q7_nation_volume", tpch_q7, TPCH_Q7_ORACLE,
               "nation-pair shipping volume by year; 2 broadcast dims + fact-fact join",
@@ -301,4 +361,9 @@ SPECS = [
               "scalar-subquery threshold + anti join per nation", ("relational", "join")),
     QuerySpec("q_balance_quartiles", q_balance_quartiles, Q_QUARTILES_ORACLE,
               "ntile/percent_rank/cume_dist/first_value analytics", ("relational", "window")),
+    QuerySpec("q_grouping_sets", q_grouping_sets, Q_GROUPING_SETS_ORACLE,
+              "arbitrary GROUPING SETS, single-shuffle expansion", ("relational",)),
+    QuerySpec("q_range_moving_sum", q_range_moving_sum, Q_RANGE_MOVING_SUM_ORACLE,
+              "RANGE window frame: trailing 1 h moving sum per user",
+              ("relational", "window")),
 ]

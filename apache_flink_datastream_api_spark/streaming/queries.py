@@ -218,6 +218,65 @@ FROM events v JOIN events p
 """
 
 
+# --- J1 outer variant: watermarked LEFT OUTER stream-stream join ------------
+
+def j1_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer watermarked interval join — beyond the reference (J1 is
+    inner-only, ``chapter3/WindowJoins.java:110-144``) but the shape every
+    funnel analysis needs: views with their purchase inside 10 min, or
+    NULL if none. Spark can only emit the null-padded row once the
+    watermark passes the view's last possible match time (v_ts + 10 min);
+    unmatched views younger than the final watermark are held back, which
+    the oracle models explicitly with the same cutoff. State on both sides
+    stays watermark-bounded — the 100 TB shape for outer stream joins."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .selectExpr("user_id AS v_user", "ts AS v_ts")
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.unix_millis("v_ts").alias("view_ts_ms"),
+        F.unix_millis("p_ts").alias("purchase_ts_ms"),
+    )
+    return run_available_now(joined, spark, mode="append")
+
+
+J1_OUTER_STREAM_ORACLE = """
+WITH wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 1 HOUR AS w
+)
+SELECT v.user_id, epoch_ms(v.ts) AS view_ts_ms, epoch_ms(p.ts) AS purchase_ts_ms
+FROM events v JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTES
+UNION ALL
+SELECT v.user_id, epoch_ms(v.ts) AS view_ts_ms, NULL AS purchase_ts_ms
+FROM events v, wm
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                    AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTES)
+  AND v.ts + INTERVAL 10 MINUTES < wm.w
+"""
+
+
 # --- streaming exact dedup --------------------------------------------------
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,6 +298,26 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_STREAM_ORACLE = """
 SELECT event_id, user_id, event_type FROM events
 """
+
+
+# --- streaming dedup with BOUNDED state (watermark-expiring keys) -----------
+
+def dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: the 100 TB form of streaming
+    dedup — per-key state expires once the watermark passes the key's
+    event time + delay, so state size is O(keys per lateness horizon), not
+    O(all keys ever). The doubled input collapses exactly because every
+    duplicate pair lands inside the horizon; duplicates farther apart than
+    the delay are out-of-contract (documented Spark semantics)."""
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_available_now(deduped, spark, mode="append")
 
 
 # --- stream-static broadcast enrichment ------------------------------------
@@ -507,6 +586,13 @@ SPECS = [
     QuerySpec("dedup_stream", dedup_stream, DEDUP_STREAM_ORACLE,
               "streaming exact dedup via dropDuplicates state",
               ("streaming", "dedup")),
+    QuerySpec("dedup_within_watermark_stream", dedup_within_watermark_stream,
+              DEDUP_STREAM_ORACLE,
+              "bounded-state streaming dedup: keys expire past the watermark",
+              ("streaming", "dedup")),
+    QuerySpec("j1_outer_stream_join", j1_outer_stream_join, J1_OUTER_STREAM_ORACLE,
+              "left-outer watermarked interval join, watermark-gated null rows",
+              ("streaming", "join")),
     QuerySpec("stream_static_enrich", stream_static_enrich, ENRICH_ORACLE,
               "stream-static broadcast dimension enrichment",
               ("streaming", "join")),
