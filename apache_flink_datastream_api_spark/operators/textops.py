@@ -199,3 +199,77 @@ SPECS = [
     QuerySpec("text_fingerprint", text_fingerprint, TEXT_FINGERPRINT_ORACLE,
               "min-hash fingerprint over word 5-grams", ("text",)),
 ]
+
+
+# --- inverted index (corpus search) ----------------------------------------
+# Posting-list construction: explode tokens, distinct per doc, group by
+# token. The classic corpus-indexing shuffle — keyed on token, so stopword
+# tokens are the skew risk at 100 TB (salt or frequency-cap them; this
+# corpus's vocabulary is uniform). Posting lists come back sorted so the
+# array compares deterministically.
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr("doc_id", f"explode({TOKS_S}) AS token")
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            # serialized sorted posting list: array values don't survive the
+            # driver's hash compare, a canonical string does
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+        )
+    )
+
+
+TEXT_INVERTED_INDEX_ORACLE = f"""
+SELECT token, COUNT(*) AS doc_freq,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM (
+  SELECT DISTINCT doc_id, unnest({TOKS_D}) AS token FROM documents
+)
+GROUP BY token
+"""
+
+
+# --- conjunctive boolean search over the index ------------------------------
+# AND-of-terms: a doc qualifies iff it contains every query term. One
+# explode + filter to the k query tokens (pushed into the scan as an IN
+# filter), then HAVING count(distinct)=k — no join against the full index.
+
+SEARCH_TERMS = ("batch", "window", "dup")
+
+
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = len(SEARCH_TERMS)
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return (
+        docs.selectExpr("doc_id", "source", f"explode({TOKS_S}) AS token")
+        .where(F.col("token").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "source")
+        .agg(F.count_distinct("token").alias("n_terms"))
+        .where(F.col("n_terms") == k)
+        .select("doc_id", "source")
+    )
+
+
+TEXT_BOOLEAN_SEARCH_ORACLE = f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source, unnest({TOKS_D}) AS token FROM documents
+)
+WHERE token IN ('batch', 'window', 'dup')
+GROUP BY doc_id, source
+HAVING COUNT(DISTINCT token) = 3
+"""
+
+
+SPECS += [
+    QuerySpec("text_inverted_index", text_inverted_index, TEXT_INVERTED_INDEX_ORACLE,
+              "posting-list inverted index over the corpus", ("text", "search")),
+    QuerySpec("text_boolean_search", text_boolean_search, TEXT_BOOLEAN_SEARCH_ORACLE,
+              "conjunctive AND-of-terms search without an index join",
+              ("text", "search")),
+]

@@ -277,6 +277,72 @@ WHERE v.event_type = 'view'
 """
 
 
+# --- J1 full-outer variant --------------------------------------------------
+
+def j1_full_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer watermarked interval join. Emission rules differ per
+    side: an unmatched view flushes once the watermark passes its last
+    possible match time (v_ts + 10 min — no purchase that late can still
+    arrive); an unmatched purchase flushes once the watermark passes p_ts
+    itself (the latest view it could match carries ts = p_ts). The oracle
+    models both cutoffs against the final watermark
+    min(max view ts, max purchase ts) - 1 h."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .selectExpr("user_id AS v_user", "ts AS v_ts")
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        F.unix_millis("v_ts").alias("view_ts_ms"),
+        F.unix_millis("p_ts").alias("purchase_ts_ms"),
+    )
+    return run_available_now(joined, spark, mode="append")
+
+
+J1_FULL_OUTER_STREAM_ORACLE = """
+WITH wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 1 HOUR AS w
+)
+SELECT v.user_id, epoch_ms(v.ts) AS view_ts_ms, epoch_ms(p.ts) AS purchase_ts_ms
+FROM events v JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTES
+UNION ALL
+SELECT v.user_id, epoch_ms(v.ts) AS view_ts_ms, NULL AS purchase_ts_ms
+FROM events v, wm
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                    AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTES)
+  AND v.ts + INTERVAL 10 MINUTES < wm.w
+UNION ALL
+SELECT p.user_id, NULL AS view_ts_ms, epoch_ms(p.ts) AS purchase_ts_ms
+FROM events p, wm
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (SELECT 1 FROM events v
+                  WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                    AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTES)
+  AND p.ts < wm.w
+"""
+
+
 # --- streaming exact dedup --------------------------------------------------
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +658,10 @@ SPECS = [
               ("streaming", "dedup")),
     QuerySpec("j1_outer_stream_join", j1_outer_stream_join, J1_OUTER_STREAM_ORACLE,
               "left-outer watermarked interval join, watermark-gated null rows",
+              ("streaming", "join")),
+    QuerySpec("j1_full_outer_stream_join", j1_full_outer_stream_join,
+              J1_FULL_OUTER_STREAM_ORACLE,
+              "full-outer watermarked interval join, per-side eviction cutoffs",
               ("streaming", "join")),
     QuerySpec("stream_static_enrich", stream_static_enrich, ENRICH_ORACLE,
               "stream-static broadcast dimension enrichment",

@@ -53,6 +53,11 @@ HEADLINE = [
     "knn_ivf_cosine",
     "tpch_q18_large_volume",
     "tpch_q19_bracket_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "q_balance_quartiles",
+    "q_range_moving_sum",
     "pipeline_clean_corpus",
     "json_props_rollup",
     # streaming engine paths (real readStream -> state store -> sink)

@@ -133,3 +133,59 @@ def test_jaccard_prunes_text(spark):
     # text is consumed by the shingle projection; n_chars/lang never read.
     df = dedup.ngram_shingle_table(spark, SF_DIR)
     assert_read_schema_excludes(df, "documents", "n_chars")
+
+
+def test_q7_broadcasts_both_dims(spark):
+    """q7's supplier- and customer-nation lookups must broadcast; the only
+    shuffle join is lineitem-orders on orderkey."""
+    from apache_flink_datastream_api_spark.operators import analytics
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    df = analytics.tpch_q7(spark, SF_DIR)
+    plan = explain_string(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert_no_cartesian(df)
+
+
+def test_q10_prunes_and_broadcasts(spark):
+    from apache_flink_datastream_api_spark.operators import analytics
+
+    df = analytics.tpch_q10(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "l_returnflag")
+    # only orderkey + returnflag-filtered revenue cols are needed
+    assert_read_schema_excludes(df, "lineitem", "l_quantity")
+    assert_read_schema_excludes(df, "lineitem", "l_shipdate")
+
+
+def test_q15_single_fact_shuffle(spark):
+    """The argmax join must broadcast the single-row max, never reshuffle
+    the aggregated revenue table a second time."""
+    from apache_flink_datastream_api_spark.operators import analytics
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    df = analytics.tpch_q15(spark, SF_DIR)
+    plan = explain_string(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert_no_cartesian(df)
+
+
+def test_q17_broadcasts_part_filter(spark):
+    from apache_flink_datastream_api_spark.operators import analytics
+
+    df = analytics.tpch_q17(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "p_brand")
+    assert_no_cartesian(df)
+
+
+def test_grouping_sets_single_shuffle(spark):
+    """Spark expands grouping sets with an Expand node feeding ONE
+    aggregate exchange — not one scan/shuffle per set."""
+    from apache_flink_datastream_api_spark.operators import analytics
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    df = analytics.q_grouping_sets(spark, SF_DIR)
+    plan = explain_string(df)
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial agg -> one exchange (+AQE read)
