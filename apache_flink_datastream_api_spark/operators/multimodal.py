@@ -139,6 +139,44 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def chunk_audio(df: DataFrame, chunk_ms: int = 20) -> DataFrame:
+    """Audio-style fixed-duration chunking: split a PCM payload into
+    chunk_ms windows of 16-bit mono samples — pure column expressions
+    (explode over a computed sequence), no Python in the path.
+
+    STUB boundary: the sample rate would come from a real container
+    header; here it is derived deterministically from doc_id (8/16/44.1
+    kHz). Chunk geometry (byte offsets, tail-chunk truncation) is real —
+    exactly what feeds a feature-extraction or ASR stage downstream.
+    """
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    chunk_bytes = (sr * 2 * chunk_ms / 1000).cast("long")
+    n_bytes = F.octet_length("payload")
+    n_chunks = F.ceil(n_bytes / chunk_bytes)
+    return (
+        df.select(
+            "doc_id",
+            n_bytes.alias("n_bytes"),
+            sr.alias("sample_rate"),
+            chunk_bytes.alias("chunk_bytes"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "sample_rate",
+            "chunk_idx",
+            (F.col("chunk_idx") * F.col("chunk_bytes")).alias("byte_start"),
+            F.least(
+                F.col("chunk_bytes"),
+                F.col("n_bytes") - F.col("chunk_idx") * F.col("chunk_bytes"),
+            ).alias("byte_len"),
+        )
+    )
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video-style frame sampling: emit n_frames offset rows per payload —
     pure column expressions (explode over a sequence), no Python."""
@@ -198,6 +236,29 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, 4)
 
 
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return chunk_audio(docs, 20)
+
+
+MM_AUDIO_CHUNKS_ORACLE = """
+WITH a AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         [8000, 16000, 44100][CAST(doc_id % 3 + 1 AS INT)] AS sample_rate,
+         CAST([8000, 16000, 44100][CAST(doc_id % 3 + 1 AS INT)] * 2 * 20 / 1000 AS BIGINT)
+           AS chunk_bytes
+  FROM documents
+)
+SELECT doc_id, sample_rate, c AS chunk_idx,
+       c * chunk_bytes AS byte_start,
+       least(chunk_bytes, n_bytes - c * chunk_bytes) AS byte_len
+FROM a CROSS JOIN LATERAL (
+  SELECT unnest(generate_series(0, CAST(ceil(n_bytes / (1.0 * chunk_bytes)) AS BIGINT) - 1)) AS c
+) s
+"""
+
+
 MM_FRAME_SAMPLE_ORACLE = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -220,4 +281,6 @@ SPECS = [
     QuerySpec("mm_feature_extract", mm_feature_extract, None,
               "payload → array<float> features (feeds ANN operators)",
               ("multimodal",)),
+    QuerySpec("mm_audio_chunks", mm_audio_chunks, MM_AUDIO_CHUNKS_ORACLE,
+              "fixed-duration audio chunk geometry via explode", ("multimodal",)),
 ]

@@ -273,3 +273,88 @@ SPECS += [
               "conjunctive AND-of-terms search without an index join",
               ("text", "search")),
 ]
+
+
+# --- BM25-ish ranked retrieval ----------------------------------------------
+# Ranked search over the same query terms: score = Σ_t idf_t · saturation(tf).
+# Deterministic across engines WITHOUT tolerance because:
+# - idf uses the raw odds form (N - df + 0.5)/(df + 0.5) — no ln(), whose
+#   libm rounding differs between engines,
+# - every input (tf, dl, df, N, Σdl) is an exact integer; each float op
+#   (/, *, +) is IEEE exactly-rounded, and both expressions are written
+#   with identical parenthesization so the op ORDER is identical.
+# Corpus stats (N, avgdl, per-term df) are one tiny aggregate broadcast to
+# the scan — at 100 TB the stats pass is scan-bound, the scoring pass is a
+# second scan with zero shuffle.
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+
+
+def _bm25_term_spark(t: str) -> str:
+    tf = f"CAST(size(filter({TOKS_S}, x -> x = '{t}')) AS DOUBLE)"
+    idf = f"((n_docs - df_{t}) + 0.5) / (df_{t} + 0.5)"
+    sat = f"({tf} * ({BM25_K1} + 1)) / ({tf} + ({BM25_K1} * ((1 - {BM25_B}) + ({BM25_B} * (dl / avgdl)))))"
+    return f"({idf}) * ({sat})"
+
+
+def _bm25_term_duck(t: str) -> str:
+    tf = f"CAST(len(list_filter({TOKS_D}, x -> x = '{t}')) AS DOUBLE)"
+    idf = f"((n_docs - df_{t}) + 0.5) / (df_{t} + 0.5)"
+    sat = f"({tf} * ({BM25_K1} + 1)) / ({tf} + ({BM25_K1} * ((1 - {BM25_B}) + ({BM25_B} * (dl / avgdl)))))"
+    return f"({idf}) * ({sat})"
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("bm25_docs")
+    df_terms = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN token = '{t}' THEN doc_id END) AS df_{t}"
+        for t in SEARCH_TERMS
+    )
+    score = " + ".join(_bm25_term_spark(t) for t in SEARCH_TERMS)
+    return spark.sql(f"""
+        WITH stats AS (
+          SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs, {df_terms}
+          FROM (SELECT doc_id, explode({TOKS_S.replace('text', 'bm25_docs.text')}) AS token
+                FROM bm25_docs)
+        ), lens AS (
+          SELECT CAST(SUM(size({TOKS_S})) AS DOUBLE)
+                 / COUNT(*) AS avgdl FROM bm25_docs
+        )
+        SELECT doc_id, score FROM (
+          SELECT doc_id, ({score}) AS score
+          FROM (SELECT doc_id, text, CAST(size({TOKS_S}) AS DOUBLE) AS dl FROM bm25_docs)
+          CROSS JOIN stats CROSS JOIN lens
+        ) WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20
+    """)
+
+
+_BM25_DF_TERMS_DUCK = ", ".join(
+    f"COUNT(DISTINCT CASE WHEN token = '{t}' THEN doc_id END) AS df_{t}"
+    for t in ("batch", "window", "dup")
+)
+_BM25_SCORE_DUCK = " + ".join(_bm25_term_duck(t) for t in ("batch", "window", "dup"))
+
+TEXT_BM25_ORACLE = f"""
+WITH stats AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs, {_BM25_DF_TERMS_DUCK}
+  FROM (SELECT doc_id, unnest({TOKS_D}) AS token FROM documents)
+), lens AS (
+  SELECT CAST(SUM(len({TOKS_D})) AS DOUBLE) / COUNT(*) AS avgdl FROM documents
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, ({_BM25_SCORE_DUCK}) AS score
+  FROM (SELECT doc_id, text, CAST(len({TOKS_D}) AS DOUBLE) AS dl FROM documents)
+  CROSS JOIN stats CROSS JOIN lens
+) WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+SPECS += [
+    QuerySpec("text_bm25_rank", text_bm25_rank, TEXT_BM25_ORACLE,
+              "BM25-style ranked retrieval, ln-free deterministic scoring",
+              ("text", "search")),
+]
