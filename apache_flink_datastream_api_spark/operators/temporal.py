@@ -245,3 +245,159 @@ SPECS = [
     QuerySpec("user_moving_avg", user_moving_avg, MOVING_AVG_ORACLE,
               "5-event moving sum/avg over an explicit row frame", ("window",)),
 ]
+
+
+# --- event analytics: sessionize / funnel / cohort --------------------------
+# The batch forms of the reference's session logic (SURVEY.md §2.8 X2,
+# §2.5 W4) generalized into the three classic event-analytics shapes.
+# All arithmetic is integer (epoch-ms, counts, day offsets) — exact on
+# both engines. One shuffle each (partition/group by user), then tiny
+# second-level aggregations.
+
+SESSION_GAP_MS = 2 * 3600 * 1000
+
+
+def q_user_sessions_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event exceeds SESSION_GAP_MS; session_id = running count of
+    session starts (lag + cumulative sum — the declarative form of the
+    reference's ValueState session tracker)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(w_ord).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w_ord) > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+    )
+
+
+Q_SESSIONS_GAP_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), sessions AS (
+  SELECT user_id, ts_ms,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+       MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: each user's first view, their first purchase at or
+    after it, and the conversion lag. Aggregate-then-join keeps both
+    sides one-row-per-user before the (broadcastable) join."""
+    e = load_table(spark, sf_dir, "events")
+    first_view = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis("ts")).alias("first_view_ms"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_millis("ts").alias("p_ms")
+    )
+    conv = (
+        first_view.join(purchases, "user_id", "left")
+        .where(F.col("p_ms").isNull() | (F.col("p_ms") >= F.col("first_view_ms")))
+        .groupBy("user_id", "first_view_ms")
+        .agg(F.min("p_ms").alias("first_purchase_ms"))
+    )
+    return conv.select(
+        "user_id",
+        "first_view_ms",
+        "first_purchase_ms",
+        F.when(F.col("first_purchase_ms").isNotNull(), 1).otherwise(0).alias("converted"),
+        (F.col("first_purchase_ms") - F.col("first_view_ms")).alias("ms_to_convert"),
+    )
+
+
+Q_FUNNEL_ORACLE = """
+WITH first_view AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS first_view_ms
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT f.user_id, f.first_view_ms, MIN(epoch_ms(p.ts)) AS first_purchase_ms
+  FROM first_view f
+  LEFT JOIN events p
+    ON p.user_id = f.user_id AND p.event_type = 'purchase'
+   AND epoch_ms(p.ts) >= f.first_view_ms
+  GROUP BY f.user_id, f.first_view_ms
+)
+SELECT user_id, first_view_ms, first_purchase_ms,
+       CASE WHEN first_purchase_ms IS NOT NULL THEN 1 ELSE 0 END AS converted,
+       first_purchase_ms - first_view_ms AS ms_to_convert
+FROM conv
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later active day. Both sides of the join are already hash-
+    partitioned on user_id (days' distinct, cohorts' groupBy), so the join
+    reuses that partitioning with no extra exchange. Deliberately NOT
+    broadcast: cohorts is one row per user — unbounded at scale — and AQE
+    will still pick a broadcast locally when it measures the side as tiny."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.date_trunc("DAY", "ts").alias("day")).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .groupBy(
+            F.unix_millis("cohort_day").alias("cohort_day_ms"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+Q_COHORT_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT epoch_ms(cohort_day) AS cohort_day_ms,
+       datediff('day', cohort_day, day) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM days d JOIN cohorts c ON d.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("q_user_sessions_gap", q_user_sessions_gap, Q_SESSIONS_GAP_ORACLE,
+              "gap-based sessionization via lag + cumulative sum",
+              ("temporal", "window")),
+    QuerySpec("q_funnel_view_purchase", q_funnel_view_purchase, Q_FUNNEL_ORACLE,
+              "two-step funnel conversion with aggregate-then-join",
+              ("temporal", "join")),
+    QuerySpec("q_cohort_retention", q_cohort_retention, Q_COHORT_ORACLE,
+              "cohort retention triangle, exchange-reusing double aggregate",
+              ("temporal",)),
+]

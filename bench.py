@@ -58,6 +58,9 @@ HEADLINE = [
     "tpch_q17_small_qty_revenue",
     "q_balance_quartiles",
     "q_range_moving_sum",
+    "q_user_sessions_gap",
+    "q_cohort_retention",
+    "text_bm25_rank",
     "pipeline_clean_corpus",
     "json_props_rollup",
     # streaming engine paths (real readStream -> state store -> sink)
