@@ -367,3 +367,97 @@ SPECS = [
               "RANGE window frame: trailing 1 h moving sum per user",
               ("relational", "window")),
 ]
+
+
+# --- time-series gap filling ------------------------------------------------
+# Dense monthly series per priority: calendar months come from a
+# sequence() explode (no generator UDF, no driver loop), orders left-join
+# onto it, missing months zero-filled. The month spine is derived from the
+# data's own min/max — two tiny aggregates broadcast by AQE.
+
+def q_monthly_order_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("MONTH", "o_orderdate").alias("month"), "o_orderpriority"
+    )
+    bounds = o.agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    ).crossJoin(o.select("o_orderpriority").distinct())
+    counts = o.groupBy("month", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    return (
+        spine.join(counts, ["month", "o_orderpriority"], "left")
+        .select(
+            F.unix_millis("month").alias("month_ms"),
+            "o_orderpriority",
+            F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+Q_MONTHLY_SERIES_ORACLE = """
+WITH o AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority FROM orders
+), bounds AS (
+  SELECT min(month) AS lo, max(month) AS hi FROM o
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month, p.o_orderpriority
+  FROM bounds CROSS JOIN (SELECT DISTINCT o_orderpriority FROM o) p
+), counts AS (
+  SELECT month, o_orderpriority, COUNT(*) AS cnt FROM o GROUP BY 1, 2
+)
+SELECT epoch_ms(s.month) AS month_ms, s.o_orderpriority,
+       COALESCE(c.cnt, 0) AS n_orders
+FROM spine s LEFT JOIN counts c
+  ON s.month = c.month AND s.o_orderpriority = c.o_orderpriority
+"""
+
+
+# --- argmax per group -------------------------------------------------------
+# Per-group argmax — the aggregate form of q_top_order_per_customer's
+# row_number ranking, with no window sort. o_totalprice HAS exact ties at
+# sf0.1 (90 same-status pairs), so ties are broken explicitly: among the
+# extreme-price rows, the largest orderkey wins — a rule both engines can
+# state identically (a bare max_by/arg_max tie is engine-nondeterministic,
+# and DuckDB's arg_max cannot take a composite ordering value).
+
+def q_priciest_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderstatus").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+    return (
+        o.join(F.broadcast(stats), "o_orderstatus")
+        .groupBy("o_orderstatus", "max_price", "min_price")
+        .agg(
+            F.max(F.when(F.col("o_totalprice") == F.col("max_price"), F.col("o_orderkey")))
+            .alias("max_orderkey"),
+            F.max(F.when(F.col("o_totalprice") == F.col("min_price"), F.col("o_orderkey")))
+            .alias("min_orderkey"),
+        )
+        .select("o_orderstatus", "max_orderkey", "min_orderkey", "max_price", "min_price")
+    )
+
+
+Q_ARGMAX_ORACLE = """
+WITH stats AS (
+  SELECT o_orderstatus, MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       MAX(CASE WHEN o_totalprice = max_price THEN o_orderkey END) AS max_orderkey,
+       MAX(CASE WHEN o_totalprice = min_price THEN o_orderkey END) AS min_orderkey,
+       max_price, min_price
+FROM orders o JOIN stats s ON o.o_orderstatus = s.o_orderstatus
+GROUP BY o.o_orderstatus, max_price, min_price
+"""
+
+
+SPECS += [
+    QuerySpec("q_monthly_order_series", q_monthly_order_series, Q_MONTHLY_SERIES_ORACLE,
+              "zero-filled calendar series via sequence explode", ("relational",)),
+    QuerySpec("q_priciest_order_per_status", q_priciest_order_per_status, Q_ARGMAX_ORACLE,
+              "max_by/min_by single-pass argmax aggregates", ("relational",)),
+]
