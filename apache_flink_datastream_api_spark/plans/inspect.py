@@ -78,6 +78,18 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of distinct shuffle Exchange nodes in the physical plan.
+
+    Counts detail-section headers ``(n) Exchange`` so each node is counted
+    once (formatted mode prints every node twice: tree + details).
+    ReusedExchange does not match — a reused shuffle is free.
+    """
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", explain_string(df)))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider = more fused execution)."""
     plan = explain_string(df, "simple")

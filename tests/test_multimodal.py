@@ -59,3 +59,35 @@ def test_feature_contract(spark):
     assert feats == again
     # payload-sensitive: not all vectors identical
     assert len({tuple(v) for v in feats.values()}) > 1
+
+
+def test_audio_chunks_tile_payload_exactly(spark):
+    """Chunks must tile the payload: contiguous, non-overlapping, positive
+    lengths, summing to the payload size, all full-size except the tail."""
+    from apache_flink_datastream_api_spark.operators.multimodal import (
+        attach_binary_payload, chunk_audio,
+    )
+
+    docs = _docs(spark)
+    chunks = chunk_audio(docs, 20).collect()
+    sizes = {r.doc_id: r.n_bytes for r in docs.selectExpr(
+        "doc_id", "octet_length(payload) AS n_bytes").collect()}
+
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc.keys() == sizes.keys()
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        offset = 0
+        for r in rows:
+            assert r.byte_start == offset
+            assert r.byte_len > 0
+            offset += r.byte_len
+        assert offset == sizes[doc_id]
+        # every chunk except the tail is full-size
+        full = rows[0].byte_len if len(rows) > 1 else None
+        for r in rows[:-1]:
+            assert r.byte_len == full
+        assert r.sample_rate in (8000, 16000, 44100)

@@ -189,3 +189,27 @@ def test_grouping_sets_single_shuffle(spark):
     plan = explain_string(df)
     assert "Expand" in plan, plan
     assert plan.count("Exchange") <= 2, plan  # partial agg -> one exchange (+AQE read)
+
+
+def test_inverted_index_two_exchanges(spark):
+    """Posting-list build needs exactly its two semantic shuffles (per-doc
+    distinct, then per-token aggregate) — no extra exchange creep."""
+    from apache_flink_datastream_api_spark.operators import textops
+    from apache_flink_datastream_api_spark.plans.inspect import exchange_count
+
+    assert exchange_count(textops.text_inverted_index(spark, SF_DIR)) <= 2
+
+
+def test_funnel_and_cohort_no_cartesian(spark):
+    from apache_flink_datastream_api_spark.operators import temporal
+
+    assert_no_cartesian(temporal.q_funnel_view_purchase(spark, SF_DIR))
+    assert_no_cartesian(temporal.q_cohort_retention(spark, SF_DIR))
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization is one hash exchange on user_id: the window functions
+    and the (user_id, session_id) groupBy all reuse that partitioning."""
+    from apache_flink_datastream_api_spark.plans.inspect import exchange_count
+
+    assert exchange_count(temporal.q_user_sessions_gap(spark, SF_DIR)) <= 1
