@@ -1,0 +1,274 @@
+"""Training-run preparation operators over ``documents`` (driver-mandated
+LLM-pipeline extension; no reference file:line): deterministic splits,
+source-weighted mixing, eval-set decontamination, sequence packing.
+
+These are the steps between a cleaned corpus and a tokenized training run,
+each in its 100 TB shape:
+
+- split          hash-gated assignment (train/val/test) — a scan-level
+                 filter expression; no rand(), no global count, identical
+                 assignment on every engine and every re-run.
+- source mix     per-source sampling rates from a broadcast config dim:
+                 the rate table is tiny (one row per source), the big scan
+                 is filtered map-side after a broadcast hash join — no
+                 shuffle of the corpus.
+- decontaminate  flag training docs sharing word-5-gram fingerprints with
+                 the held-out set. The eval fingerprint set is a small
+                 fraction of the corpus, so it broadcasts; the train side
+                 streams through map-side. At 100 TB the eval set is KB-MB
+                 (a benchmark suite) and this is exactly a Bloom-filter /
+                 broadcast-semi-join pass over the corpus.
+- packing        concat-and-chop context-window assignment via a two-pass
+                 distributed prefix sum: per-shard token subtotals (tiny)
+                 are cumsummed and broadcast back, so no single partition
+                 ever sees the whole corpus — the standard scalable scan
+                 shape, vs. the naive single-partition running-sum window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import text as X
+from ..functions.hashing import portable_hash64_sql
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+TOKS_S = X.tokens_spark("text")
+TOKS_D = X.tokens_duck("text")
+
+# Portable doc_id gate: same 0-99 bucket in both engines.
+GATE_S = (
+    "pmod(cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) as bigint), 100)"
+)
+GATE_D = f"{portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 100"
+
+
+# --- deterministic train/val/test split ------------------------------------
+
+TRAIN_PCT = 80   # buckets [0, 80)
+VAL_PCT = 90     # buckets [80, 90); test = [90, 100)
+
+SPLIT_CASE = (
+    f"CASE WHEN bucket < {TRAIN_PCT} THEN 'train' "
+    f"WHEN bucket < {VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+
+def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, lang) corpus composition under a deterministic 80/10/10
+    hash split. The assignment is a pure scan expression — on 100 TB this
+    costs one pass and zero shuffles beyond the tiny 15-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id", "lang", f"size({TOKS_S}) AS n_tokens", f"{GATE_S} AS bucket"
+        )
+        .selectExpr("lang", "n_tokens", f"{SPLIT_CASE} AS split")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+TRAIN_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, len({TOKS_D}) AS n_tokens, {GATE_D} AS bucket FROM documents
+)
+SELECT {SPLIT_CASE.replace("bucket", "bucket")} AS split, lang,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+# --- source-weighted data mixing -------------------------------------------
+# Per-source keep-rates live in a config dimension (derived here from the
+# source name so both engines build the identical table; in production it's
+# a literal table from the data-mixing recipe). The dim is one row per
+# source → broadcast; the corpus is filtered map-side during its one scan.
+
+MIX_RATE_S = (
+    "10 + pmod(cast(conv(substr(md5(source), 1, 15), 16, 10) as bigint), 80)"
+)
+MIX_RATE_D = f"10 + ({portable_hash64_sql('source')} % 80)"
+
+
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply per-source sampling rates (10-89%) from a broadcast rate dim;
+    report achieved composition. The corpus never shuffles: broadcast hash
+    join + filter inside the scan stage, then a per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = (
+        docs.select("source").distinct()
+        .selectExpr("source", f"{MIX_RATE_S} AS keep_pct")
+    )
+    return (
+        docs.selectExpr("doc_id", "source", f"{GATE_S} AS bucket")
+        .join(F.broadcast(rates), "source")
+        .where(F.col("bucket") < F.col("keep_pct"))
+        .groupBy("source", "keep_pct")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+SOURCE_MIX_ORACLE = f"""
+WITH rates AS (
+  SELECT source, {MIX_RATE_D} AS keep_pct FROM (SELECT DISTINCT source FROM documents)
+), gated AS (
+  SELECT doc_id, source, {GATE_D} AS bucket FROM documents
+)
+SELECT g.source, r.keep_pct, COUNT(*) AS n_kept
+FROM gated g JOIN rates r USING (source)
+WHERE g.bucket < r.keep_pct
+GROUP BY 1, 2
+"""
+
+
+# --- eval-set decontamination ----------------------------------------------
+
+DECON_K = 5          # word 5-grams: random cross-doc collisions ~1, dups ~50+
+DECON_EVAL_PCT = 95  # buckets >= 95 are the held-out set
+DECON_THRESHOLD = 10  # shared-shingle count that flags contamination
+
+
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that share word-5-gram fingerprints with the eval
+    split: (doc_id, n_shared, contaminated). The eval fingerprint set (5%
+    of docs, distinct hashes only) broadcasts; train shingles stream
+    against it map-side, then one aggregate keyed by doc_id. Collision
+    noise (~1 shared 5-gram) and true near-dups (~full overlap) are
+    separated by DECON_THRESHOLD."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.shingles_spark("toks", DECON_K)
+    shingled = (
+        docs.selectExpr("doc_id", f"{TOKS_S} AS toks", f"{GATE_S} AS bucket")
+        .select("doc_id", "bucket", F.explode(F.array_distinct(F.expr(sh))).alias("shingle"))
+        .selectExpr(
+            "doc_id", "bucket",
+            "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS sh_h",
+        )
+    )
+    eval_fp = (
+        shingled.where(F.col("bucket") >= DECON_EVAL_PCT)
+        .select("sh_h").distinct()
+    )
+    train = shingled.where(F.col("bucket") < DECON_EVAL_PCT)
+    return (
+        train.join(F.broadcast(eval_fp), "sh_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .selectExpr(
+            "doc_id", "n_shared",
+            f"CAST(n_shared >= {DECON_THRESHOLD} AS INT) AS contaminated",
+        )
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKS_D} AS toks, {GATE_D} AS bucket FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, bucket,
+         unnest({X.shingles_duck('toks', DECON_K)}) AS shingle
+  FROM toked
+), hashed AS (
+  SELECT doc_id, bucket, {portable_hash64_sql('shingle')} AS sh_h FROM sh
+), eval_fp AS (
+  SELECT DISTINCT sh_h FROM hashed WHERE bucket >= {DECON_EVAL_PCT}
+)
+SELECT h.doc_id, COUNT(*) AS n_shared,
+       CAST(COUNT(*) >= {DECON_THRESHOLD} AS INT) AS contaminated
+FROM hashed h JOIN eval_fp USING (sh_h)
+WHERE h.bucket < {DECON_EVAL_PCT}
+GROUP BY 1
+"""
+
+
+# --- sequence packing (concat-and-chop) ------------------------------------
+
+PACK_CTX = 512     # context-window token budget
+PACK_SHARD = 1000  # doc_ids per prefix-sum shard
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing: documents are concatenated in doc_id order
+    and chopped into PACK_CTX-token context windows; each doc reports its
+    start offset and the window span it lands in.
+
+    The running offset is a distributed two-pass prefix sum, not one
+    global window partition: (1) cumsum WITHIN each doc_id-range shard,
+    (2) cumsum the per-shard subtotals (one row per shard — driver-scale)
+    and broadcast them back as shard base offsets. No partition ever holds
+    more than one shard, so the shape survives a 100 TB corpus; a plain
+    ``sum() over (order by doc_id)`` would funnel everything through one
+    task. Shards are doc_id ranges, so (shard, doc_id) order == doc_id
+    order and the result is identical to the naive window (the oracle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        f"size({TOKS_S}) AS n_tokens",
+        f"CAST(floor(doc_id / {PACK_SHARD}) AS BIGINT) AS shard",
+    )
+    in_shard = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = base.withColumn(
+        "local_offset", F.coalesce(F.sum("n_tokens").over(in_shard), F.lit(0))
+    )
+    shard_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_bases = (
+        base.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn("shard_base", F.coalesce(F.sum("shard_tokens").over(shard_w), F.lit(0)))
+        .select("shard", "shard_base")
+    )
+    return (
+        local.join(F.broadcast(shard_bases), "shard")
+        .selectExpr(
+            "doc_id", "n_tokens",
+            "shard_base + local_offset AS start_offset",
+        )
+        .selectExpr(
+            "doc_id", "n_tokens", "start_offset",
+            f"CAST(floor(start_offset / {PACK_CTX}) AS BIGINT) AS first_window",
+            f"CAST(floor((start_offset + n_tokens - 1) / {PACK_CTX}) AS BIGINT) AS last_window",
+        )
+    )
+
+
+PACK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, len({TOKS_D}) AS n_tokens FROM documents
+), offs AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_offset
+  FROM base
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / {PACK_CTX}) AS BIGINT) AS first_window,
+       CAST(floor((start_offset + n_tokens - 1) / {PACK_CTX}) AS BIGINT) AS last_window
+FROM offs
+"""
+
+
+SPECS = [
+    QuerySpec("pipeline_train_eval_split", pipeline_train_eval_split,
+              TRAIN_SPLIT_ORACLE,
+              "deterministic 80/10/10 hash split, per-(split,lang) composition",
+              ("pipeline", "trainprep")),
+    QuerySpec("pipeline_source_mix", pipeline_source_mix, SOURCE_MIX_ORACLE,
+              "per-source sampling rates via broadcast config dim",
+              ("pipeline", "trainprep")),
+    QuerySpec("pipeline_decontaminate", pipeline_decontaminate,
+              DECONTAMINATE_ORACLE,
+              "eval-set 5-gram fingerprint decontamination",
+              ("pipeline", "trainprep", "dedup")),
+    QuerySpec("pipeline_pack_sequences", pipeline_pack_sequences, PACK_ORACLE,
+              "concat-and-chop packing via two-pass distributed prefix sum",
+              ("pipeline", "trainprep")),
+]
