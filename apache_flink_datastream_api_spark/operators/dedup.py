@@ -33,7 +33,7 @@ from ..functions.hashing import (
     portable_hash64_sql,
 )
 from ..registry import QuerySpec
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_source
 
 TOKS_S = X.tokens_spark("text")
 TOKS_D = X.tokens_duck("text")
@@ -96,7 +96,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures → self-join on (band, signature). Candidate generation is
     O(bucket collisions), never O(n²); hot buckets are AQE skew-split.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     # Materialize the token array first: referencing the tokenizer inside
     # the shingle lambda would re-run split+lower per element (~150x/doc).
     toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
@@ -179,7 +181,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document: per-token portable hash, ±1 vote per
     bit, sign of the vote sum becomes the signature bit. One explode + one
     wide aggregation — a single shuffle keyed by doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     tok = docs.select("doc_id", F.explode(F.expr(TOKS_S)).alias("t"))
     h = tok.selectExpr(
         "doc_id", "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) AS hv"
@@ -227,7 +231,10 @@ def ngram_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys narrow and equality cheap at scale (collisions are
     mirrored exactly in the oracle, so the comparison stays bit-true).
     Exposed un-materialized so plan tests can pin scan pruning."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        spark,
+    )
     toked = docs.select("doc_id", "source", F.expr(TOKS_S).alias("toks"))
     sh = X.shingles_spark("toks", NJ_K)
     return toked.select(

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import text as X
 from ..functions.hashing import portable_hash64_sql
 from ..registry import QuerySpec
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_source
 
 TOKS_S = X.tokens_spark("text")
 TOKS_D = X.tokens_duck("text")
@@ -156,7 +156,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of hashing inside an array lambda — ~5× faster at bench scale.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
+    toked = spread_small_source(docs.select("doc_id", "text"), spark).select(
+        "doc_id", F.expr(TOKS_S).alias("toks")
+    )
     sh = X.shingles_spark("toks", FP_K)
     mins = (
         toked.select("doc_id", F.explode(F.expr(sh)).alias("s"))
@@ -307,7 +309,9 @@ def _bm25_term_duck(t: str) -> str:
 
 def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("bm25_docs")
+    spread_small_source(docs.select("doc_id", "text"), spark).createOrReplaceTempView(
+        "bm25_docs"
+    )
     df_terms = ", ".join(
         f"COUNT(DISTINCT CASE WHEN token = '{t}' THEN doc_id END) AS df_{t}"
         for t in SEARCH_TERMS

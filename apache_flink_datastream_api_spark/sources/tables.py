@@ -42,6 +42,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize_timestamps(df)
 
 
+def spread_small_source(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Re-spread a low-split scan across the cluster before CPU-heavy
+    per-row derivation (shingling, hashing, signature math).
+
+    Parquet parallelism is bounded by row-group count; a compact source
+    (one file / one row group) would otherwise run the whole derivation
+    stage on ONE task while the rest of the cluster idles. The shuffle
+    moves only the raw input (small by premise).
+
+    Self-tuning at scale: when the scan already has at least half a task
+    per core (any real 100 TB table: thousands of splits), this is a
+    no-op — no shuffle is added. Disable outright with
+    ``SPARK_GRAFT_SPREAD=off`` (plan-purity tests).
+    """
+    if os.environ.get("SPARK_GRAFT_SPREAD", "auto") == "off":
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
