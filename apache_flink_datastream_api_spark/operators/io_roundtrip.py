@@ -160,10 +160,84 @@ FROM events WHERE event_id < {JSON_LIMIT} AND event_id % {CORRUPT_MOD} = 0
 """
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → ORC sink → read back → per-nation aggregate. Exercises
+    the second columnar format end-to-end (schema + decimal fidelity);
+    ORC is the drop-in alternative wherever the parquet sink is used."""
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="orc_sink_"), "customer")
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite")
+        .orc(out_dir)
+    )
+    back = spark.read.orc(out_dir)
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer GROUP BY 1
+"""
+
+
+def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV escape fidelity: a payload column deliberately containing the
+    delimiter AND the quote char roundtrips through a quoted CSV sink and
+    an explicit-schema read. The 60-bit hash checksum (XOR-folded) over
+    the read-back payload can only match the oracle's checksum over the
+    ORIGINAL expression if quoting/escaping lost nothing."""
+    src = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "lang",
+        # payload embeds a double-quote, a comma, and the raw text
+        "concat('\"', source, ',', text) AS payload",
+    )
+    csv_dir = tempfile.mkdtemp(prefix="csv_quoted_")
+    src.write.mode("overwrite").option("header", "true").option("escape", '"').csv(csv_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(csv_dir)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(payload), 1, 15), 16, 10) as bigint))"
+        ).alias("payload_checksum"),
+    )
+
+
+CSV_QUOTED_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs,
+       bit_xor(CAST(concat('0x', substr(md5(concat('"', source, ',', text)), 1, 15)) AS BIGINT)) AS payload_checksum
+FROM documents GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("json_source_roundtrip", json_source_roundtrip, JSON_ROUNDTRIP_ORACLE,
               "JSON-lines write → explicit-schema read → aggregate",
               ("io", "source")),
+    QuerySpec("orc_roundtrip", orc_roundtrip, ORC_ROUNDTRIP_ORACLE,
+              "ORC sink → read-back → aggregate (second columnar format)",
+              ("io", "sink")),
+    QuerySpec("csv_quoted_roundtrip", csv_quoted_roundtrip, CSV_QUOTED_ORACLE,
+              "CSV quote/escape fidelity via hash checksum roundtrip",
+              ("io", "source", "sink")),
     QuerySpec("partitioned_sink_roundtrip", partitioned_sink_roundtrip,
               PARTITIONED_SINK_ORACLE,
               "partitionBy parquet sink → pruned read-back → aggregate",

@@ -122,3 +122,25 @@ def test_rate_generators_schema_and_domains(spark):
     q.stop()
     assert rows["n"] > 0, "rate source produced no rows in 20s"
     assert rows["bad"] == 0
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """Total ordering must distribute via sampled range partitioning —
+    never a single-partition sort (the 100 TB deal-breaker)."""
+    df = load_table(spark, SF_DIR, "orders").sort("o_totalprice")
+    plan = explain_string(df)
+    assert "rangepartitioning(o_totalprice" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_spread_small_source_is_noop_when_parallel(spark):
+    """spread_small_source must not add a shuffle once the scan already
+    has enough splits (the production case)."""
+    from apache_flink_datastream_api_spark.sources.tables import spread_small_source
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    wide = docs.repartition(64)
+    assert spread_small_source(wide, spark) is wide
+    # and on a 1-split scan it must spread to cluster parallelism
+    spread = spread_small_source(docs, spark)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
