@@ -228,9 +228,122 @@ FROM documents GROUP BY 1
 """
 
 
+UPSERT_MOD = 10  # every 10th order gets an update record
+
+
+def merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a table format: new versions of every
+    UPSERT_MOD-th order (status bumped, price +1) are merged into the
+    snapshot by last-writer-wins dedup — union + row_number over
+    (key, version) — and the merged snapshot is written and read back.
+
+    At 100 TB this is the standard parquet upsert: partition the snapshot,
+    restrict the rewrite to partitions containing updated keys (partition
+    pruning on the update set), or flip to a MERGE INTO on a table format
+    (Delta/Iceberg) with the identical dedup semantics."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice",
+            "0 AS version",
+        )
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % UPSERT_MOD == 0)
+        .selectExpr(
+            "o_orderkey", "o_custkey", "'X' AS o_orderstatus",
+            "CAST(o_totalprice + 1 AS DECIMAL(18,2)) AS o_totalprice",
+            "1 AS version",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="merge_sink_"), "orders")
+    merged.write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").cast("double").alias("total_price"),
+        F.sum("version").alias("n_updated"),
+    )
+
+
+MERGE_UPSERT_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, 0 AS version
+  FROM orders
+), merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {UPSERT_MOD} = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % {UPSERT_MOD} = 0
+              THEN CAST(o_totalprice + 1 AS DECIMAL(18,2)) ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % {UPSERT_MOD} = 0 THEN 1 ELSE 0 END AS version
+  FROM base
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS total_price,
+       SUM(version) AS n_updated
+FROM merged GROUP BY 1
+"""
+
+
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: an old batch (3 columns) and a new batch
+    (4 columns — added ``priority_flag``) land in the same dataset;
+    ``mergeSchema`` read reconciles them, old rows surface NULL for the
+    added column. The aggregate pins both populations' visibility."""
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="evolve_"), "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 2 == 0).selectExpr(
+        "o_orderkey", "o_orderstatus",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice",
+    )
+    new = orders.where(F.col("o_orderkey") % 2 == 1).selectExpr(
+        "o_orderkey", "o_orderstatus",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice",
+        "CAST(o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' AS INT)"
+        " AS priority_flag",
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out_dir, "batch=0"))
+    new.write.mode("overwrite").parquet(os.path.join(out_dir, "batch=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count("priority_flag").alias("n_new_schema"),
+        F.sum("priority_flag").alias("n_priority"),
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_new_schema,
+       SUM(CASE WHEN o_orderkey % 2 = 1
+                THEN CAST(o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' AS INT)
+           END) AS n_priority
+FROM orders GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("json_source_roundtrip", json_source_roundtrip, JSON_ROUNDTRIP_ORACLE,
               "JSON-lines write → explicit-schema read → aggregate",
+              ("io", "source")),
+    QuerySpec("merge_upsert_roundtrip", merge_upsert_roundtrip,
+              MERGE_UPSERT_ORACLE,
+              "last-writer-wins MERGE/upsert by rewrite → read-back",
+              ("io", "sink")),
+    QuerySpec("schema_evolution_roundtrip", schema_evolution_roundtrip,
+              SCHEMA_EVOLUTION_ORACLE,
+              "mergeSchema reconciliation of evolving parquet batches",
               ("io", "source")),
     QuerySpec("orc_roundtrip", orc_roundtrip, ORC_ROUNDTRIP_ORACLE,
               "ORC sink → read-back → aggregate (second columnar format)",

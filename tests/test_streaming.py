@@ -321,3 +321,34 @@ def test_idle_timer_batching_invariant(spark, chunked_events_dir):
     chunked, single = run(1), run(3)
     assert chunked == single
     assert len(chunked) > 0
+
+
+def test_x1_on_rocksdb_state_store(spark, chunked_events_dir):
+    """The scale-path state backend: the same stateful query on the
+    RocksDB state store provider must produce byte-identical output to
+    the default HDFS-backed store. Runs in a cloned session so the
+    provider conf doesn't leak into other tests."""
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = (
+        s2.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .csv(chunked_events_dir)
+        .where(F.col("event_type") == "error")
+    )
+    got = run_available_now(
+        interval_alerts(stream, dataflow.ALERT_THRESHOLD_MS), s2, mode="update"
+    )
+    default_stream = _chunk_stream(spark, chunked_events_dir).where(
+        F.col("event_type") == "error"
+    )
+    want = run_available_now(
+        interval_alerts(default_stream, dataflow.ALERT_THRESHOLD_MS), spark,
+        mode="update",
+    )
+    cols = ["user_id", "ts_ms", "diff_ms"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() > 0
