@@ -628,6 +628,51 @@ SELECT user_id, COUNT(*) AS cnt FROM events WHERE event_id < {S1_LIMIT} GROUP BY
 """
 
 
+# --- chained stateful aggregations (multi-stateful append pipeline) ---------
+
+CHAIN_DELAY_MS = 30 * 60 * 1000  # 30-minute watermark delay
+
+
+def w6_chained_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful windowed aggregations chained in ONE streaming query
+    (Spark ≥ 3.4 multi-stateful append pipelines): per-type 15-minute
+    counts roll up into hourly totals, both through the state store. The
+    hierarchical rollup halves state vs aggregating raw events at both
+    granularities — the standard streaming-cube shape.
+
+    Emission: append mode finalizes a window once the watermark passes its
+    end; with AvailableNow the final no-data batch advances the watermark
+    to max(ts) - delay, so exactly the windows with
+    end <= max(ts) - delay emit (verified empirically; the oracle applies
+    the same cutoff)."""
+    stream = _events_stream(spark, sf_dir)
+    first = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    second = (
+        first.groupBy(F.window("w15", "1 hour").alias("w60"), "event_type")
+        .agg(F.sum("cnt").alias("total"))
+        .select(
+            F.unix_millis("w60.start").alias("window_start_ms"),
+            "event_type",
+            "total",
+        )
+    )
+    return run_available_now(second, spark, mode="append")
+
+
+W6_CHAINED_ORACLE = f"""
+WITH wm AS (SELECT max(epoch_ms(ts)) - {CHAIN_DELAY_MS} AS cutoff FROM events)
+SELECT CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS window_start_ms,
+       event_type, COUNT(*) AS total
+FROM events, wm
+GROUP BY 1, 2, wm.cutoff
+HAVING window_start_ms + 3600000 <= wm.cutoff
+"""
+
+
 SPECS = [
     QuerySpec("w2_eventtime_stream", w2_eventtime_stream, W2_STREAM_ORACLE,
               "event-time window agg through the streaming engine", ("streaming",)),
@@ -669,4 +714,8 @@ SPECS = [
     QuerySpec("stream_static_enrich", stream_static_enrich, ENRICH_ORACLE,
               "stream-static broadcast dimension enrichment",
               ("streaming", "join")),
+    QuerySpec("w6_chained_windows_stream", w6_chained_windows_stream,
+              W6_CHAINED_ORACLE,
+              "two chained stateful window aggs in one append pipeline",
+              ("streaming", "window", "stateful")),
 ]

@@ -352,3 +352,37 @@ def test_x1_on_rocksdb_state_store(spark, chunked_events_dir):
     cols = ["user_id", "ts_ms", "diff_ms"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert got.count() > 0
+
+
+def test_chained_windows_batching_invariant(spark, chunked_events_dir):
+    """The chained two-stage windowed aggregation must emit the same final
+    rows whether the input replays as 1 micro-batch or 3 — append-mode
+    emission depends only on the final watermark, not batch boundaries."""
+    def run(max_files):
+        stream = (
+            spark.readStream.schema(CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", max_files)
+            .csv(chunked_events_dir)
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        first = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+        )
+        second = (
+            first.groupBy(F.window("w15", "1 hour").alias("w60"), "event_type")
+            .agg(F.sum("cnt").alias("total"))
+            .select(
+                F.unix_millis("w60.start").alias("ws"), "event_type", "total"
+            )
+        )
+        return _sorted_rows(
+            run_available_now(second, spark, mode="append"),
+            ["ws", "event_type", "total"],
+        )
+
+    one = run(1000)
+    three = run(1)
+    assert one == three
+    assert len(one) > 0
