@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions import text as X
 from ..functions.hashing import portable_hash64_sql
 from ..registry import QuerySpec
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_source
 
 TOKS_S = X.tokens_spark("text")
 TOKS_D = X.tokens_duck("text")
@@ -141,7 +141,9 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it map-side, then one aggregate keyed by doc_id. Collision
     noise (~1 shared 5-gram) and true near-dups (~full overlap) are
     separated by DECON_THRESHOLD."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     sh = X.shingles_spark("toks", DECON_K)
     shingled = (
         docs.selectExpr("doc_id", f"{TOKS_S} AS toks", f"{GATE_S} AS bucket")

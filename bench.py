@@ -63,9 +63,17 @@ HEADLINE = [
     "text_bm25_rank",
     "pipeline_clean_corpus",
     "json_props_rollup",
+    "tfidf_top_terms",
+    "text_inverted_index",
+    # training-run prep
+    "pipeline_train_eval_split",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "merge_upsert_roundtrip",
     # streaming engine paths (real readStream -> state store -> sink)
     "w3_sliding_stream",
     "x1_stateful_stream",
+    "w6_chained_windows_stream",
 ]
 
 
