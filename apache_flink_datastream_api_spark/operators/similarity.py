@@ -291,9 +291,94 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- time-series similarity search ------------------------------------------
+# Top-k users whose hourly event-value series is closest (squared
+# euclidean) to a query user's series. Relational decomposition instead of
+# materialized vectors:
+#     dist²(u, q) = Σa² + Σb² − 2·Σ(a·b over shared buckets)
+# so the whole search is three aggregations and one broadcast join on the
+# (tiny) query series — no per-user dense vector, no pivot, no UDF. Sparse
+# by construction: users sharing no bucket with the query contribute
+# Σab = 0. All sums run in DECIMAL (exact, order-independent), cast to
+# double only at the end — hash-identical across engines.
+
+TS_BUCKET_MS = 3_600_000  # 1-hour series buckets
+TS_QUERY_USER = 1
+TS_TOP_K = 10
+
+
+def ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "CAST(value AS DECIMAL(18,6)) AS v"
+    )
+    t0 = ev.agg(F.min("ts_ms").alias("t0"))
+    series = (
+        ev.join(F.broadcast(t0))
+        .selectExpr("user_id", f"(ts_ms - t0) div {TS_BUCKET_MS} AS bucket", "v")
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("v").alias("a"))
+    )
+    q = series.where(F.col("user_id") == TS_QUERY_USER).select(
+        "bucket", F.col("a").alias("b")
+    )
+    sa2 = series.groupBy("user_id").agg(F.sum(F.expr("a * a")).alias("sa2"))
+    sb2 = q.agg(F.sum(F.expr("b * b")).alias("sb2"))
+    ab = (
+        series.join(F.broadcast(q), "bucket")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr("a * b")).alias("ab"))
+    )
+    scored = (
+        sa2.join(F.broadcast(sb2))
+        .join(ab, "user_id", "left")
+        .where(F.col("user_id") != TS_QUERY_USER)
+        .selectExpr(
+            "user_id",
+            "CAST(sa2 + sb2 - 2 * coalesce(ab, 0) AS DOUBLE) AS dist2",
+        )
+    )
+    # Distributed top-k (TakeOrderedAndProject: per-partition heaps, no
+    # global sort); ranking runs after the cut, over TS_TOP_K rows only.
+    top = scored.orderBy("dist2", "user_id").limit(TS_TOP_K)
+    w = Window.orderBy("dist2", "user_id")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+TS_SIMILARITY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+), t0 AS (SELECT MIN(ts_ms) AS t0 FROM ev),
+series AS (
+  SELECT user_id, (ts_ms - t0.t0) // {TS_BUCKET_MS} AS bucket, SUM(v) AS a
+  FROM ev, t0 GROUP BY 1, 2
+), q AS (
+  SELECT bucket, a AS b FROM series WHERE user_id = {TS_QUERY_USER}
+), sa2 AS (
+  SELECT user_id, SUM(a * a) AS sa2 FROM series GROUP BY 1
+), sb2 AS (SELECT SUM(b * b) AS sb2 FROM q),
+ab AS (
+  SELECT s.user_id, SUM(s.a * q.b) AS ab
+  FROM series s JOIN q ON s.bucket = q.bucket GROUP BY 1
+), scored AS (
+  SELECT sa2.user_id,
+         CAST(sa2.sa2 + sb2.sb2 - 2 * COALESCE(ab.ab, 0) AS DOUBLE) AS dist2
+  FROM sa2 CROSS JOIN sb2 LEFT JOIN ab ON ab.user_id = sa2.user_id
+  WHERE sa2.user_id <> {TS_QUERY_USER}
+)
+SELECT user_id, dist2,
+       row_number() OVER (ORDER BY dist2, user_id) AS rank
+FROM scored
+QUALIFY rank <= {TS_TOP_K}
+"""
+
+
 SPECS = [
     QuerySpec("knn_bruteforce_cosine", knn_bruteforce_cosine, KNN_BRUTEFORCE_ORACLE,
               "exact cosine top-k, broadcast query set", ("vector",)),
+    QuerySpec("ts_similarity_topk", ts_similarity_topk, TS_SIMILARITY_ORACLE,
+              "time-series similarity search via relational dist² decomposition",
+              ("vector", "timeseries")),
     QuerySpec("knn_lsh_cosine", knn_lsh_cosine, None,
               "random-hyperplane LSH ANN (approximate; recall pinned by test)",
               ("vector", "lsh")),

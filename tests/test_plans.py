@@ -213,3 +213,17 @@ def test_sessionize_single_shuffle(spark):
     from apache_flink_datastream_api_spark.plans.inspect import exchange_count
 
     assert exchange_count(temporal.q_user_sessions_gap(spark, SF_DIR)) <= 1
+
+
+def test_ts_similarity_distributed_topk(spark):
+    """Time-series search must cut to top-k via per-partition heaps
+    (TakeOrderedAndProject), never a global single-partition sort of all
+    users; the query-series joins broadcast."""
+    from apache_flink_datastream_api_spark.operators import similarity
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    df = similarity.ts_similarity_topk(spark, SF_DIR)
+    plan = explain_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
