@@ -280,6 +280,49 @@ WHERE v.event_type = 'view'
 """
 
 
+# --- J1 semi variant: watermarked LEFT SEMI stream-stream join --------------
+
+def j1_semi_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi watermarked interval join: each view emits AT MOST ONCE,
+    when its first purchase-within-10-minutes arrives — the streaming
+    EXISTS. Matched rows emit immediately (no watermark gating — only
+    null-padded outer rows wait for eviction), carrying left columns only;
+    state on both sides stays watermark-bounded."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .selectExpr("user_id AS v_user", "ts AS v_ts")
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_semi",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.unix_millis("v_ts").alias("view_ts_ms"),
+    )
+    return run_available_now(joined, spark, mode="append")
+
+
+J1_SEMI_STREAM_ORACLE = """
+SELECT v.user_id, epoch_ms(v.ts) AS view_ts_ms
+FROM events v
+WHERE v.event_type = 'view'
+  AND EXISTS (SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTES)
+"""
+
+
 # --- J1 full-outer variant --------------------------------------------------
 
 def j1_full_outer_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +749,9 @@ SPECS = [
               ("streaming", "dedup")),
     QuerySpec("j1_outer_stream_join", j1_outer_stream_join, J1_OUTER_STREAM_ORACLE,
               "left-outer watermarked interval join, watermark-gated null rows",
+              ("streaming", "join")),
+    QuerySpec("j1_semi_stream_join", j1_semi_stream_join, J1_SEMI_STREAM_ORACLE,
+              "left-semi watermarked interval join (streaming EXISTS)",
               ("streaming", "join")),
     QuerySpec("j1_full_outer_stream_join", j1_full_outer_stream_join,
               J1_FULL_OUTER_STREAM_ORACLE,

@@ -51,6 +51,7 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "knn_lsh_cosine",
     "knn_ivf_cosine",
+    "ts_similarity_topk",
     "tpch_q18_large_volume",
     "tpch_q19_bracket_revenue",
     "tpch_q7_nation_volume",

@@ -28,6 +28,13 @@ REPRESENTATIVES = [
     "knn_bruteforce_cosine",
     "pipeline_clean_corpus",
     "json_source_roundtrip",
+    # training-prep: sharded prefix sum + broadcast fingerprint join
+    "pipeline_pack_sequences",
+    "pipeline_decontaminate",
+    # decimal-decomposed time-series distance + distributed top-k
+    "ts_similarity_topk",
+    # last-writer-wins merge through a sink roundtrip
+    "merge_upsert_roundtrip",
 ]
 
 
