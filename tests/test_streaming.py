@@ -386,3 +386,53 @@ def test_chained_windows_batching_invariant(spark, chunked_events_dir):
     three = run(1)
     assert one == three
     assert len(one) > 0
+
+
+def test_state_restored_across_query_restart(spark):
+    """Stop/restart durability: a second run over the SAME checkpoint must
+    (a) not reprocess the first run's files and (b) restore keyed state —
+    proven by an alert whose two deletes straddle the restart, which can
+    only fire from restored last-delete state."""
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+    t0 = 1_700_000_000_000
+    with open(os.path.join(src, "f0.csv"), "w") as fh:
+        fh.write(f"1,7,error,{t0}\n")
+        fh.write(f"2,7,error,{t0 + 5000}\n")
+
+    def run_once(name):
+        stream = (
+            spark.readStream.schema(CHUNK_SCHEMA).csv(src)
+            .where(F.col("event_type") == "error")
+        )
+        got = []
+
+        def sink(df, _):
+            got.extend((r.user_id, r.diff_ms) for r in df.collect())
+
+        q = (
+            interval_alerts(stream, 10_000)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return set(got)
+
+    first = run_once("restart_run1")
+    assert first == {(7, 5000)}
+
+    with open(os.path.join(src, "f1.csv"), "w") as fh:
+        fh.write(f"3,7,error,{t0 + 12_000}\n")
+        fh.write(f"4,7,error,{t0 + 15_000}\n")
+
+    second = run_once("restart_run2")
+    # 7000 spans the restart: requires last_ts from the restored state.
+    # f0's alert must NOT reappear (its batch is committed in the log).
+    assert second == {(7, 7000), (7, 3000)}
+    shutil.rmtree(src)
+    shutil.rmtree(ckpt)
