@@ -436,3 +436,62 @@ def test_state_restored_across_query_restart(spark):
     assert second == {(7, 7000), (7, 3000)}
     shutil.rmtree(src)
     shutil.rmtree(ckpt)
+
+
+def test_streaming_upsert_snapshot_sink(spark):
+    """Incremental view maintenance: a streaming per-user aggregate
+    foreachBatch-merged into a parquet snapshot (last-writer-wins on the
+    key) must converge to the batch answer — the streaming upsert sink
+    every serving layer needs when no table format is available."""
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="upsert_src_")
+    snap = os.path.join(tempfile.mkdtemp(prefix="upsert_snap_"), "totals")
+    rows = [(i, f"u{i % 3}", 10 * (i + 1)) for i in range(30)]
+    for chunk in range(3):
+        with open(os.path.join(src, f"f{chunk}.csv"), "w") as fh:
+            for i, u, d in rows[chunk * 10 : (chunk + 1) * 10]:
+                fh.write(f"{i},{u},{d}\n")
+
+    def merge_batch(batch_df, _):
+        updates = batch_df.groupBy("user").agg(
+            F.sum("duration").alias("delta")
+        )
+        try:
+            current = spark.read.parquet(snap).withColumnRenamed("total", "old")
+        except Exception:
+            current = None
+        if current is None:
+            merged = updates.selectExpr("user", "delta AS total")
+        else:
+            merged = (
+                current.join(updates, "user", "full_outer")
+                .selectExpr(
+                    "user",
+                    "coalesce(old, 0) + coalesce(delta, 0) AS total",
+                )
+            )
+        out = merged.collect()  # tiny snapshot; rewrite atomically
+        spark.createDataFrame(out, "user string, total bigint").coalesce(1) \
+            .write.mode("overwrite").parquet(snap)
+
+    stream = (
+        spark.readStream.schema("id long, user string, duration long")
+        .option("maxFilesPerTrigger", 1)
+        .csv(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r.user, r.total) for r in spark.read.parquet(snap).collect()}
+    want = {
+        (u, sum(d for _, uu, d in rows if uu == u))
+        for u in {"u0", "u1", "u2"}
+    }
+    assert got == want
+    shutil.rmtree(src)
