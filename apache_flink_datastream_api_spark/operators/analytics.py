@@ -342,7 +342,59 @@ FROM events
 """
 
 
+# --- time-hierarchy rollup (hypertable continuous-aggregate shape) ---------
+# Hour, day, and all-time aggregates per event_type from ONE scan and ONE
+# Expand+shuffle (grouping sets over derived time buckets) — the
+# continuous-aggregate maintenance query a time-series store runs. NULL
+# grouping level is disambiguated by an explicit grain column (grouping()
+# bitmask), since hour=NULL is also a legitimate value domain at coarser
+# grains.
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(floor(unix_millis(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms",
+        "CAST(floor(unix_millis(ts) / 86400000) AS BIGINT) * 86400000 AS day_ms",
+        "CAST(value AS DECIMAL(18,6)) AS v",
+    )
+    return (
+        e.groupingSets(
+            [["event_type", "day_ms", "hour_ms"], ["event_type", "day_ms"],
+             ["event_type"]],
+            "event_type", "day_ms", "hour_ms",
+        )
+        .agg(
+            F.expr("CAST(grouping(day_ms) * 2 + grouping(hour_ms) AS INT)").alias(
+                "grain"
+            ),
+            F.count("*").alias("cnt"),
+            F.sum("v").cast("double").alias("total"),
+        )
+        .select("event_type", "day_ms", "hour_ms", "grain", "cnt", "total")
+    )
+
+
+Q_TIME_ROLLUP_ORACLE = """
+SELECT event_type, day_ms, hour_ms,
+       CAST(GROUPING(day_ms) * 2 + GROUPING(hour_ms) AS INT) AS grain,
+       COUNT(*) AS cnt,
+       CAST(SUM(v) AS DOUBLE) AS total
+FROM (
+  SELECT event_type,
+         CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms,
+         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) * 86400000 AS day_ms,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+GROUP BY GROUPING SETS ((event_type, day_ms, hour_ms), (event_type, day_ms),
+                        (event_type))
+"""
+
+
 SPECS = [
+    QuerySpec("q_time_rollup", q_time_rollup, Q_TIME_ROLLUP_ORACLE,
+              "hour/day/all-time continuous-aggregate rollup, one Expand pass",
+              ("analytics", "rollup", "timeseries")),
     QuerySpec("tpch_q7_nation_volume", tpch_q7, TPCH_Q7_ORACLE,
               "nation-pair shipping volume by year; 2 broadcast dims + fact-fact join",
               ("relational", "join")),
