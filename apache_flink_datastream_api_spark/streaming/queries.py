@@ -671,6 +671,59 @@ SELECT user_id, COUNT(*) AS cnt FROM events WHERE event_id < {S1_LIMIT} GROUP BY
 """
 
 
+# --- stream-stream join feeding a windowed aggregation ----------------------
+
+def j2_join_then_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stateful combo: a watermarked interval join whose matches
+    feed a windowed aggregation in the SAME query — hourly conversion
+    counts, end to end through two state stores. Matches emit immediately;
+    the downstream append window finalizes at the joint watermark
+    (min over both inputs' max ts, minus the delay) — the oracle applies
+    that cutoff."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .selectExpr("user_id AS v_user", "ts AS v_ts")
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    agg = (
+        joined.groupBy(F.window("v_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_conversions"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"), "n_conversions"
+        )
+    )
+    return run_available_now(agg, spark, mode="append")
+
+
+J2_JOIN_WINDOW_ORACLE = """
+WITH wm AS (
+  SELECT least((SELECT max(epoch_ms(ts)) FROM events WHERE event_type='view'),
+               (SELECT max(epoch_ms(ts)) FROM events WHERE event_type='purchase'))
+         - 3600000 AS w
+)
+SELECT CAST(floor(epoch_ms(v.ts)/3600000) AS BIGINT)*3600000 AS window_start_ms,
+       COUNT(*) AS n_conversions
+FROM events v JOIN events p
+  ON v.event_type='view' AND p.event_type='purchase' AND p.user_id=v.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 10 MINUTES, wm
+GROUP BY 1, wm.w
+HAVING window_start_ms + 3600000 <= wm.w
+"""
+
+
 # --- chained stateful aggregations (multi-stateful append pipeline) ---------
 
 CHAIN_DELAY_MS = 30 * 60 * 1000  # 30-minute watermark delay
@@ -764,4 +817,8 @@ SPECS = [
               W6_CHAINED_ORACLE,
               "two chained stateful window aggs in one append pipeline",
               ("streaming", "window", "stateful")),
+    QuerySpec("j2_join_then_window_stream", j2_join_then_window_stream,
+              J2_JOIN_WINDOW_ORACLE,
+              "interval join feeding a windowed agg, one multi-stateful query",
+              ("streaming", "join", "window")),
 ]

@@ -388,6 +388,48 @@ def test_chained_windows_batching_invariant(spark, chunked_events_dir):
     assert len(one) > 0
 
 
+def test_join_then_window_batching_invariant(spark, chunked_events_dir):
+    """j2: a watermarked interval join feeding an append windowed agg
+    (two state stores in one query) must produce the same finalized
+    windows whether the input replays as 1 micro-batch or 3."""
+    def run(max_files):
+        stream = (
+            spark.readStream.schema(CHUNK_SCHEMA)
+            .option("maxFilesPerTrigger", max_files)
+            .csv(chunked_events_dir)
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        views = (
+            stream.where(F.col("event_type") == "view")
+            .selectExpr("user_id AS v_user", "ts AS v_ts")
+            .withWatermark("v_ts", "30 minutes")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .selectExpr("user_id AS p_user", "ts AS p_ts")
+            .withWatermark("p_ts", "30 minutes")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        agg = (
+            joined.groupBy(F.window("v_ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_millis("w.start").alias("ws"), "n")
+        )
+        return _sorted_rows(
+            run_available_now(agg, spark, mode="append"), ["ws", "n"]
+        )
+
+    one = run(1000)
+    three = run(1)
+    assert one == three
+    assert len(one) > 0
+
+
 def test_state_restored_across_query_restart(spark):
     """Stop/restart durability: a second run over the SAME checkpoint must
     (a) not reprocess the first run's files and (b) restore keyed state —
