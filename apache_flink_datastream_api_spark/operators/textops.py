@@ -362,3 +362,201 @@ SPECS += [
               "BM25-style ranked retrieval, ln-free deterministic scoring",
               ("text", "search")),
 ]
+
+
+# --- repetition metrics (Gopher-style quality signals) -----------------------
+# Per-doc repetition diagnostics as used by large-corpus quality filters
+# (duplicate-token and duplicate-bigram fractions): unigram and bigram
+# multiplicity via explode -> two-level agg (map-side combine on both
+# levels), joined on doc_id. Ratios are single IEEE divisions of small
+# exact integers — bit-identical across engines. At 100 TB both aggs are
+# keyed on doc_id (no hot keys by construction) and AQE-coalesced.
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    uni = (
+        docs.selectExpr("doc_id", f"explode({TOKS_S}) AS token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_cnt"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    from ..functions.text import shingles_spark
+
+    bi = (
+        docs.selectExpr("doc_id", f"explode({shingles_spark(TOKS_S, 2)}) AS bg")
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.count("*").alias("nd_bigrams"))
+    )
+    return uni.join(bi, "doc_id").selectExpr(
+        "doc_id",
+        "n_tokens",
+        "CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio",
+        "CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac",
+        "1.0 - CAST(nd_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac",
+    )
+
+
+from ..functions.text import shingles_duck as _sh2_duck  # noqa: E402
+
+TEXT_REPETITION_ORACLE = f"""
+WITH uni2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_cnt, COUNT(*) AS n_distinct
+  FROM (SELECT doc_id, token, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({TOKS_D}) AS token FROM documents)
+        GROUP BY doc_id, token)
+  GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, COUNT(*) AS nd_bigrams
+  FROM (SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({_sh2_duck(TOKS_D, 2)}) AS bg FROM documents)
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_tokens,
+       CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS distinct_ratio,
+       CAST(u.top_cnt AS DOUBLE) / u.n_tokens AS top_token_frac,
+       1.0 - CAST(b.nd_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac
+FROM uni2 u JOIN bi b USING (doc_id)
+"""
+
+
+# --- Gopher-style rule filter ------------------------------------------------
+# Multi-rule corpus filter with per-rule diagnostics (the shape used by
+# Gopher/C4-style cleaning): each rule is a boolean column, `keep` is their
+# conjunction — so downstream can both filter AND audit which rule fired.
+# Thresholds chosen to split THIS corpus (tokens 10-99, top-frac .05-.30,
+# distinct .28-1.0, stopword 0-.22) so both outcomes occur.
+
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 20, 1000
+GOPHER_MAX_TOP_FRAC = "0.15"
+GOPHER_MIN_DISTINCT = "0.4"
+GOPHER_MIN_STOPWORD = "0.02"
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep = text_repetition(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sw = docs.selectExpr(
+        "doc_id",
+        f"CAST({X.count_in_list_spark(TOKS_S, X.STOPWORDS)} AS DOUBLE)"
+        f" / size({TOKS_S}) AS stopword_frac",
+    )
+    return rep.join(sw, "doc_id").selectExpr(
+        "doc_id",
+        f"n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS pass_len",
+        f"top_token_frac <= {GOPHER_MAX_TOP_FRAC} AS pass_top_frac",
+        f"distinct_ratio >= {GOPHER_MIN_DISTINCT} AS pass_distinct",
+        f"stopword_frac >= {GOPHER_MIN_STOPWORD} AS pass_stopword",
+        f"n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}"
+        f" AND top_token_frac <= {GOPHER_MAX_TOP_FRAC}"
+        f" AND distinct_ratio >= {GOPHER_MIN_DISTINCT}"
+        f" AND stopword_frac >= {GOPHER_MIN_STOPWORD} AS keep",
+    )
+
+
+TEXT_GOPHER_ORACLE = f"""
+WITH uni2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_cnt, COUNT(*) AS n_distinct
+  FROM (SELECT doc_id, token, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({TOKS_D}) AS token FROM documents)
+        GROUP BY doc_id, token)
+  GROUP BY doc_id
+), rep AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+         CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac
+  FROM uni2
+), sw AS (
+  SELECT doc_id,
+         CAST({X.count_in_list_duck(TOKS_D, X.STOPWORDS)} AS DOUBLE)
+         / len({TOKS_D}) AS stopword_frac
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS} AS pass_len,
+       top_token_frac <= {GOPHER_MAX_TOP_FRAC} AS pass_top_frac,
+       distinct_ratio >= {GOPHER_MIN_DISTINCT} AS pass_distinct,
+       stopword_frac >= {GOPHER_MIN_STOPWORD} AS pass_stopword,
+       n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+       AND top_token_frac <= {GOPHER_MAX_TOP_FRAC}
+       AND distinct_ratio >= {GOPHER_MIN_DISTINCT}
+       AND stopword_frac >= {GOPHER_MIN_STOPWORD} AS keep
+FROM rep JOIN sw USING (doc_id)
+"""
+
+
+# --- PII redaction -----------------------------------------------------------
+# Regex redaction of emails and phone numbers — the standard pre-training
+# scrub pass. The synthetic corpus contains no PII, so each doc is prefixed
+# with a DETERMINISTIC contact line derived from doc_id (both engines build
+# the identical payload); the redactor then provably rewrites it. Patterns
+# are kept to the Java-regex ∩ RE2 common subset so Spark and DuckDB agree.
+# Pure regexp_replace/extract_all: whole-stage codegen, zero shuffle —
+# scan-speed at 100 TB.
+
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = (
+        "concat('contact u', CAST(doc_id AS STRING), '@mail.example or call 555-', "
+        "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ', text)"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"size(regexp_extract_all({payload}, '{PII_EMAIL_RE}', 0)) AS n_emails",
+        f"size(regexp_extract_all({payload}, '{PII_PHONE_RE}', 0)) AS n_phones",
+        f"regexp_replace(regexp_replace({payload}, '{PII_EMAIL_RE}', '<EMAIL>'), "
+        f"'{PII_PHONE_RE}', '<PHONE>') AS redacted",
+    ).selectExpr(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "length(redacted) AS redacted_len",
+        "substring(redacted, 1, 48) AS redacted_head",
+    )
+
+
+TEXT_PII_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         concat('contact u', CAST(doc_id AS VARCHAR), '@mail.example or call 555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ', text) AS payload
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(payload, '{PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(payload, '{PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(payload, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM p
+)
+SELECT doc_id, n_emails, n_phones,
+       length(redacted) AS redacted_len,
+       substring(redacted, 1, 48) AS redacted_head
+FROM r
+"""
+
+
+SPECS += [
+    QuerySpec("text_repetition", text_repetition, TEXT_REPETITION_ORACLE,
+              "duplicate-token / duplicate-bigram repetition diagnostics",
+              ("text", "quality")),
+    QuerySpec("text_gopher_filter", text_gopher_filter, TEXT_GOPHER_ORACLE,
+              "multi-rule quality filter with per-rule audit flags",
+              ("text", "quality")),
+    QuerySpec("text_pii_redact", text_pii_redact, TEXT_PII_ORACLE,
+              "regex PII redaction (emails/phones) over constructed payloads",
+              ("text", "quality")),
+]
