@@ -513,3 +513,104 @@ SPECS += [
     QuerySpec("q_priciest_order_per_status", q_priciest_order_per_status, Q_ARGMAX_ORACLE,
               "max_by/min_by single-pass argmax aggregates", ("relational",)),
 ]
+
+
+# --- portable second-moment statistics ---------------------------------------
+# Sample variance / correlation / regression slope per group WITHOUT
+# engine-native var_samp/corr (whose float accumulation is partition-order
+# dependent): all moments are computed as EXACT integer sums over
+# hundredth-scaled values (Spark DECIMAL(38,0), DuckDB HUGEINT — both
+# exact int128-class arithmetic), then combined with the textbook
+# n·Σxy − Σx·Σy identities and ONE final cast-to-double + round(6).
+# Distributed sums of integers are order-independent, so a 1000-executor
+# partial-agg plan agrees bit-for-bit with a single thread. Magnitudes:
+# cents² ≤ 1e14, ×1e12 rows × n ≈ 1e38 — inside 38-digit headroom even at
+# 100 TB group sizes.
+
+def q_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "CAST(l_quantity AS DECIMAL(38,0)) AS x",
+        "CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS y",
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return m.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n_items",
+        "round(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) AS var_qty",
+        "round(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 6) AS var_price",
+        "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price",
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_price_per_qty",
+    )
+
+
+Q_PORTABLE_STATS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(l_quantity AS HUGEINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+         SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice * 100) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+         SUM(CAST(l_quantity AS HUGEINT) * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_items,
+       round(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) AS var_qty,
+       round(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 6) AS var_price,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_price_per_qty
+FROM m
+"""
+
+
+# --- fixed-width histogram ---------------------------------------------------
+# Value-distribution histogram over events.value (width-50 buckets):
+# bucket id from ONE IEEE division+floor (bit-identical across engines —
+# no accumulation), then a plain codegen'd count/min/max groupBy. The
+# canonical "describe a 100 TB column" primitive: single scan, partial
+# aggs, ~10 output rows.
+
+HIST_WIDTH = 50
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.selectExpr(f"CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket", "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .selectExpr(f"bucket * {HIST_WIDTH}.0 AS bucket_lo", "n", "lo", "hi")
+    )
+
+
+Q_VALUE_HISTOGRAM_ORACLE = f"""
+SELECT bucket * {HIST_WIDTH}.0 AS bucket_lo, COUNT(*) AS n,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM (SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket, value FROM events)
+GROUP BY bucket
+"""
+
+
+SPECS += [
+    QuerySpec("q_portable_stats", q_portable_stats, Q_PORTABLE_STATS_ORACLE,
+              "exact-integer-moment variance/corr/slope, order-independent",
+              ("analytics", "stats")),
+    QuerySpec("q_value_histogram", q_value_histogram, Q_VALUE_HISTOGRAM_ORACLE,
+              "fixed-width histogram with per-bucket min/max",
+              ("analytics", "stats")),
+]

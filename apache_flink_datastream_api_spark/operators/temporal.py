@@ -401,3 +401,70 @@ SPECS += [
               "cohort retention triangle, exchange-reusing double aggregate",
               ("temporal",)),
 ]
+
+
+# --- OHLC bars (time-series downsampling) -----------------------------------
+# Open/high/low/close per (event_type, hour) — the classic tick→bar
+# downsample. Open/close are argmin/argmax by (ts, event_id) — an EXPLICIT
+# portable tie-break, since ts has duplicates and engine-native first()/
+# arg_max() tie behavior differs. Plan shape: ONE shuffle on the bar key
+# (window partitioning), both row_number passes and the final groupBy
+# reuse that partitioning (two in-partition sorts, zero extra exchanges) —
+# at 100 TB this is a single repartition of the tick stream, and values
+# pass through un-accumulated so doubles stay exact.
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(floor(unix_millis(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms",
+        "unix_millis(ts) AS ts_ms",
+        "event_id",
+        "value",
+    )
+    keys = ("event_type", "hour_ms")
+    asc = Window.partitionBy(*keys).orderBy(F.asc("ts_ms"), F.asc("event_id"))
+    desc = Window.partitionBy(*keys).orderBy(F.desc("ts_ms"), F.desc("event_id"))
+    return (
+        ev.select(
+            "*",
+            F.row_number().over(asc).alias("rn_a"),
+            F.row_number().over(desc).alias("rn_d"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.max(F.expr("CASE WHEN rn_a = 1 THEN value END")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.expr("CASE WHEN rn_d = 1 THEN value END")).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q_OHLC_ORACLE = """
+WITH t AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) * 3600000 AS hour_ms,
+         epoch_ms(ts) AS ts_ms, event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour_ms ORDER BY ts_ms, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour_ms ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+  FROM t
+)
+SELECT event_type, hour_ms,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r GROUP BY event_type, hour_ms
+"""
+
+
+SPECS += [
+    QuerySpec("q_ohlc_bars", q_ohlc_bars, Q_OHLC_ORACLE,
+              "tick-to-bar OHLC downsampling, one-shuffle argmin/argmax",
+              ("temporal", "timeseries")),
+]

@@ -274,3 +274,67 @@ SPECS = [
               "concat-and-chop packing via two-pass distributed prefix sum",
               ("pipeline", "trainprep")),
 ]
+
+
+# --- per-source quota sampling ----------------------------------------------
+
+QUOTA_BUDGET = 4_000  # chars per source — binds on every source (totals 6.3-8.6k)
+QUOTA_SHARD = 200      # doc_id range per prefix-sum shard
+
+
+def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source at a character budget, keeping docs in doc_id
+    (priority) order until the running total would exceed the quota — the
+    "N tokens per domain" cap every mixture recipe needs.
+
+    Same two-pass sharded prefix sum as ``pipeline_pack_sequences`` but
+    keyed per source: in-shard cumsum, then per-(source, shard) subtotals
+    (driver-scale) cumsum'd and broadcast back. No single-task global
+    window, so the cap is computable over a 100 TB source without
+    funneling it through one partition.
+    """
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        f"CAST(floor(doc_id / {QUOTA_SHARD}) AS BIGINT) AS shard",
+    )
+    in_shard = Window.partitionBy("source", "shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = docs.withColumn("local_cum", F.sum("n_chars").over(in_shard))
+    shard_w = Window.partitionBy("source").orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = (
+        docs.groupBy("source", "shard")
+        .agg(F.sum("n_chars").alias("shard_chars"))
+        .withColumn("base", F.coalesce(F.sum("shard_chars").over(shard_w), F.lit(0)))
+        .select("source", "shard", "base")
+    )
+    return (
+        local.join(F.broadcast(bases), ["source", "shard"])
+        .selectExpr("doc_id", "source", "n_chars", "base + local_cum AS cum_chars")
+        .where(F.col("cum_chars") <= QUOTA_BUDGET)
+    )
+
+
+QUOTA_ORACLE = f"""
+SELECT doc_id, source, n_chars, cum_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_chars
+  FROM documents
+)
+WHERE cum_chars <= {QUOTA_BUDGET}
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_quota_sample", pipeline_quota_sample, QUOTA_ORACLE,
+              "per-source char-budget cap via sharded distributed prefix sum",
+              ("pipeline", "trainprep")),
+]

@@ -35,6 +35,14 @@ REPRESENTATIVES = [
     "ts_similarity_topk",
     # last-writer-wins merge through a sink roundtrip
     "merge_upsert_roundtrip",
+    # exact integer-moment statistics (the order-independence claim itself)
+    "q_portable_stats",
+    # argmin/argmax-by-(ts,id) tie-breaks under different partitionings
+    "q_ohlc_bars",
+    # sharded per-source prefix sum + budget cutoff
+    "pipeline_quota_sample",
+    # two-level explode-agg join (repetition diagnostics)
+    "text_repetition",
 ]
 
 

@@ -227,3 +227,42 @@ def test_ts_similarity_distributed_topk(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert_no_cartesian(df)
     assert_broadcast_join(df)
+
+
+def test_ohlc_single_shuffle(spark):
+    """Both row_number passes and the final groupBy reuse ONE exchange on
+    the bar key — the desc sort and the agg must not re-shuffle."""
+    from apache_flink_datastream_api_spark.plans.inspect import exchange_count
+
+    df = temporal.q_ohlc_bars(spark, SF_DIR)
+    assert exchange_count(df) == 1
+
+
+def test_quota_sample_broadcasts_shard_bases(spark):
+    """The per-(source, shard) base offsets are driver-scale and must come
+    back as a broadcast join, not a shuffle join."""
+    from apache_flink_datastream_api_spark.operators import trainprep
+
+    df = trainprep.pipeline_quota_sample(spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_portable_stats_single_shuffle(spark):
+    """All six moments come from ONE partial-agg pass over lineitem."""
+    from apache_flink_datastream_api_spark.operators import analytics
+    from apache_flink_datastream_api_spark.plans.inspect import exchange_count
+
+    df = analytics.q_portable_stats(spark, SF_DIR)
+    assert exchange_count(df) == 1
+
+
+def test_histogram_prunes_events(spark):
+    """The histogram reads only `value` and aggregates in one pass."""
+    from apache_flink_datastream_api_spark.operators import analytics
+    from apache_flink_datastream_api_spark.plans.inspect import exchange_count
+
+    df = analytics.q_value_histogram(spark, SF_DIR)
+    assert_read_schema_excludes(df, "events", "props")
+    assert_read_schema_excludes(df, "events", "user_id")
+    assert exchange_count(df) == 1
