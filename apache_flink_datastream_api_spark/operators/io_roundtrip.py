@@ -359,3 +359,60 @@ SPECS = [
               "PERMISSIVE corrupt-record quarantine on malformed JSON",
               ("io", "source")),
 ]
+
+
+# --- binary-file source (multimodal ingestion path) --------------------------
+
+BINARY_LIMIT = 100
+
+
+def binary_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents slice → one file per doc (text sink partitioned by
+    doc_id, all executor-side — no driver loop) → read back through the
+    ``binaryFile`` source → byte-level stats.
+
+    This is the ingestion path for opaque image/audio/video blobs
+    (operators/multimodal.py): binaryFile yields (path, length, content)
+    with content as raw bytes. The aggregate checks BOTH the file-size
+    metadata column and the actual fetched content bytes, so truncated or
+    re-encoded reads break the match. Text-sink rows gain one trailing
+    newline per doc — the oracle adds it explicitly."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < BINARY_LIMIT)
+        .select("text", "doc_id")
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="bin_src_"), "docs")
+    src.write.mode("overwrite").partitionBy("doc_id").text(out_dir)
+
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(out_dir)
+    )
+    return back.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("length")).alias("meta_bytes"),
+        F.sum(F.length("content")).alias("content_bytes"),
+        F.min(F.length("content")).alias("min_bytes"),
+        F.max(F.length("content")).alias("max_bytes"),
+    )
+
+
+BINARY_ROUNDTRIP_ORACLE = f"""
+SELECT COUNT(*) AS n_files,
+       CAST(SUM(strlen(text) + 1) AS BIGINT) AS meta_bytes,
+       CAST(SUM(strlen(text) + 1) AS BIGINT) AS content_bytes,
+       MIN(strlen(text) + 1) AS min_bytes,
+       MAX(strlen(text) + 1) AS max_bytes
+FROM documents WHERE doc_id < {BINARY_LIMIT}
+"""
+
+
+SPECS += [
+    QuerySpec("binary_source_roundtrip", binary_source_roundtrip,
+              BINARY_ROUNDTRIP_ORACLE,
+              "per-doc binary files through the binaryFile source, byte-exact",
+              ("io", "multimodal")),
+]

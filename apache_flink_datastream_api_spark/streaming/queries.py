@@ -724,6 +724,44 @@ HAVING window_start_ms + 3600000 <= wm.w
 """
 
 
+# --- complete-mode running top-k --------------------------------------------
+
+TOPK_N = 10
+
+
+def r1_running_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running top-k leaderboard: per-user purchase totals ranked and
+    truncated INSIDE the streaming query (sort+limit are only legal in
+    complete mode, where each micro-batch re-emits the whole result
+    table). Totals accumulate in DECIMAL so the running state is
+    partition-order independent; the final table after the last batch is
+    batching-invariant and equals the batch answer — the oracle."""
+    ev = _events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    ranked = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_dec"),
+            F.count("*").alias("n_purchases"),
+        )
+        .selectExpr(
+            "user_id", "CAST(total_dec AS DOUBLE) AS total", "n_purchases"
+        )
+        .orderBy(F.desc("total"), F.asc("user_id"))
+        .limit(TOPK_N)
+    )
+    return run_available_now(ranked, spark, mode="complete")
+
+
+R1_TOPK_ORACLE = f"""
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       COUNT(*) AS n_purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total DESC, user_id LIMIT {TOPK_N}
+"""
+
+
 # --- chained stateful aggregations (multi-stateful append pipeline) ---------
 
 CHAIN_DELAY_MS = 30 * 60 * 1000  # 30-minute watermark delay
@@ -817,6 +855,10 @@ SPECS = [
               W6_CHAINED_ORACLE,
               "two chained stateful window aggs in one append pipeline",
               ("streaming", "window", "stateful")),
+    QuerySpec("r1_running_topk_stream", r1_running_topk_stream,
+              R1_TOPK_ORACLE,
+              "complete-mode ranked top-k leaderboard, decimal-exact totals",
+              ("streaming", "rank")),
     QuerySpec("j2_join_then_window_stream", j2_join_then_window_stream,
               J2_JOIN_WINDOW_ORACLE,
               "interval join feeding a windowed agg, one multi-stateful query",
