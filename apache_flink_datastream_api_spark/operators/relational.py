@@ -765,3 +765,57 @@ SPECS = [
               "correlated scalar subquery via spark.sql, decorrelated",
               ("relational", "sql")),
 ]
+
+
+# --- share-of-total (ratio_to_report) ---------------------------------------
+# Per-nation revenue share of the global total. Aggregate FIRST (fact
+# shuffles once on custkey), then the share is a window-sum over the ~25
+# aggregated rows — the global window costs nothing because it runs on
+# dim-cardinality data, never on the fact table. Shares are one rounded
+# division of exact decimal sums.
+
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "CAST(o_totalprice AS DECIMAL(18,2)) AS price"
+    )
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("price").alias("revenue"))
+    )
+    from pyspark.sql import Window as W
+
+    total = W.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / F.sum("revenue").over(total).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+Q_REVENUE_SHARE_ORACLE = """
+WITH per_nation AS (
+  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(revenue AS DOUBLE) AS revenue,
+       round(CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS share
+FROM per_nation
+"""
+
+
+SPECS += [
+    QuerySpec("q_revenue_share", q_revenue_share, Q_REVENUE_SHARE_ORACLE,
+              "ratio-to-report: per-nation revenue share, window over aggregated dims",
+              ("relational", "window")),
+]

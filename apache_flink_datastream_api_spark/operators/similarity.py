@@ -386,3 +386,44 @@ SPECS = [
               "IVF coarse-quantizer ANN (approximate; recall pinned by test)",
               ("vector", "ivf")),
 ]
+
+
+# --- int8 scalar quantization ------------------------------------------------
+# The standard ANN-index compression step (4x smaller vectors): each float
+# element → floor(x·127) in int8 range. Exactness argument: float32→double
+# is exact, one IEEE multiply + floor is deterministic, and all emitted
+# stats are INTEGER sums over the quantized values — so a 1000-way
+# partitioned run agrees bit-for-bit with the oracle. Higher-order array
+# expressions only (codegen, no UDF, no shuffle — scan-speed at 100 TB).
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+    return emb.selectExpr(
+        "vec_id",
+        "label",
+        f"aggregate({q}, 0L, (a, b) -> a + b) AS q_sum",
+        f"aggregate({q}, 0L, (a, b) -> a + b * b) AS q_sumsq",
+        f"size(filter({q}, v -> v < -128 OR v > 127)) AS n_clipped",
+    )
+
+
+EMB_QUANTIZE_ORACLE = """
+SELECT vec_id, label,
+       list_sum(list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))) AS q_sum,
+       list_sum(list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT)
+                * CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))) AS q_sumsq,
+       len(list_filter(list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT)),
+           v -> v < -128 OR v > 127)) AS n_clipped
+FROM embeddings
+"""
+
+
+SPECS += [
+    QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_QUANTIZE_ORACLE,
+              "int8 scalar quantization of embeddings, integer-exact stats",
+              ("similarity", "ann")),
+]

@@ -468,3 +468,55 @@ SPECS += [
               "tick-to-bar OHLC downsampling, one-shuffle argmin/argmax",
               ("temporal", "timeseries")),
 ]
+
+
+# --- SCD2 versioned dimension build ------------------------------------------
+# CDC-style change capture: collapse each user's event history into
+# versioned (state, valid_from, valid_to] rows — a new version whenever
+# event_type changes, valid_to = next version's start - 1 (open version:
+# -1 sentinel). All integer epoch-ms arithmetic; lag/lead share ONE
+# shuffle+sort on user. The classic "build a slowly-changing dimension
+# from a change log" op — at 100 TB it's one repartition of the log.
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(w2).alias("version"),
+        F.col("ts_ms").alias("valid_from_ms"),
+        F.coalesce(F.lead("ts_ms").over(w2) - 1, F.lit(-1)).alias("valid_to_ms"),
+    )
+
+
+Q_SCD2_ORACLE = """
+WITH log AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts_ms, event_id FROM log
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       ROW_NUMBER() OVER w AS version,
+       ts_ms AS valid_from_ms,
+       COALESCE(lead(ts_ms) OVER w - 1, -1) AS valid_to_ms
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+"""
+
+
+SPECS += [
+    QuerySpec("q_scd2_user_state", q_scd2_user_state, Q_SCD2_ORACLE,
+              "SCD2 dimension from a change log: versions + validity intervals",
+              ("temporal", "cdc")),
+]
