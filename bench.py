@@ -76,6 +76,16 @@ HEADLINE = [
     "w3_sliding_stream",
     "x1_stateful_stream",
     "w6_chained_windows_stream",
+    "j2_join_then_window_stream",
+    # corpus quality + stats + time-series additions
+    "text_repetition",
+    "text_pii_redact",
+    "q_portable_stats",
+    "q_value_histogram",
+    "q_ohlc_bars",
+    "pipeline_quota_sample",
+    "emb_quantize_int8",
+    "q_scd2_user_state",
 ]
 
 
