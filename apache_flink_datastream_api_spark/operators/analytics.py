@@ -614,3 +614,101 @@ SPECS += [
               "fixed-width histogram with per-bucket min/max",
               ("analytics", "stats")),
 ]
+
+
+# --- rolling distinct users (WAU) --------------------------------------------
+# 7-day rolling COUNT DISTINCT per day — the rolling-MAU/WAU shape. COUNT
+# DISTINCT isn't a window function over RANGE frames in either engine, so
+# the portable (and scale-right) plan is: reduce the log to distinct
+# (day, user) pairs FIRST (one shuffle, massive reduction at 100 TB),
+# broadcast the tiny day spine, range-join pairs onto it, then count
+# distinct per anchor day. The fact table is scanned once.
+
+WAU_WINDOW_DAYS = 7
+
+
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "CAST(floor(unix_millis(ts) / 86400000) AS BIGINT) AS day", "user_id"
+    )
+    daily = ev.distinct()
+    days = daily.select("day").distinct()
+    anchors = days.selectExpr("day AS anchor_day")
+    rolled = daily.join(
+        F.broadcast(anchors),
+        (F.col("day") <= F.col("anchor_day"))
+        & (F.col("day") > F.col("anchor_day") - WAU_WINDOW_DAYS),
+    )
+    wau = rolled.groupBy("anchor_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        wau.join(dau, wau.anchor_day == dau.day)
+        .selectExpr("anchor_day * 86400000 AS day_ms", "dau", "wau")
+    )
+
+
+Q_ROLLING_WAU_ORACLE = f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day, user_id
+  FROM events
+), anchors AS (SELECT DISTINCT day AS anchor_day FROM daily),
+wau AS (
+  SELECT anchor_day, COUNT(DISTINCT user_id) AS wau
+  FROM daily JOIN anchors
+    ON day <= anchor_day AND day > anchor_day - {WAU_WINDOW_DAYS}
+  GROUP BY anchor_day
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day)
+SELECT anchor_day * 86400000 AS day_ms, dau, wau
+FROM wau JOIN dau ON anchor_day = day
+"""
+
+
+# --- top-N per group ---------------------------------------------------------
+# Top 3 orders per priority by price — the generic "top-N per key" (vs the
+# single-row argmax of q_priciest_order_per_status). row_number over ONE
+# shuffle on the group key with an explicit (price DESC, key) tie-break;
+# at scale Spark's WindowGroupLimit pushes the rank filter into the sort,
+# so no partition materializes more than N + heap.
+
+TOPN_PER_GROUP = 3
+
+
+def q_top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= TOPN_PER_GROUP)
+    )
+
+
+Q_TOP3_ORACLE = f"""
+SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= {TOPN_PER_GROUP}
+"""
+
+
+SPECS += [
+    QuerySpec("q_rolling_wau", q_rolling_wau, Q_ROLLING_WAU_ORACLE,
+              "7-day rolling distinct users: distinct-first + broadcast day spine",
+              ("analytics", "timeseries")),
+    QuerySpec("q_top3_orders_per_priority", q_top3_orders_per_priority,
+              Q_TOP3_ORACLE,
+              "top-N per group via rank-limited window", ("analytics", "window")),
+]

@@ -266,3 +266,22 @@ def test_histogram_prunes_events(spark):
     assert_read_schema_excludes(df, "events", "props")
     assert_read_schema_excludes(df, "events", "user_id")
     assert exchange_count(df) == 1
+
+
+def test_top3_uses_window_group_limit(spark):
+    """Spark 4's WindowGroupLimit must push the rank<=3 filter into the
+    sort so no partition materializes the full group."""
+    from apache_flink_datastream_api_spark.operators import analytics
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    df = analytics.q_top3_orders_per_priority(spark, SF_DIR)
+    assert "WindowGroupLimit" in explain_string(df)
+
+
+def test_rolling_wau_broadcasts_day_spine(spark):
+    """The day spine joins broadcast; the events fact is scanned once and
+    reduced to distinct (day,user) before any range join."""
+    from apache_flink_datastream_api_spark.operators import analytics
+
+    df = analytics.q_rolling_wau(spark, SF_DIR)
+    assert_broadcast_join(df)
