@@ -819,3 +819,53 @@ SPECS += [
               "ratio-to-report: per-nation revenue share, window over aggregated dims",
               ("relational", "window")),
 ]
+
+
+# --- NULL semantics: null-safe join + NULL group keys ------------------------
+# Three-valued-logic parity pin: a nullable derived key (nullif) is
+# grouped (NULLs form ONE group in both engines) and dimension-joined
+# with NULL-SAFE equality (Spark `<=>` ≡ DuckDB IS NOT DISTINCT FROM) so
+# rows with missing keys survive the join instead of silently dropping —
+# the classic fact-vs-dim footgun. COUNT(col) vs COUNT(*) divergence on
+# NULLs is pinned in the same pass.
+
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = load_table(spark, sf_dir, "orders").selectExpr(
+        "nullif(o_custkey % 7, 0) AS k",
+        "nullif(o_orderkey % 5, 0) AS v",
+    )
+    dim = (
+        facts.select("k").distinct()
+        .selectExpr("k AS dk", "coalesce(CAST(k AS STRING), 'missing') AS label")
+    )
+    return (
+        facts.join(F.broadcast(dim), F.expr("k <=> dk"), "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_nonnull_v"),
+            F.sum(F.expr("CASE WHEN v IS NULL THEN 1 ELSE 0 END")).alias("n_null_v"),
+        )
+    )
+
+
+Q_NULLSAFE_ORACLE = """
+WITH facts AS (
+  SELECT nullif(o_custkey % 7, 0) AS k, nullif(o_orderkey % 5, 0) AS v
+  FROM orders
+), dim AS (
+  SELECT k AS dk, coalesce(CAST(k AS VARCHAR), 'missing') AS label
+  FROM (SELECT DISTINCT k FROM facts)
+)
+SELECT label, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull_v,
+       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null_v
+FROM facts LEFT JOIN dim ON k IS NOT DISTINCT FROM dk
+GROUP BY label
+"""
+
+
+SPECS += [
+    QuerySpec("q_nullsafe_join", q_nullsafe_join, Q_NULLSAFE_ORACLE,
+              "null-safe dim join + NULL group keys + COUNT(col) semantics",
+              ("relational", "join", "nulls")),
+]

@@ -338,3 +338,76 @@ SPECS += [
               "per-source char-budget cap via sharded distributed prefix sum",
               ("pipeline", "trainprep")),
 ]
+
+
+# --- temperature-weighted source mixing --------------------------------------
+# The T=2 mixture recipe (rate ∝ share^(1/2), renormalized): upweights
+# rare sources, downweights dominant ones. Determinism: the only float
+# steps are per-source sqrt + one round-to-int (6 dp) — the cross-source
+# normalizer is then an INTEGER sum, so no float accumulation order
+# exists anywhere. The corpus itself never shuffles: the 20-row rate dim
+# broadcasts back onto the scan, same as pipeline_source_mix.
+
+TEMP_GATE_S = (
+    "pmod(cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) as bigint), 1000)"
+)
+
+
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = W.partitionBy()
+    rates = (
+        counts.withColumn("n_total", F.sum("n_docs").over(tot))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "CAST(round(sqrt(CAST(n_docs AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS term",
+        )
+        .withColumn("denom", F.sum("term").over(tot))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "CAST(floor(1000.0 * term / denom) AS BIGINT) AS rate_permille",
+        )
+    )
+    return (
+        docs.selectExpr("doc_id", "source", f"{TEMP_GATE_S} AS bucket")
+        .join(F.broadcast(rates), "source")
+        .where(F.col("bucket") < F.col("rate_permille"))
+        .groupBy("source", "n_docs", "rate_permille")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+TEMP_GATE_D = f"{portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 1000"
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), terms AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()) * 1000000) AS BIGINT) AS term
+  FROM counts
+), rates AS (
+  SELECT source, n_docs,
+         CAST(floor(1000.0 * term / SUM(term) OVER ()) AS BIGINT) AS rate_permille
+  FROM terms
+), gated AS (
+  SELECT doc_id, source, {TEMP_GATE_D} AS bucket FROM documents
+)
+SELECT g.source, r.n_docs, r.rate_permille, COUNT(*) AS n_kept
+FROM gated g JOIN rates r USING (source)
+WHERE g.bucket < r.rate_permille
+GROUP BY 1, 2, 3
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_temperature_mix", pipeline_temperature_mix,
+              TEMPERATURE_MIX_ORACLE,
+              "temperature-weighted (share^1/2) source mixing, integer-exact normalizer",
+              ("pipeline", "trainprep")),
+]
