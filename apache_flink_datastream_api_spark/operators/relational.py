@@ -31,23 +31,57 @@ def _dec(col: str, prec: int = 18, scale: int = 2):
 # --- Q1: pricing summary (scan + groupBy, no join) -------------------------
 
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
-    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
-    disc, tax = F.col("l_discount").cast("decimal(4,2)"), F.col("l_tax").cast("decimal(4,2)")
-    disc_price = price * (F.lit(1) - disc)
-    charge = disc_price * (F.lit(1) + tax)
-    return (
-        l.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    """Pricing summary with the per-row arithmetic in 64-bit integer
+    hundredths (pure long codegen — no per-row Decimal128 multiplies):
+    disc_price = price_c·(100−disc_c) ≤ 1e9, charge ≤ 1.1e11, both long.
+    Accumulators widen to narrow decimals sized for 1e12-row groups, and
+    ONE post-agg decimal division per column restores the oracle's scale
+    exactly (same rational value → same correctly-rounded double).
+    Neutral at bench scale (q1 is scan-bound: 6 columns read dominate),
+    but removes all per-row Decimal128 work from the agg — the term that
+    grows with executor-side CPU pressure at 100 TB. Bit-identical."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    cents = l.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc_c",
+        "CAST(round(l_tax * 100) AS BIGINT) AS tax_c",
+    ).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "qty_c",
+        "price_c",
+        "disc_c",
+        "price_c * (100 - disc_c) AS dp",
+        "price_c * (100 - disc_c) * (100 + tax_c) AS ch",
+    )
+    m = cents.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.expr("CAST(qty_c AS DECIMAL(18,0))")).alias("s_qty"),
+        F.sum(F.expr("CAST(price_c AS DECIMAL(18,0))")).alias("s_price"),
+        F.sum(F.expr("CAST(dp AS DECIMAL(28,0))")).alias("s_dp"),
+        F.sum(F.expr("CAST(ch AS DECIMAL(28,0))")).alias("s_ch"),
+        F.sum(F.expr("CAST(disc_c AS DECIMAL(18,0))")).alias("s_disc"),
+        F.count("*").alias("count_order"),
+    )
+    return m.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(s_qty / 100 AS DOUBLE) AS sum_qty",
+        "CAST(s_price / 100 AS DOUBLE) AS sum_base_price",
+        "CAST(s_dp / 10000 AS DOUBLE) AS sum_disc_price",
+        "CAST(s_ch / 1000000 AS DOUBLE) AS sum_charge",
+        "CAST(s_qty / 100 AS DOUBLE) / count_order AS avg_qty",
+        "CAST(s_price / 100 AS DOUBLE) / count_order AS avg_price",
+        "CAST(s_disc / 100 AS DOUBLE) / count_order AS avg_disc",
+        "count_order",
+    ).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+        "count_order",
     )
 
 
