@@ -727,3 +727,71 @@ SPECS += [
               Q_TOP3_ORACLE,
               "top-N per group via rank-limited window", ("analytics", "window")),
 ]
+
+
+# --- 3-step ordered pattern (CEP funnel) -------------------------------------
+# The batch analog of Flink CEP's `A followedBy B followedBy C`: per user,
+# the earliest view, the earliest click STRICTLY AFTER that view, and the
+# earliest purchase strictly after that click. Two conditional-min
+# cascades — each step is a broadcast of the previous step's (user, ts)
+# frontier back onto the events scan (the frontier is ≤1 row/user, tiny
+# vs the log; at cluster scale it stays a shuffle-free broadcast until
+# the user count itself is huge, at which point AQE picks a shuffled
+# join on the same plan). Epoch-ms integers throughout.
+
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms"
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("ts_ms") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts_ms").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("ts_ms") > F.col("t2"))
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("ts_ms").alias("t3"))
+    )
+    return s3.selectExpr(
+        "user_id", "t1 AS view_ms", "t2 AS click_ms", "t3 AS purchase_ms",
+        "t3 - t1 AS total_lag_ms"
+    )
+
+
+Q_FUNNEL_3STEP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_ms) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t1, MIN(e.ts_ms) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts_ms > s1.t1
+  GROUP BY e.user_id, s1.t1
+), s3 AS (
+  SELECT e.user_id, s2.t1, s2.t2, MIN(e.ts_ms) AS t3
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t2
+  GROUP BY e.user_id, s2.t1, s2.t2
+)
+SELECT user_id, t1 AS view_ms, t2 AS click_ms, t3 AS purchase_ms,
+       t3 - t1 AS total_lag_ms
+FROM s3
+"""
+
+
+SPECS += [
+    QuerySpec("q_funnel_3step", q_funnel_3step, Q_FUNNEL_3STEP_ORACLE,
+              "CEP-style strictly-ordered 3-step pattern via conditional-min cascade",
+              ("analytics", "cep")),
+]
