@@ -238,3 +238,145 @@ SPECS = [
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE,
               "tf-idf top-k terms per document", ("pipeline", "text")),
 ]
+
+
+# --- end-to-end pre-training pipeline with stage audit -----------------------
+# The whole corpus-prep flow as ONE declarative plan: Gopher-style quality
+# rules → PII redaction → exact dedup (canonical-per-hash) → eval-set
+# fingerprint decontamination → 80/10/5/5 split — emitting a per-stage
+# audit table (stage, n_docs) so every drop is accountable. Everything is
+# computed in ONE derived frame + one conditional aggregate, unpivoted
+# with stack(): the corpus is scanned once, shuffled twice (dedup window
+# on content hash; the tiny eval-fingerprint dim broadcasts). Per-doc
+# array lambdas replace explode-aggs here because every signal feeds one
+# fused projection — right for bounded doc lengths; the explode forms
+# live in operators/textops.py for heavy-tailed corpora.
+
+E2E_TRAIN_LT, E2E_VAL_LT, E2E_TEST_LT = 80, 90, 95  # bucket >= 95: eval holdout
+E2E_SH_K = 5
+
+
+def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TOKS_S
+    sh = X.shingles_spark(toks, E2E_SH_K)
+    fp_item = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
+    redacted = (
+        "regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>'), "
+        "'[0-9]{3}-[0-9]{4}', '<PHONE>')"
+    )
+    gate = "pmod(cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) as bigint), 100)"
+    base = docs.selectExpr(
+        "doc_id",
+        f"size({toks}) AS n_tokens",
+        f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks}) AS distinct_ratio",
+        f"CAST({X.count_in_list_spark(toks, X.STOPWORDS)} AS DOUBLE) / size({toks}) AS stopword_frac",
+        f"md5({redacted}) AS content_hash",
+        f"coalesce(array_min(transform({sh}, s -> {fp_item})), "
+        f"cast(conv(substr(md5(lower(text)), 1, 15), 16, 10) as bigint)) AS fingerprint",
+        f"{gate} AS bucket",
+    ).selectExpr(
+        "*",
+        "n_tokens BETWEEN 20 AND 1000 AND distinct_ratio >= 0.4"
+        " AND stopword_frac >= 0.02 AS pass_quality",
+    )
+    w = Window.partitionBy("content_hash", "pass_quality").orderBy("doc_id")
+    ranked = base.withColumn(
+        "canonical", F.expr("pass_quality") & (F.row_number().over(w) == 1)
+    )
+    eval_fp = (
+        base.where(F.col("bucket") >= E2E_TEST_LT).select("fingerprint").distinct()
+        .withColumnRenamed("fingerprint", "efp")
+    )
+    flagged = ranked.join(
+        F.broadcast(eval_fp), F.col("fingerprint") == F.col("efp"), "left"
+    ).withColumn("contaminated", F.col("efp").isNotNull())
+    m = flagged.agg(
+        F.count("*").alias("n0"),
+        F.count_if("pass_quality").alias("n1"),
+        F.count_if("canonical").alias("n2"),
+        F.count_if(
+            F.expr(f"canonical AND NOT contaminated AND bucket < {E2E_TEST_LT}")
+        ).alias("n3"),
+        F.count_if(
+            F.expr(f"canonical AND NOT contaminated AND bucket < {E2E_TRAIN_LT}")
+        ).alias("n4"),
+        F.count_if(
+            F.expr(
+                f"canonical AND NOT contaminated AND bucket >= {E2E_TRAIN_LT}"
+                f" AND bucket < {E2E_VAL_LT}"
+            )
+        ).alias("n5"),
+        F.count_if(
+            F.expr(
+                f"canonical AND NOT contaminated AND bucket >= {E2E_VAL_LT}"
+                f" AND bucket < {E2E_TEST_LT}"
+            )
+        ).alias("n6"),
+    )
+    return m.selectExpr(
+        "stack(7, '0_input', n0, '1_quality', n1, '2_dedup', n2, "
+        "'3_decontaminated', n3, '4_train', n4, '5_val', n5, '6_test', n6) "
+        "AS (stage, n_docs)"
+    )
+
+
+_e2e_sh_d = X.shingles_duck(TOKS_D, E2E_SH_K)
+_e2e_redacted_d = (
+    "regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'), "
+    "'[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')"
+)
+PRETRAIN_E2E_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({TOKS_D}) AS n_tokens,
+         CAST(len(list_distinct({TOKS_D})) AS DOUBLE) / len({TOKS_D}) AS distinct_ratio,
+         CAST({X.count_in_list_duck(TOKS_D, X.STOPWORDS)} AS DOUBLE) / len({TOKS_D}) AS stopword_frac,
+         md5({_e2e_redacted_d}) AS content_hash,
+         coalesce(list_min(list_transform({_e2e_sh_d}, s -> {portable_hash64_sql('s')})),
+                  {portable_hash64_sql('lower(text)')}) AS fingerprint,
+         {portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 100 AS bucket
+  FROM documents
+), flagged0 AS (
+  SELECT *,
+         n_tokens BETWEEN 20 AND 1000 AND distinct_ratio >= 0.4
+           AND stopword_frac >= 0.02 AS pass_quality
+  FROM base
+), ranked AS (
+  SELECT *,
+         pass_quality AND row_number() OVER (
+           PARTITION BY content_hash, pass_quality ORDER BY doc_id
+         ) = 1 AS canonical
+  FROM flagged0
+), flagged AS (
+  SELECT r.*, (e.efp IS NOT NULL) AS contaminated
+  FROM ranked r LEFT JOIN (
+    SELECT DISTINCT fingerprint AS efp FROM flagged0 WHERE bucket >= {E2E_TEST_LT}
+  ) e ON r.fingerprint = e.efp
+), m AS (
+  SELECT COUNT(*) AS n0,
+         COUNT(*) FILTER (pass_quality) AS n1,
+         COUNT(*) FILTER (canonical) AS n2,
+         COUNT(*) FILTER (canonical AND NOT contaminated AND bucket < {E2E_TEST_LT}) AS n3,
+         COUNT(*) FILTER (canonical AND NOT contaminated AND bucket < {E2E_TRAIN_LT}) AS n4,
+         COUNT(*) FILTER (canonical AND NOT contaminated AND bucket >= {E2E_TRAIN_LT} AND bucket < {E2E_VAL_LT}) AS n5,
+         COUNT(*) FILTER (canonical AND NOT contaminated AND bucket >= {E2E_VAL_LT} AND bucket < {E2E_TEST_LT}) AS n6
+  FROM flagged
+)
+SELECT stage, n_docs FROM (
+  SELECT '0_input' AS stage, n0 AS n_docs FROM m UNION ALL
+  SELECT '1_quality', n1 FROM m UNION ALL
+  SELECT '2_dedup', n2 FROM m UNION ALL
+  SELECT '3_decontaminated', n3 FROM m UNION ALL
+  SELECT '4_train', n4 FROM m UNION ALL
+  SELECT '5_val', n5 FROM m UNION ALL
+  SELECT '6_test', n6 FROM m
+)
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_pretrain_e2e", pipeline_pretrain_e2e, PRETRAIN_E2E_ORACLE,
+              "full pretrain prep: quality→redact→dedup→decontaminate→split, stage audit",
+              ("pipeline", "trainprep", "dedup")),
+]

@@ -43,6 +43,8 @@ REPRESENTATIVES = [
     "pipeline_quota_sample",
     # two-level explode-agg join (repetition diagnostics)
     "text_repetition",
+    # full prep flow: hash-window dedup + broadcast decontaminate + stack()
+    "pipeline_pretrain_e2e",
 ]
 
 
