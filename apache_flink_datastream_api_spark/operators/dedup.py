@@ -434,6 +434,56 @@ FROM reach GROUP BY 1
 """
 
 
+# --- edit-distance (Levenshtein) fuzzy dedup -------------------------------
+# The verify stage of a fuzzy-dedup pipeline: candidate pairs come from a
+# cheap blocking key (here the normalized 40-char prefix; at 100 TB an LSH
+# band or SimHash bucket plays the same role), then each candidate pair is
+# confirmed with an exact edit distance over a COST-BOUNDED prefix —
+# levenshtein is O(m·n) per pair, so the comparison window (LEV_CMP chars)
+# is what caps per-pair CPU, and the blocking key is what caps pair count.
+# Both engines implement classic Wagner-Fischer, so the distance is
+# integer-exact across Spark and DuckDB. The join shuffles once on the
+# block key; skewed blocks (boilerplate prefixes) are AQE skew-split.
+
+LEV_BLOCK = 40   # blocking key: normalized prefix length
+LEV_CMP = 300    # edit distance computed over this prefix (per-pair CPU cap)
+LEV_MAX = 10     # near-dup threshold
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        f"substr(lower(text), 1, {LEV_CMP}) AS head",
+        f"substr(lower(text), 1, {LEV_BLOCK}) AS block",
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.head"), F.col("b.head")).alias("edit_distance"),
+    ).where(F.col("edit_distance") <= LEV_MAX)
+
+
+DEDUP_LEV_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(lower(text), 1, {LEV_CMP}) AS head,
+         substr(lower(text), 1, {LEV_BLOCK}) AS block
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_distance
+FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= {LEV_MAX}
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact dedup via md5 hash-groupBy", ("dedup",)),
@@ -450,4 +500,7 @@ SPECS = [
     QuerySpec("dedup_components", dedup_components, DEDUP_COMPONENTS_ORACLE,
               "duplicate clusters via iterative connected components",
               ("dedup", "iterative")),
+    QuerySpec("dedup_levenshtein", dedup_levenshtein, DEDUP_LEV_ORACLE,
+              "blocked-pair edit-distance near-dup verification",
+              ("dedup", "text")),
 ]

@@ -1,0 +1,73 @@
+"""One-pass table profiling — the data-quality snapshot a pipeline runs
+before training on a new corpus drop (driver-mandated LLM-pipeline
+extension; no reference file:line).
+
+Per column: null count, exact distinct count, numeric min/max — computed
+in ONE aggregate over ONE scan. Spark plans the multi-column
+COUNT(DISTINCT) via a single Expand (rows × #profiled columns) feeding one
+partial+final aggregate, so the table is read once no matter how many
+columns are profiled; the wide one-row result is then unpivoted with
+``stack``. At 100 TB the same plan holds — Expand cost scales linearly
+with profiled-column count, and the exact distincts can be swapped for
+``approx_count_distinct`` (HLL, no Expand) when ±2% is acceptable; that
+approximate variant lives in operators/sketches.py.
+
+Timestamps are profiled as epoch-millis (exact in a double up to 2^53);
+string columns get NULL min/max (collation-portable numerics only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+# (column, spark numeric-projection expr, duckdb numeric-projection expr)
+_EVENT_COLS = [
+    ("event_id", "CAST(event_id AS DOUBLE)", "CAST(event_id AS DOUBLE)"),
+    ("ts", "CAST(unix_millis(ts) AS DOUBLE)", "CAST(epoch_ms(ts) AS DOUBLE)"),
+    ("user_id", "CAST(user_id AS DOUBLE)", "CAST(user_id AS DOUBLE)"),
+    ("event_type", None, None),
+    ("value", "value", "value"),
+    ("props", None, None),
+]
+
+
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, num_s, _ in _EVENT_COLS:
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if num_s:
+            aggs.append(F.min(F.expr(num_s)).alias(f"mn_{c}"))
+            aggs.append(F.max(F.expr(num_s)).alias(f"mx_{c}"))
+    row = e.agg(*aggs)
+    cells = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, "
+        + (f"mn_{c}, mx_{c}" if num_s else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)")
+        for c, num_s, _ in _EVENT_COLS
+    )
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(_EVENT_COLS)}, {cells}) AS (column, n_nulls, n_distinct, min_num, max_num)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_num", "max_num")
+
+
+PROFILE_EVENTS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {f"MIN({num_d})" if num_d else "CAST(NULL AS DOUBLE)"} AS min_num,
+       {f"MAX({num_d})" if num_d else "CAST(NULL AS DOUBLE)"} AS max_num
+FROM events"""
+    for c, _, num_d in _EVENT_COLS
+)
+
+
+SPECS = [
+    QuerySpec("profile_events", profile_events, PROFILE_EVENTS_ORACLE,
+              "one-pass per-column profile: nulls, exact distincts, min/max",
+              ("profiling", "quality")),
+]

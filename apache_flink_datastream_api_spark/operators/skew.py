@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..registry import QuerySpec
+from ..sources.bucketing import bucketed_join, write_bucketed
 from ..sources.tables import load_table
 
 
@@ -74,7 +75,44 @@ FROM events GROUP BY 1
 """
 
 
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer with BOTH sides pre-bucketed on the join key: the
+    SortMergeJoin zips aligned buckets with zero exchange on either input
+    (pinned in tests/test_scale_patterns.py). At 100 TB, bucketing the
+    fact table once amortizes its shuffle across every downstream join on
+    the same key — the co-location strategy behind hourly fact⋈fact jobs.
+    The oracle is the plain join: same answer, shuffle-free plan."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS custkey", "c_mktsegment"
+    )
+    write_bucketed(o, "bjr_orders", "custkey", 8)
+    write_bucketed(c, "bjr_customer", "custkey", 8)
+    j = bucketed_join(spark, "bjr_orders", "bjr_customer", "custkey",
+                      force_sort_merge=True)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("skew_salted_user_totals", skew_salted_user_totals, SKEW_ORACLE,
               "salted two-phase agg == plain groupBy", ("scale",)),
+    QuerySpec("bucketed_join_roundtrip", bucketed_join_roundtrip,
+              BUCKETED_JOIN_ORACLE,
+              "pre-bucketed co-located join: zero-exchange SMJ == plain join",
+              ("scale", "io", "sink")),
 ]

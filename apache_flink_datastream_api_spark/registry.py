@@ -37,14 +37,15 @@ class QuerySpec:
 def _collect() -> dict[str, QuerySpec]:
     from .operators import (
         analytics, dataflow, dedup, io_roundtrip, multimodal, pipeline,
-        relational, similarity, sketches, skew, temporal, textops, trainprep,
+        profile, relational, similarity, sketches, skew, temporal, textops,
+        trainprep,
     )
     from .streaming import queries as streaming_queries
 
     specs: dict[str, QuerySpec] = {}
     for mod in (relational, analytics, dataflow, dedup, similarity, textops,
                 multimodal, skew, temporal, sketches, pipeline, trainprep,
-                io_roundtrip, streaming_queries):
+                profile, io_roundtrip, streaming_queries):
         for spec in mod.SPECS:
             assert spec.name not in specs, f"duplicate query name {spec.name}"
             specs[spec.name] = spec

@@ -44,6 +44,17 @@ def test_bucketed_join_elides_exchange(spark):
     assert joined.count() == plain
 
 
+def test_bucketed_roundtrip_query_single_exchange(spark):
+    """The registry query (bucketed join + groupBy agg): the ONLY exchange
+    in the whole plan is the final aggregation's — the join itself reads
+    aligned buckets shuffle-free."""
+    from apache_flink_datastream_api_spark.operators.skew import bucketed_join_roundtrip
+    from apache_flink_datastream_api_spark.plans.inspect import exchange_count
+
+    df = bucketed_join_roundtrip(spark, SF_DIR)
+    assert exchange_count(df) == 1, explain_string(df, "formatted")
+
+
 def test_salted_agg_matches_plain(spark):
     e = load_table(spark, SF_DIR, "events")
     salted = salted_agg(
