@@ -434,6 +434,85 @@ FROM reach GROUP BY 1
 """
 
 
+# --- PageRank over the duplicate graph -------------------------------------
+# Which document is the AUTHORITATIVE copy inside a duplicate cluster?
+# PageRank over the LSH candidate graph answers it structurally (the doc
+# most-connected to other near-dups), and doubles as this engine's
+# general iterative-graph pattern: per iteration one join (rank →
+# out-edges) + one aggregation (sum incoming contributions) — the same
+# shuffle shape GraphX/Pregel runs, no driver-side graph, linear in
+# |edges| per round. Fixed PR_ITERS iterations, and ALL arithmetic is
+# integer (ranks scaled by PR_SCALE, damping 85/100 via floor division),
+# so every engine computes bit-identical ranks — float PageRank would be
+# accumulation-order-dependent and unverifiable across engines.
+
+PR_ITERS = 3
+PR_SCALE = 10**12          # initial rank per vertex
+PR_BASE = 15 * PR_SCALE // 100   # (1 - damping) * scale
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b), a < b
+    und = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)  # pairs derivation runs once, not per iter
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("d"))
+    edges = und.join(deg, "src").localCheckpoint(eager=True)
+    ranks = (
+        und.select(F.col("src").alias("v")).distinct()
+        .select("v", F.lit(PR_SCALE).cast("long").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .selectExpr("dst AS v", "r div d AS c")
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("v")
+            .join(contrib, "v", "left")
+            .selectExpr(
+                "v",
+                f"CAST({PR_BASE} + (85 * coalesce(s, 0)) div 100 AS BIGINT) AS r",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.selectExpr("v AS doc_id", "r AS rank_scaled")
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT n.v, CAST({PR_BASE} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM (SELECT v FROM r0) n LEFT JOIN (
+    SELECT u.dst AS v, SUM({prev}.r // g.d) AS s
+    FROM und u
+    JOIN {prev} ON {prev}.v = u.src
+    JOIN deg g ON g.src = u.src
+    GROUP BY 1
+  ) c ON c.v = n.v
+)"""
+
+
+GRAPH_PAGERANK_ORACLE = f"""
+WITH pairs AS (
+  {DEDUP_MINHASH_ORACLE}
+), und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM und GROUP BY 1
+), r0 AS (
+  SELECT DISTINCT src AS v, CAST({PR_SCALE} AS BIGINT) AS r FROM und
+), {_pr_iter_sql('r0', 'r1')}, {_pr_iter_sql('r1', 'r2')}, {_pr_iter_sql('r2', 'r3')}
+SELECT v AS doc_id, r AS rank_scaled FROM r3
+"""
+
+
 # --- edit-distance (Levenshtein) fuzzy dedup -------------------------------
 # The verify stage of a fuzzy-dedup pipeline: candidate pairs come from a
 # cheap blocking key (here the normalized 40-char prefix; at 100 TB an LSH
@@ -503,4 +582,7 @@ SPECS = [
     QuerySpec("dedup_levenshtein", dedup_levenshtein, DEDUP_LEV_ORACLE,
               "blocked-pair edit-distance near-dup verification",
               ("dedup", "text")),
+    QuerySpec("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_ORACLE,
+              "integer-exact PageRank over the LSH duplicate graph",
+              ("dedup", "iterative", "graph")),
 ]

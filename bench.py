@@ -86,6 +86,10 @@ HEADLINE = [
     "pipeline_quota_sample",
     "emb_quantize_int8",
     "q_scd2_user_state",
+    # composed prep flow + fuzzy-verify + profiling
+    "pipeline_pretrain_e2e",
+    "dedup_levenshtein",
+    "profile_events",
 ]
 
 

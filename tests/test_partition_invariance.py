@@ -45,6 +45,8 @@ REPRESENTATIVES = [
     "text_repetition",
     # full prep flow: hash-window dedup + broadcast decontaminate + stack()
     "pipeline_pretrain_e2e",
+    # iterative join+agg loop with integer-exact rank arithmetic
+    "graph_pagerank",
 ]
 
 
