@@ -427,3 +427,47 @@ SPECS += [
               "int8 scalar quantization of embeddings, integer-exact stats",
               ("similarity", "ann")),
 ]
+
+
+# --- integer-exact centroid pooling -----------------------------------------
+# Mean-pool embeddings per label — the batch centroid/prototype step (class
+# prototypes, IVF M-step, chunk→document pooling all share this shape).
+# Element-wise FLOAT means are accumulation-order-dependent, so the pooled
+# stats are INTEGER sums over the int8-quantized elements (exact on every
+# partitioning; consumer divides q_sum/n_vecs when it wants the mean).
+# Plan: posexplode (rows × dim) → ONE shuffle on (label, pos) with
+# map-side partial agg — at 100 TB this is a plain distributed matrix
+# column-sum, no driver state, skew-free (dims are uniform by construction).
+
+def emb_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+    return (
+        emb.selectExpr("label", f"posexplode({q}) AS (pos, qv)")
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("qv").alias("q_sum"),
+            F.sum(F.expr("qv * qv")).alias("q_sumsq"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
+EMB_POOL_ORACLE = """
+SELECT label, u.i - 1 AS pos,
+       SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)) AS q_sum,
+       SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)
+           * CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)) AS q_sumsq,
+       COUNT(*) AS n_vecs
+FROM embeddings e, LATERAL (
+  SELECT unnest(generate_series(1, len(e.embedding))) AS i
+) u
+GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("emb_pool_by_label", emb_pool_by_label, EMB_POOL_ORACLE,
+              "integer-exact per-label centroid pooling (quantized element sums)",
+              ("similarity", "vector")),
+]

@@ -411,3 +411,59 @@ SPECS += [
               "temperature-weighted (share^1/2) source mixing, integer-exact normalizer",
               ("pipeline", "trainprep")),
 ]
+
+
+# --- fixed-size deterministic sample (distributed reservoir) ----------------
+# "Give me exactly K docs per source" — the reservoir-sampling ask, made
+# deterministic by ranking on a portable hash of doc_id instead of rand().
+# The scale hazard is that a per-source row_number() puts EVERY row of a
+# hot source through one reducer. So it runs in two phases: a local top-K
+# per (source, hash-shard) — SHARDS parallel reducers per source, each
+# keeping at most K candidates — then the true top-K per source over the
+# surviving SHARDS*K rows. Same answer as the single-window oracle
+# (the global top-K is always contained in the union of shard top-Ks),
+# but no reducer ever sees more than max(shard_size, SHARDS*K) rows.
+
+RES_K = 20
+RES_SHARDS = 8
+RES_H_S = "cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) as bigint)"
+
+
+def pipeline_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr("source", "doc_id", f"{RES_H_S} AS h")
+    local = Window.partitionBy("source", F.pmod(F.col("h"), F.lit(RES_SHARDS))) \
+        .orderBy("h", "doc_id")
+    cand = (
+        d.withColumn("lrk", F.row_number().over(local))
+        .where(F.col("lrk") <= RES_K)
+        .drop("lrk")
+    )
+    final = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(final))
+        .where(F.col("rk") <= RES_K)
+        .select("source", "doc_id", "rk")
+    )
+
+
+RESERVOIR_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         {portable_hash64_sql('CAST(doc_id AS VARCHAR)')} AS h
+  FROM documents
+), r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM d
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= {RES_K}
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_reservoir_sample", pipeline_reservoir_sample,
+              RESERVOIR_ORACLE,
+              "fixed-K per-source deterministic sample, sharded two-phase top-K",
+              ("pipeline", "trainprep", "sampling")),
+]

@@ -90,6 +90,8 @@ HEADLINE = [
     "pipeline_pretrain_e2e",
     "dedup_levenshtein",
     "profile_events",
+    "pipeline_reservoir_sample",
+    "emb_pool_by_label",
 ]
 
 
