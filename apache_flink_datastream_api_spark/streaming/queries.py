@@ -24,18 +24,31 @@ from ..sources.tables import load_table
 from .sinks import run_available_now
 from .state import interval_alerts, session_durations
 
-# events.parquet stores ts as TIMESTAMP(NANOS): streamed with an explicit
-# schema reading nanos as long (requires nanosAsLong, set in _events_stream).
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Streaming file sources require an explicit schema. The driver's
+# events.parquet ts unit has varied across generations (TIMESTAMP(NANOS)
+# vs TIMESTAMP(MICROS)), so detect the physical type from the file footer
+# and build the matching schema instead of hard-coding one.
+def _events_stream_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Return (schema, ts_is_long). ts_is_long means the file stores
+    nanos and must be read as long (nanosAsLong) then truncated."""
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+    ts_is_long = ts_type in ("int64", "timestamp[ns]")
+    ts_field = T.LongType() if ts_is_long else T.TimestampNTZType()
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", ts_field),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        ts_is_long,
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,12 +70,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(sf_dir, "events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
     )
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .load(stream_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema, ts_is_long = _events_stream_schema(sf_dir)
+    raw = spark.readStream.schema(schema).format("parquet").load(stream_dir)
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ -> LTZ under the UTC session tz: same instant, epoch math matches.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --- W2/T2: event-time windowed aggregation through the streaming engine ---
