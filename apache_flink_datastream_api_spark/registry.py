@@ -40,12 +40,13 @@ def _collect() -> dict[str, QuerySpec]:
         profile, relational, similarity, sketches, skew, temporal, textops,
         trainprep,
     )
+    from .sources import pydatasource
     from .streaming import queries as streaming_queries
 
     specs: dict[str, QuerySpec] = {}
     for mod in (relational, analytics, dataflow, dedup, similarity, textops,
                 multimodal, skew, temporal, sketches, pipeline, trainprep,
-                profile, io_roundtrip, streaming_queries):
+                profile, io_roundtrip, streaming_queries, pydatasource):
         for spec in mod.SPECS:
             assert spec.name not in specs, f"duplicate query name {spec.name}"
             specs[spec.name] = spec

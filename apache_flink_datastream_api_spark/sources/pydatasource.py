@@ -1,0 +1,265 @@
+"""The reference's synthetic audit-trail generator (S3) as a first-class
+Spark data source (PySpark 4 ``pyspark.sql.datasource`` API).
+
+The reference runs its generator as a side thread writing one-record CSV
+files that a file monitor then re-reads
+(``datasource/FileStreamDataGenerator.java:32-107``). Spark-first, the
+generator IS a source: ``spark.read.format("audit_trail_gen")`` (batch) or
+``spark.readStream`` (streaming) with no filesystem hand-off, no extra
+thread, and partition-parallel generation.
+
+Determinism: row ``i`` is pure integer arithmetic on ``i`` (an LCG-style
+mix, ``(1103515245 * (8i + k) + 12345) mod 2^31``), so any engine can
+reproduce the stream exactly — the DuckDB oracle regenerates it with
+``generate_series`` and hash-matches. No wall clock, no RNG state.
+
+Scale: ``numRows`` splits evenly across ``partitions`` input splits; each
+task generates its own range independently (no driver materialization, no
+shuffle). At 100 TB-scale you'd raise ``partitions`` to the cluster's
+core count; generation stays embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .fixtures import BASE_TS, ENTITIES, OPERATIONS, USERS
+
+_A, _C, _M = 1103515245, 12345, 2**31
+
+AUDIT_GEN_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("user", StringType()),
+        StructField("entity", StringType()),
+        StructField("operation", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("duration", IntegerType()),
+        StructField("change_count", IntegerType()),
+    ]
+)
+
+
+def _mix(i: int, k: int) -> int:
+    # High bits only: the low bits of a power-of-two-modulus LCG have tiny
+    # periods (mod 4 is constant), which would collapse the field domains.
+    return ((_A * (i * 8 + k) + _C) % _M) // 65536
+
+
+def gen_row(i: int) -> tuple:
+    """Deterministic audit-trail record i (field domains per SURVEY §1)."""
+    return (
+        i,
+        USERS[_mix(i, 1) % 3],
+        ENTITIES[_mix(i, 2) % 2],
+        OPERATIONS[_mix(i, 3) % 4],
+        BASE_TS + i * 1000 + _mix(i, 4) % 1000,
+        1 + _mix(i, 5) % 10,
+        1 + _mix(i, 6) % 4,
+    )
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class AuditTrailReader(DataSourceReader):
+    def __init__(self, options):
+        self.num_rows = int(options.get("numrows", 100))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def partitions(self):
+        step = max(1, -(-self.num_rows // self.num_partitions))
+        return [
+            _RangePartition(lo, min(lo + step, self.num_rows))
+            for lo in range(0, self.num_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield gen_row(i)
+
+
+class AuditTrailStreamReader(DataSourceStreamReader):
+    """Micro-batch stream of the same rows: offset = next row index.
+
+    Replaces the reference's sleep-loop thread (1–2 s per record,
+    ``FileStreamDataGenerator.java:99``) with ``rowsPerBatch`` per
+    micro-batch — rate is trigger-driven, replay is offset-driven (a
+    restarted query regenerates identical rows from its checkpoint).
+    """
+
+    def __init__(self, options):
+        self.num_rows = int(options.get("numrows", 100))
+        self.rows_per_batch = int(options.get("rowsperbatch", 10))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        # Unbounded source capped at numRows so AvailableNow terminates.
+        self._latest = getattr(self, "_latest", 0)
+        self._latest = min(self._latest + self.rows_per_batch, self.num_rows)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        return [_RangePartition(start["index"], end["index"])]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield gen_row(i)
+
+    def commit(self, end: dict):
+        pass
+
+
+class AuditTrailDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "audit_trail_gen"
+
+    def schema(self) -> StructType:
+        return AUDIT_GEN_SCHEMA
+
+    def reader(self, schema: StructType) -> AuditTrailReader:
+        return AuditTrailReader(self.options)
+
+    def streamReader(self, schema: StructType) -> AuditTrailStreamReader:
+        return AuditTrailStreamReader(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotent registration of the generator source."""
+    spark.dataSource.register(AuditTrailDataSource)
+
+
+# --- registry queries -------------------------------------------------------
+#
+# The oracle regenerates the LCG stream in pure SQL, so the custom source
+# is hash-checked end-to-end (not rows-only).
+
+import time  # noqa: E402
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from ..registry import QuerySpec  # noqa: E402
+
+
+def _gen_cte(n: int) -> str:
+    mix = "(((1103515245 * (i * 8 + {k}) + 12345) % 2147483648) // 65536)"
+    return f"""
+WITH r AS (
+  SELECT i,
+    CASE {mix.format(k=1)} % 3 WHEN 0 THEN 'Tom' WHEN 1 THEN 'Harry' ELSE 'Bob' END AS gen_user,
+    CASE {mix.format(k=3)} % 4 WHEN 0 THEN 'Create' WHEN 1 THEN 'Modify' WHEN 2 THEN 'Query' ELSE 'Delete' END AS operation,
+    {BASE_TS} + i * 1000 + {mix.format(k=4)} % 1000 AS ts_ms,
+    1 + {mix.format(k=5)} % 10 AS duration,
+    1 + {mix.format(k=6)} % 4 AS change_count
+  FROM generate_series(0, {n - 1}) t(i)
+)
+"""
+
+
+def _gen_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy(F.col("user").alias("gen_user"), "operation").agg(
+        F.count("*").alias("cnt"),
+        F.sum("duration").alias("sum_duration"),
+        F.sum("change_count").alias("sum_change"),
+        F.sum("ts_ms").alias("sum_ts_ms"),
+    )
+
+
+def _gen_oracle(n: int) -> str:
+    return _gen_cte(n) + """
+SELECT gen_user, operation, COUNT(*) AS cnt,
+       CAST(SUM(duration) AS BIGINT) AS sum_duration,
+       CAST(SUM(change_count) AS BIGINT) AS sum_change,
+       CAST(SUM(ts_ms) AS BIGINT) AS sum_ts_ms
+FROM r GROUP BY 1, 2
+"""
+
+
+def s3_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 as a batch source: partition-parallel deterministic generation
+    (``datasource/FileStreamDataGenerator.java:32-107`` re-expressed as a
+    Spark DataSource instead of a generator thread + file monitor)."""
+    register(spark)
+    df = (
+        spark.read.format("audit_trail_gen")
+        .option("numRows", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return _gen_agg(df)
+
+
+def s3_generator_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 as a micro-batch stream: offset-tracked generation drained over
+    several real micro-batches, complete-mode aggregation (batching-
+    invariant final table == batch oracle)."""
+    import tempfile
+    import uuid
+
+    register(spark)
+    n = 3000
+    stream = (
+        spark.readStream.format("audit_trail_gen")
+        .option("numRows", n)
+        .option("rowsPerBatch", 1000)
+        .load()
+    )
+    agg = _gen_agg(stream)
+    name = f"gen_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_gen_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            done = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+            if done == n:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError(f"generator stream drained {done}/{n} rows")
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+SPECS = [
+    QuerySpec(
+        "s3_generator_source", s3_generator_source, _gen_oracle(10_000),
+        "S3 synthetic generator as a custom Python DataSource (batch), "
+        "LCG-deterministic so the oracle regenerates it in SQL",
+        ("source", "spark4"),
+    ),
+    QuerySpec(
+        "s3_generator_stream", s3_generator_stream, _gen_oracle(3000),
+        "S3 generator as an offset-tracked streaming DataSource drained "
+        "over multiple micro-batches (complete-mode agg)",
+        ("source", "streaming", "spark4"),
+    ),
+]
