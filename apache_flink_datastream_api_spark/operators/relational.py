@@ -631,6 +631,41 @@ GROUP BY 1
 """
 
 
+def json_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via the VARIANT type (Spark 4): parse the
+    JSON once into a binary VARIANT value, then do typed extractions from
+    the parsed form. At scale this beats per-path ``get_json_object``
+    (which re-parses the string for every path) and is the idiomatic
+    engine answer for schema-on-read property bags; ``try_variant_get``
+    gives null-safe access to absent paths."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    typed = e.select(
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("m"),
+    )
+    return (
+        typed.groupBy(F.expr("k div 10").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count("m").alias("n_missing_path"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_VARIANT_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       COUNT(*) AS cnt,
+       COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing_path,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
 # --- analytic window functions ---------------------------------------------
 
 def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,6 +826,10 @@ SPECS = [
     QuerySpec("json_props_rollup", json_props_rollup, JSON_PROPS_ORACLE,
               "JSON property extraction + grouped aggregate, JVM-side",
               ("relational", "semistructured")),
+    QuerySpec("json_variant_rollup", json_variant_rollup, JSON_VARIANT_ORACLE,
+              "VARIANT-typed parse-once property bag with typed/null-safe "
+              "path extraction (Spark 4)",
+              ("relational", "semistructured", "spark4")),
     QuerySpec("q_order_gaps", q_order_gaps, Q_ORDER_GAPS_ORACLE,
               "lag/lead inter-order gaps per customer", ("relational", "window")),
     QuerySpec("q_part_unpivot", q_part_unpivot, Q_PART_UNPIVOT_ORACLE,

@@ -49,11 +49,43 @@ def sketch_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_LGK = 14  # Datasketches lgConfigK: 2^14 buckets, ~0.8% RSE
+
+
+def sketch_rollup_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable cardinality: persistable binary HLL sketches
+    (``hll_sketch_agg``) built per (day, event_type), then UNIONED up to
+    per-type totals without rescanning the raw data
+    (``hll_union_agg`` + ``hll_sketch_estimate``).
+
+    This is the 100 TB rollup-of-uniques pattern: daily sketch rows are
+    ~KB each and materializable (e.g. into a metrics table); any coarser
+    rollup (weekly, all-time, cross-dimension) is a cheap union over
+    sketch rows instead of a full re-shuffle of user_ids.
+    ``approx_count_distinct`` (sketch_daily_uniques) cannot do this — its
+    sketch never leaves the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_uniques"),
+            F.count("*").alias("n_daily_sketches"),
+        )
+    )
+
+
 SPECS = [
     QuerySpec("sketch_daily_uniques", sketch_daily_uniques, None,
               "HLL++ approximate distinct users per day (accuracy pinned in tests)",
               ("sketch", "approx")),
     QuerySpec("sketch_value_percentiles", sketch_value_percentiles, None,
               "mergeable approximate percentiles (accuracy pinned in tests)",
+              ("sketch", "approx")),
+    QuerySpec("sketch_rollup_uniques", sketch_rollup_uniques, None,
+              "binary HLL sketches rolled up via hll_union_agg — "
+              "re-aggregatable uniques (merge-consistency pinned in tests)",
               ("sketch", "approx")),
 ]

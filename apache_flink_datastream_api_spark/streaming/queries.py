@@ -820,6 +820,50 @@ HAVING window_start_ms + 3600000 <= wm.cutoff
 """
 
 
+# --- state-store introspection (Spark 4 state data source) ------------------
+
+def statestore_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a streaming aggregation's STATE back from its checkpoint via
+    the ``statestore`` data source (Spark 4) — the ops/debugging surface
+    Flink leaves to the (Java-only) State Processor API. The state of a
+    drained count/sum aggregation must equal the batch aggregate, so this
+    is oracle-checkable: state correctness, not just query output
+    correctness. At scale this reads the HDFS/RocksDB store files
+    directly, partition-parallel, without touching a live query."""
+    import tempfile as _tf
+    import uuid as _uuid
+
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+    )
+    ckpt = _tf.mkdtemp(prefix="ckpt_statestore_")
+    name = f"ss_{_uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = spark.read.format("statestore").option("path", ckpt).load()
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("cnt"),
+        F.col("value.sum").cast("double").alias("total_value"),
+    )
+
+
+STATESTORE_ORACLE = """
+SELECT user_id, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("w2_eventtime_stream", w2_eventtime_stream, W2_STREAM_ORACLE,
               "event-time window agg through the streaming engine", ("streaming",)),
@@ -876,4 +920,8 @@ SPECS = [
               J2_JOIN_WINDOW_ORACLE,
               "interval join feeding a windowed agg, one multi-stateful query",
               ("streaming", "join", "window")),
+    QuerySpec("statestore_read_agg", statestore_read_agg, STATESTORE_ORACLE,
+              "streaming agg state read back from the checkpoint via the "
+              "state data source (Spark 4), state == batch aggregate",
+              ("streaming", "stateful", "spark4")),
 ]

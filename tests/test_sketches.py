@@ -61,3 +61,40 @@ def test_approx_percentiles_bracket_exact(spark):
         assert lo50 <= a50 <= hi50, (et, a50, lo50, hi50)
         assert lo95 <= a95 <= hi95, (et, a95, lo95, hi95)
         assert lo99 <= a99 <= hi99, (et, a99, lo99, hi99)
+
+
+def test_hll_rollup_merge_consistent_and_accurate(spark):
+    """The union of per-day sketches must estimate exactly what a single
+    direct sketch over the raw data estimates (HLL union(sketch(A),
+    sketch(B)) == sketch(A ∪ B) for a fixed lgConfigK), and land within
+    the configured error of the exact distinct."""
+    from apache_flink_datastream_api_spark.operators.sketches import (
+        HLL_LGK,
+        sketch_rollup_uniques,
+    )
+
+    rolled = {
+        r.event_type: r.approx_uniques
+        for r in sketch_rollup_uniques(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
+            ).alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled.keys() == direct.keys() == exact.keys()
+    for et in exact:
+        assert rolled[et] == direct[et], (et, rolled[et], direct[et])
+        assert abs(rolled[et] - exact[et]) <= max(2, 0.05 * exact[et])
