@@ -309,6 +309,47 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def q_user_sessions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gap sessionizer as a Python UDTF consuming
+    ``TABLE(...) PARTITION BY user_id ORDER BY (ts_ms, event_id)`` — the
+    Spark 4 surface for custom table-valued operators (one instance per
+    key, ordered eval, terminate flush: Flink's keyed-operator lifecycle
+    on the batch engine). The declarative lag+cumsum form above is the
+    production path; this pins the UDTF engine contract against the same
+    oracle semantics."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    view = f"events_sessions_udtf_{abs(hash(sf_dir)) % 10**8}"
+    load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT * FROM gap_sessionize(TABLE({view}) "
+        "PARTITION BY user_id ORDER BY (ts_ms, event_id))"
+    )
+
+
+Q_SESSIONS_UDTF_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), sessions AS (
+  SELECT user_id, ts_ms,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step funnel: each user's first view, their first purchase at or
     after it, and the conversion lag. Aggregate-then-join keeps both
@@ -394,6 +435,11 @@ SPECS += [
     QuerySpec("q_user_sessions_gap", q_user_sessions_gap, Q_SESSIONS_GAP_ORACLE,
               "gap-based sessionization via lag + cumulative sum",
               ("temporal", "window")),
+    QuerySpec("q_user_sessions_udtf", q_user_sessions_udtf,
+              Q_SESSIONS_UDTF_ORACLE,
+              "the same sessionizer as a Python UDTF over "
+              "TABLE(...) PARTITION BY ... ORDER BY (Spark 4 API surface)",
+              ("temporal", "udtf", "spark4")),
     QuerySpec("q_funnel_view_purchase", q_funnel_view_purchase, Q_FUNNEL_ORACLE,
               "two-step funnel conversion with aggregate-then-join",
               ("temporal", "join")),

@@ -155,3 +155,77 @@ def test_spread_small_source_is_noop_when_parallel(spark):
     # and on a 1-split scan it must spread to cluster parallelism
     spread = spread_small_source(docs, spark)
     assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+# --- single-pass audit metrics (Observation API) ----------------------------
+
+def test_observation_audit_counts_no_extra_scan(spark):
+    """Audit counts ride the SAME action as the pipeline output: metrics
+    from df.observe equal separately computed aggregates."""
+    from pyspark.sql import functions as F
+
+    from apache_flink_datastream_api_spark.functions.observe import audited
+    from apache_flink_datastream_api_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    flagged = docs.withColumn(
+        "ok", F.size(F.split("text", r"\s+")).between(20, 1000)
+    )
+    out, obs = audited(
+        flagged,
+        "quality_audit",
+        n_in=F.count(F.lit(1)),
+        n_pass=F.count_if(F.col("ok")),
+    )
+    kept = out.where("ok").drop("ok")
+    n_kept = kept.count()  # the one action; metrics piggyback on it
+    want = flagged.agg(
+        F.count(F.lit(1)).alias("n_in"), F.count_if(F.col("ok")).alias("n_pass")
+    ).collect()[0]
+    assert obs.get == {"n_in": want.n_in, "n_pass": want.n_pass}
+    assert n_kept == want.n_pass
+
+
+def test_observation_metrics_in_streaming_progress(spark):
+    """Streaming observe: per-micro-batch metrics in observedMetrics."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from apache_flink_datastream_api_spark.functions.observe import observe_stream
+    from apache_flink_datastream_api_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("audit_trail_gen")
+        .option("numRows", 200)
+        .option("rowsPerBatch", 200)
+        .load()
+    )
+    observed = observe_stream(
+        stream,
+        "gen_audit",
+        n=F.count(F.lit(1)),
+        n_delete=F.count_if(F.col("operation") == "Delete"),
+    )
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_obs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = [
+        p["observedMetrics"]["gen_audit"]
+        for p in [q.recentProgress[i] for i in range(len(q.recentProgress))]
+        if "gen_audit" in p.get("observedMetrics", {})
+    ]
+    total = sum(m["n"] for m in metrics)
+    total_del = sum(m["n_delete"] for m in metrics)
+    want = spark.table(name)
+    assert total == want.count() == 200
+    assert total_del == want.where("operation = 'Delete'").count()
