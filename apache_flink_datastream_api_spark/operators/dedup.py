@@ -530,11 +530,18 @@ LEV_MAX = 10     # near-dup threshold
 
 
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # substr BEFORE lower: lowercasing only the compared prefix instead of
+    # the whole document cuts the dominant scan cost ~(doc_len/LEV_CMP)×;
+    # the oracle applies the identical order so Unicode case edge cases
+    # (if any) agree. Both self-join sides re-derive from the scan, so the
+    # derivation is also spread across the cluster.
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     d = docs.selectExpr(
         "doc_id",
-        f"substr(lower(text), 1, {LEV_CMP}) AS head",
-        f"substr(lower(text), 1, {LEV_BLOCK}) AS block",
+        f"lower(substr(text, 1, {LEV_CMP})) AS head",
+        f"lower(substr(text, 1, {LEV_BLOCK})) AS block",
     )
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
@@ -552,8 +559,8 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_LEV_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
-         substr(lower(text), 1, {LEV_CMP}) AS head,
-         substr(lower(text), 1, {LEV_BLOCK}) AS block
+         lower(substr(text, 1, {LEV_CMP})) AS head,
+         lower(substr(text, 1, {LEV_BLOCK})) AS block
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

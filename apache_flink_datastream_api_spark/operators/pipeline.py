@@ -26,7 +26,7 @@ from ..functions import text as X
 from ..functions.hashing import portable_hash64_sql
 from ..operators.dedup import NORM_D, NORM_S
 from ..registry import QuerySpec
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_small_source
 
 TOKS_S = X.tokens_spark("text")
 TOKS_D = X.tokens_duck("text")
@@ -257,7 +257,12 @@ E2E_SH_K = 5
 
 
 def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # The corpus scan is CPU-bound (regex redaction + per-shingle md5);
+    # re-spread a low-split scan so it parallelizes (no-op on any real
+    # multi-split table — see spread_small_source).
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents"), spark
+    )
     toks = TOKS_S
     sh = X.shingles_spark(toks, E2E_SH_K)
     fp_item = "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)"
@@ -284,13 +289,18 @@ def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = base.withColumn(
         "canonical", F.expr("pass_quality") & (F.row_number().over(w) == 1)
     )
-    eval_fp = (
-        base.where(F.col("bucket") >= E2E_TEST_LT).select("fingerprint").distinct()
-        .withColumnRenamed("fingerprint", "efp")
+    # Contamination = "any doc in the eval holdout shares my fingerprint".
+    # A window-max over fingerprint computes it in the SAME pass as the
+    # dedup window — the alternative (distinct eval fingerprints +
+    # broadcast join) re-scans the corpus and re-derives the md5-shingle
+    # fingerprint, the most expensive expression in the plan. One extra
+    # 5-byte column through one shuffle beats a second full derivation.
+    w_fp = Window.partitionBy("fingerprint")
+    flagged = ranked.withColumn(
+        "contaminated",
+        F.max(F.when(F.col("bucket") >= E2E_TEST_LT, 1).otherwise(0)).over(w_fp)
+        == 1,
     )
-    flagged = ranked.join(
-        F.broadcast(eval_fp), F.col("fingerprint") == F.col("efp"), "left"
-    ).withColumn("contaminated", F.col("efp").isNotNull())
     m = flagged.agg(
         F.count("*").alias("n0"),
         F.count_if("pass_quality").alias("n1"),

@@ -31,6 +31,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Handles parquet TIMESTAMP(NANOS) (which Spark rejects by default) by
     reading nanos as epoch-nanos longs and truncating to microseconds —
     set at runtime so it also works under a driver-provided session.
+
+    No blanket re-spread here: a scan-level repartition was measured to
+    COST more than it saves for reduce-heavy plans (TPC-H joins/aggs pay
+    a full raw-row shuffle before their map-side combine) and to pay off
+    only where per-row CPU dominates (text derivation, shingle hashing) —
+    those call sites opt in via spread_small_source.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Deterministic NTZ->LTZ conversion and epoch math even under a
