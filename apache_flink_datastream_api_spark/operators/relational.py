@@ -351,6 +351,164 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- Q8: national market share ----------------------------------------------
+# The one TPC-H query that joins NATION TWICE in different roles (customer
+# nation restricts the market via region; supplier nation is the share
+# dimension). Spark shape: the star fact path shuffles only on the fact
+# keys; part/customer/nation/region all broadcast, and the two nation
+# roles are two independent broadcast aliases — no self-join shuffle.
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"
+Q8_TYPE = "PROMO"
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_n_nationkey"),
+        F.col("n_regionkey").alias("c_n_regionkey"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_n_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    vol = _dec("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    nat_vol = F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_n_nationkey"))
+        .join(F.broadcast(r), F.col("c_n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_n_nationkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+TPCH_Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                ELSE 0 END) AS DOUBLE)
+     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --- Q21 (adapted): suppliers who kept orders waiting ------------------------
+# Classic Q21's late-line predicate is l_receiptdate > l_commitdate; the
+# driver schema carries neither, so "late" becomes shipped > 60 days after
+# the order date — the JOIN TOPOLOGY (the hard part: fact x fact with a
+# correlated EXISTS and NOT EXISTS on the same fact) is preserved exactly.
+# All three lineitem legs hash on l_orderkey, so Catalyst reuses one
+# Exchange for the self-joins; supplier/nation broadcast.
+
+Q21_LATE_DAYS = 60
+Q21_NATION = "NATION_7"
+Q21_TOPN = 20
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == Q21_NATION)
+    waiting = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOPN)
+    )
+
+
+TPCH_Q21_ORACLE = f"""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{Q21_NATION}'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOPN}
+"""
+
+
 # --- Q19: bracketed OR-predicate revenue (broadcast join, disjunct filter) --
 # Catalyst extracts the common l_partkey = p_partkey conjunct as the join
 # key and leaves the OR-of-brackets as a post-join filter; part broadcasts
@@ -797,6 +955,14 @@ SPECS = [
               "fact-fact join + case-when conditional sums", ("relational", "join")),
     QuerySpec("tpch_q14_promo_revenue", tpch_q14, TPCH_Q14_ORACLE,
               "broadcast dim + conditional-aggregate ratio", ("relational", "join")),
+    QuerySpec("tpch_q8_market_share", tpch_q8, TPCH_Q8_ORACLE,
+              "Q8 national market share: nation joined twice in different "
+              "roles, all dims broadcast, decimal-exact ratio",
+              ("relational", "tpch", "join")),
+    QuerySpec("tpch_q21_waiting_supplier", tpch_q21, TPCH_Q21_ORACLE,
+              "Q21 join topology: correlated EXISTS + NOT EXISTS on the "
+              "same fact as semi/anti joins sharing one orderkey exchange",
+              ("relational", "tpch", "join")),
     QuerySpec("tpch_q18_large_volume", tpch_q18, TPCH_Q18_ORACLE,
               "HAVING-filtered aggregate joined back to orders/customer",
               ("relational", "join")),

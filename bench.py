@@ -54,6 +54,8 @@ HEADLINE = [
     "knn_ivf_cosine",
     "ts_similarity_topk",
     "tpch_q18_large_volume",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
     "tpch_q19_bracket_revenue",
     "tpch_q7_nation_volume",
     "tpch_q13_order_distribution",
