@@ -18,7 +18,7 @@ DuckDB single-thread sum land on the same bits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import QuerySpec
 from ..sources.tables import load_table
@@ -441,39 +441,41 @@ Q21_TOPN = 20
 
 
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 decorrelated Spark-first: the EXISTS ("another supplier on the
+    order") and NOT EXISTS ("no OTHER late supplier") subqueries are
+    per-order facts, so instead of two extra fact-fact joins (3 scans,
+    3 orderkey shuffles) they become two collect_set window aggregates
+    sharing ONE Window over l_orderkey — one scan, one shuffle. A late
+    line waits iff its order has ≥2 distinct suppliers and exactly one
+    distinct late supplier (necessarily itself). The oracle keeps the
+    classic correlated form, proving the rewrite's equivalence."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
-    ).select("l_orderkey", "l_suppkey")
-    other = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
+    lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        ).alias("is_late"),
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
+    w = Window.partitionBy("l_orderkey")
+    ann = lines.select(
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == Q21_NATION)
     waiting = (
-        late.join(
-            other,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("l_orderkey") == F.col("l3_orderkey"))
-            & (F.col("l_suppkey") != F.col("l3_suppkey")),
-            "left_anti",
-        )
+        ann.where(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
