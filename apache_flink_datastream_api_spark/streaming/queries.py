@@ -820,6 +820,80 @@ HAVING window_start_ms + 3600000 <= wm.cutoff
 """
 
 
+# --- generator source -> keyed state machine, end to end --------------------
+
+S3_X1_N = 4000
+S3_X1_BATCH = 1000
+S3_X1_THRESH_MS = 15_000
+
+
+def s3_stateful_alert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full chapter-5 topology with zero input files:
+    synthetic generator (custom Python DataSource, S3) → filter Deletes →
+    per-user ValueState interval alert (X1), drained over multiple real
+    micro-batches — state must survive batch boundaries for pairs that
+    straddle them. Oracle: the LCG stream is regenerated in SQL and the
+    alert logic replayed as lag(); the whole streaming pipeline, source
+    included, is hash-checked."""
+    import tempfile as _tf
+    import time as _time
+    import uuid as _uuid
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("audit_trail_gen")
+        .option("numRows", S3_X1_N)
+        .option("rowsPerBatch", S3_X1_BATCH)
+        .load()
+    )
+    deletes = stream.where(F.col("operation") == "Delete").selectExpr(
+        "user AS gen_user", "ts_ms", "id AS event_id"
+    )
+    alerts = interval_alerts(
+        deletes, S3_X1_THRESH_MS, key_col="gen_user", ts_ms_col="ts_ms"
+    )
+    name = f"s3x1_{_uuid.uuid4().hex[:12]}"
+    q = (
+        alerts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_s3x1_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 180
+        while _time.monotonic() < deadline:
+            seen = sum(p["numInputRows"] for p in q.recentProgress)
+            last = q.lastProgress
+            if last is not None and last["numInputRows"] == 0 and seen >= S3_X1_N:
+                break
+            _time.sleep(0.3)
+        else:
+            raise TimeoutError("generator alert stream did not drain")
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _s3_x1_oracle() -> str:
+    from ..sources.pydatasource import _gen_cte
+
+    return _gen_cte(S3_X1_N) + f"""
+, deletes AS (
+  SELECT gen_user, ts_ms FROM r WHERE operation = 'Delete'
+), diffs AS (
+  SELECT gen_user, ts_ms,
+         ts_ms - lag(ts_ms) OVER (PARTITION BY gen_user ORDER BY ts_ms) AS diff_ms
+  FROM deletes
+)
+SELECT gen_user, ts_ms, diff_ms FROM diffs
+WHERE diff_ms < {S3_X1_THRESH_MS}
+"""
+
+
 # --- state-store introspection (Spark 4 state data source) ------------------
 
 def statestore_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,4 +998,9 @@ SPECS = [
               "streaming agg state read back from the checkpoint via the "
               "state data source (Spark 4), state == batch aggregate",
               ("streaming", "stateful", "spark4")),
+    QuerySpec("s3_stateful_alert_stream", s3_stateful_alert_stream,
+              _s3_x1_oracle(),
+              "generator DataSource feeding the X1 keyed state machine "
+              "across micro-batch boundaries, source+state hash-checked",
+              ("streaming", "stateful", "source", "spark4")),
 ]
