@@ -795,3 +795,47 @@ SPECS += [
               "CEP-style strictly-ordered 3-step pattern via conditional-min cascade",
               ("analytics", "cep")),
 ]
+
+
+# --- event-type co-occurrence matrix ----------------------------------------
+# The recommender / feature-engineering "users who did A also did B"
+# co-occurrence count. Shape chosen for scale: collect_set per user
+# (ONE shuffle, map-side partial set-merge) then a map-side generator
+# expression enumerating the sorted within-user pairs — NOT the naive
+# distinct + self-join, which shuffles the distinct table twice more and
+# explodes skewed users inside the join. With a k-type vocabulary the
+# per-user fan-out is capped at k(k-1)/2; the final pair rollup is tiny.
+
+
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every unordered pair of event types (a < b): how many users
+    performed both."""
+    ev = load_table(spark, sf_dir, "events")
+    sets = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) -> "
+                "transform(slice(types, i + 2, size(types)), "
+                "y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    return pairs.groupBy("type_a", "type_b").agg(F.count("*").alias("n_users"))
+
+
+Q_COOCCURRENCE_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("q_event_cooccurrence", q_event_cooccurrence, Q_COOCCURRENCE_ORACLE,
+              "users-who-did-A-also-did-B pair counts via per-user set + generator",
+              ("analytics", "cooccurrence")),
+]

@@ -566,3 +566,158 @@ SPECS += [
               "SCD2 dimension from a change log: versions + validity intervals",
               ("temporal", "cdc")),
 ]
+
+
+# --- LOCF forward fill: daily carried-forward value per user ----------------
+# Time-series gap filling (last observation carried forward) — the shape
+# behind "daily balance of every account from sparse transactions". No
+# reference file:line (driver-mandated extension; the reference's only
+# temporal state is the X1/X2 ValueState machines).
+#
+# Scale shape: everything rides ONE hash exchange on user_id. The
+# last-event-of-day reduction and the carry-forward range are both
+# expressed as lead() over the SAME window spec (partitionBy user_id,
+# orderBy ts), so Catalyst plans one Exchange + one Sort and evaluates
+# the second window on the filtered rows without re-shuffling or
+# re-sorting. The fill itself is a generator expression (sequence +
+# explode) — linear in output days, no join against a calendar spine and
+# no second scan of events. The final per-day rollup shuffles only
+# |users|·|days| small rows. At 100 TB the same plan holds: the
+# expensive exchange is on the natural key, the explode runs map-side.
+
+
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar day: how many users have a carried-forward value and
+    the exact total of those values in integer cents. A user's value on
+    day D is the value of their last event at or before D (within their
+    active range [first event day, last event day])."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    base = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        F.col("ts").cast("date").alias("d"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    # Last event of each (user, day): the row whose successor falls on a
+    # later day. Single window spec — no (user_id, d) re-partition.
+    day_last = base.withColumn("next_d", F.lead("d").over(w)).where(
+        F.col("next_d").isNull() | (F.col("next_d") != F.col("d"))
+    )
+    # Each surviving row carries its value through the day before the
+    # user's next observed day (or just its own day for the last row).
+    ranges = day_last.withColumn("nd", F.lead("d").over(w))
+    filled = ranges.select(
+        "user_id",
+        "cents",
+        F.explode(
+            F.expr("sequence(d, coalesce(nd - interval 1 day, d), interval 1 day)")
+        ).alias("day"),
+    )
+    return (
+        filled.groupBy("day")
+        .agg(F.count("*").alias("n_users"), F.sum("cents").alias("total_cents"))
+        .select(
+            F.unix_millis(F.col("day").cast("timestamp")).alias("day_ms"),
+            "n_users",
+            "total_cents",
+        )
+    )
+
+
+TS_FORWARD_FILL_ORACLE = """
+WITH base AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ordered AS (
+  SELECT *, lead(d) OVER w AS next_d FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), day_last AS (
+  SELECT * FROM ordered WHERE next_d IS NULL OR next_d <> d
+), ranges AS (
+  SELECT user_id, cents, d, lead(d) OVER w AS nd FROM day_last
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), filled AS (
+  SELECT user_id, cents,
+         unnest(generate_series(CAST(d AS TIMESTAMP),
+                                CAST(COALESCE(nd - INTERVAL 1 DAY, d) AS TIMESTAMP),
+                                INTERVAL 1 DAY)) AS day
+  FROM ranges
+)
+SELECT epoch_ms(day) AS day_ms, COUNT(*) AS n_users, SUM(cents) AS total_cents
+FROM filled GROUP BY 1
+"""
+
+
+# --- trailing-window anomaly flags (integer-exact) --------------------------
+# Streaming-monitoring shape: flag events whose value exceeds 3x the mean
+# of the user's previous <=20 events. The comparison is cross-multiplied
+# (cents * cnt > 3 * sum) so both engines decide each flag in exact
+# 64-bit integer arithmetic — no float mean, no tolerance. Bounded ROWS
+# frame => O(1) state per row in the window operator; one exchange on
+# user_id; the per-user rollup reuses the same partitioning (no second
+# shuffle of the big side).
+
+ANOMALY_FRAME = 20
+ANOMALY_MIN_PRIOR = 5
+ANOMALY_FACTOR = 3
+
+
+def q_anomaly_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: total events and how many were trailing-window anomalies
+    (value > ANOMALY_FACTOR x trailing mean, given >= ANOMALY_MIN_PRIOR
+    prior events in the frame)."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-ANOMALY_FRAME, -1)
+    )
+    base = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    flagged = base.select(
+        "user_id",
+        (
+            (F.count("*").over(wt) >= ANOMALY_MIN_PRIOR)
+            & (F.col("cents") * F.count("*").over(wt)
+               > ANOMALY_FACTOR * F.sum("cents").over(wt))
+        ).cast("int").alias("flag"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("flag").alias("n_anomalies")
+    )
+
+
+Q_ANOMALY_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), t AS (
+  SELECT user_id, cents, SUM(cents) OVER w AS tsum, COUNT(*) OVER w AS tcnt
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN {ANOMALY_FRAME} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN tcnt >= {ANOMALY_MIN_PRIOR}
+                 AND cents * tcnt > {ANOMALY_FACTOR} * tsum
+            THEN 1 ELSE 0 END) AS n_anomalies
+FROM t GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("ts_forward_fill", ts_forward_fill, TS_FORWARD_FILL_ORACLE,
+              "LOCF gap fill: daily carried-forward per-user value, one shuffle",
+              ("temporal", "timeseries")),
+    QuerySpec("q_anomaly_trailing", q_anomaly_trailing, Q_ANOMALY_ORACLE,
+              "integer-exact trailing-window anomaly flags per user",
+              ("temporal", "timeseries")),
+]
