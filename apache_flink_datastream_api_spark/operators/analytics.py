@@ -839,3 +839,130 @@ SPECS += [
               "users-who-did-A-also-did-B pair counts via per-user set + generator",
               ("analytics", "cooccurrence")),
 ]
+
+
+# --- Markov transition matrix over the event stream -------------------------
+# Ordered clickstream bigrams: for each (from_type, to_type), how many
+# times a user's event of type A was immediately followed by type B.
+# The sequence dependency is ONE lead() over ONE exchange on user_id
+# (the window sort rides the shuffle); the pair rollup that follows is a
+# k^2-row aggregate. n_from_total (the row-normalizer for transition
+# probabilities) is a window over the k^2-row result — driver-scale,
+# deliberately not a second pass over events.
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts per (from, to) pair, with the
+    per-from totals needed to normalize into transition probabilities."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    base = ev.select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id", "event_type"
+    )
+    counts = (
+        base.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_trans"))
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n_trans",
+        F.sum("n_trans").over(wf).alias("n_from_total"),
+    )
+
+
+Q_TRANSITIONS_ORACLE = """
+WITH base AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
+), t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS to_type
+  FROM base
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_trans
+  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_trans,
+       SUM(n_trans) OVER (PARTITION BY from_type) AS n_from_total
+FROM c
+"""
+
+
+# --- Gini concentration via distributed rank --------------------------------
+# Revenue-concentration Gini over order totals: G = 2·Σ(rank·x)/(n·Σx)
+# − (n+1)/n. The rank-weighted sum needs every row's GLOBAL ascending
+# rank — the anti-pattern is row_number() over an unpartitioned window
+# (all 100 TB through one task). Instead: deterministic fixed-width VALUE
+# shards (floor(cents / width)) are totally ordered, so global rank =
+# in-shard row_number + Σ(earlier shard sizes). The shard bases are a
+# driver-scale cumsum broadcast back — same two-pass sharded prefix-sum
+# machinery as pipeline_pack_sequences. Σ(rank·x) is tie-ORDER-invariant
+# (equal x contribute x·Σranks either way), so any tie-break gives the
+# same Gini; products accumulate in DECIMAL because rank·cents overflows
+# a long beyond ~1e11 rows.
+
+
+GINI_SHARD_CENTS = 5_000_000
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row Gini coefficient of order revenue (0 = equal,
+    1 = concentrated), with exact n and total in integer cents."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+    )
+    sharded = o.selectExpr(
+        "o_orderkey", "cents",
+        f"CAST(floor(cents / {GINI_SHARD_CENTS}) AS BIGINT) AS shard",
+    )
+    in_shard = Window.partitionBy("shard").orderBy("cents", "o_orderkey")
+    local = sharded.withColumn("local_rank", F.row_number().over(in_shard))
+    shard_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        sharded.groupBy("shard").agg(F.count("*").alias("n"))
+        .withColumn("base", F.coalesce(F.sum("n").over(shard_w), F.lit(0)))
+        .select("shard", "base")
+    )
+    ranked = local.join(F.broadcast(bases), "shard").selectExpr(
+        "cents", "base + local_rank AS rnk"
+    )
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).alias("t"),
+        F.sum(F.expr("CAST(rnk AS DECIMAL(18,0)) * cents")).alias("s"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "CAST(t AS BIGINT) AS total_cents",
+        "round(CAST(2 * s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))"
+        " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini",
+    )
+
+
+Q_GINI_ORACLE = """
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                            o_orderkey) AS rnk
+  FROM orders
+)
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS total_cents,
+       round(CAST(2 * SUM(CAST(rnk AS HUGEINT) * cents) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE))
+             - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+FROM r
+"""
+
+
+SPECS += [
+    QuerySpec("q_event_transitions", q_event_transitions, Q_TRANSITIONS_ORACLE,
+              "Markov transition counts between consecutive event types per user",
+              ("analytics", "clickstream")),
+    QuerySpec("q_revenue_gini", q_revenue_gini, Q_GINI_ORACLE,
+              "Gini concentration via sharded two-pass distributed rank",
+              ("analytics", "rank")),
+]

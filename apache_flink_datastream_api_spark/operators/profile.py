@@ -71,3 +71,74 @@ SPECS = [
               "one-pass per-column profile: nulls, exact distincts, min/max",
               ("profiling", "quality")),
 ]
+
+
+# --- referential-integrity audit --------------------------------------------
+# The other pre-training data-quality gate: count FK orphans for every
+# edge of the star schema in one declarative plan (4 left joins against
+# deduped key projections, one union of one-row aggregates — no driver
+# .count() actions). Each join carries only the key column (pruned scan);
+# Catalyst/AQE picks broadcast for dims that fit and shuffle-hash
+# otherwise, which is exactly the right behavior at 100 TB where
+# `orders` as a parent is NOT broadcastable — nothing in the plan
+# assumes it is.
+
+
+def _fk_check(name, child: DataFrame, key: str, parent: DataFrame,
+              pkey: str) -> DataFrame:
+    pk = parent.select(F.col(pkey).alias(key)).distinct()
+    joined = child.select(key).join(pk.withColumn("__hit", F.lit(1)), key, "left")
+    return joined.agg(
+        F.lit(name).alias("fk"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_orphans"),
+    )
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per FK edge: child row count and orphan count (child rows
+    whose key has no match in the parent table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        _fk_check("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+        .unionByName(_fk_check("lineitem.l_orderkey->orders", li, "l_orderkey",
+                               orders, "o_orderkey"))
+        .unionByName(_fk_check("lineitem.l_partkey->part", li, "l_partkey",
+                               part, "p_partkey"))
+        .unionByName(_fk_check("lineitem.l_suppkey->supplier", li, "l_suppkey",
+                               supp, "s_suppkey"))
+    )
+
+
+Q_FK_AUDIT_ORACLE = """
+SELECT 'orders.o_custkey->customer' AS fk, COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+FROM orders o
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+       COUNT(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+FROM lineitem l
+UNION ALL
+SELECT 'lineitem.l_partkey->part', COUNT(*),
+       COUNT(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+FROM lineitem l
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+       COUNT(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+FROM lineitem l
+"""
+
+
+SPECS += [
+    QuerySpec("q_fk_integrity_audit", q_fk_integrity_audit, Q_FK_AUDIT_ORACLE,
+              "FK orphan counts for every star-schema edge, one declarative plan",
+              ("profile", "quality")),
+]

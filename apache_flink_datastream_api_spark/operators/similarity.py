@@ -471,3 +471,51 @@ SPECS += [
               "integer-exact per-label centroid pooling (quantized element sums)",
               ("similarity", "vector")),
 ]
+
+
+# --- integer-exact linear projection (GEMV over quantized embeddings) -------
+# Apply a fixed 64->8 linear head to every embedding — the batch-inference
+# / dimensionality-reduction shape (random projection, distilled probe,
+# PCA head). Entirely MAP-SIDE: per row, int8-quantize (same floor(v*127)
+# convention as emb_quantize_int8) and fold each output dim with a
+# higher-order aggregate over the array — zero shuffles, zero UDFs, scans
+# 100 TB at parquet-read speed. The weight matrix is a deterministic
+# integer formula W[j][k] = (j*31 + k*17) % 7 - 3 so the DuckDB oracle
+# reproduces the exact same integer GEMV; swapping in learned weights is
+# a literal-array substitution with the identical plan.
+
+PROJ_DIMS = 8
+_QUANT = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+
+
+def emb_project_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding to PROJ_DIMS integer components:
+    out_k = sum_j quant(emb[j]) * W[j][k], exact 64-bit arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = ["vec_id"] + [
+        f"aggregate(transform({_QUANT}, (x, j) -> "
+        f"x * CAST((j * 31 + {k} * 17) % 7 - 3 AS BIGINT)), 0L, (a, b) -> a + b)"
+        f" AS out{k}"
+        for k in range(PROJ_DIMS)
+    ]
+    return emb.selectExpr(*cols)
+
+
+EMB_PROJECT_ORACLE = (
+    "WITH flat AS (SELECT vec_id, "
+    "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 127.0) AS BIGINT) AS qv, "
+    "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings)\n"
+    "SELECT vec_id, "
+    + ", ".join(
+        f"SUM(qv * ((j * 31 + {k} * 17) % 7 - 3)) AS out{k}"
+        for k in range(PROJ_DIMS)
+    )
+    + " FROM flat GROUP BY vec_id"
+)
+
+
+SPECS += [
+    QuerySpec("emb_project_int8", emb_project_int8, EMB_PROJECT_ORACLE,
+              "map-side integer-exact 64->8 linear projection of embeddings",
+              ("similarity", "vector")),
+]
