@@ -721,3 +721,115 @@ SPECS += [
               "integer-exact trailing-window anomaly flags per user",
               ("temporal", "timeseries")),
 ]
+
+
+# --- sweep-line session concurrency -----------------------------------------
+# "How many sessions were open at once, per day" — the interval-overlap
+# maximum, the ops-analytics shape behind peak-load and license-seat
+# questions. Sessions come from the same gap logic as
+# q_user_sessions_gap; each becomes a +1 boundary at start and a -1 at
+# end+1, and the concurrency curve is the running sum of boundaries in
+# global (ts, delta, user_id) order. The global prefix sum is NOT one
+# unpartitioned window: boundaries shard by DAY (floor(ts/day) is
+# monotone in ts, so day order == time order), cumsum within each day,
+# and the per-day totals — driver-scale — cumsum once and broadcast back
+# as day bases. Same two-pass machinery as pipeline_pack_sequences /
+# q_revenue_gini, keyed by time instead of id/value. Ties are totally
+# ordered (delta −1 sorts before +1, user_id breaks the rest), so both
+# engines walk the identical sequence.
+
+CONC_DAY_MS = 86_400_000
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: peak number of concurrently-open sessions and the number
+    of session boundaries processed."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(w_ord).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w_ord) > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_ms").alias("s"), F.max("ts_ms").alias("e"))
+    )
+    bounds = sess.selectExpr(
+        "user_id", "s AS ts", "CAST(1 AS BIGINT) AS delta"
+    ).unionByName(
+        sess.selectExpr("user_id", "e + 1 AS ts", "CAST(-1 AS BIGINT) AS delta")
+    )
+    sharded = bounds.selectExpr(
+        "user_id", "ts", "delta",
+        f"CAST(floor(ts / {CONC_DAY_MS}) AS BIGINT) AS day",
+    )
+    in_day = (
+        Window.partitionBy("day")
+        .orderBy("ts", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded.withColumn("run_local", F.sum("delta").over(in_day))
+    day_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        sharded.groupBy("day").agg(F.sum("delta").alias("d"))
+        .withColumn("base", F.coalesce(F.sum("d").over(day_w), F.lit(0)))
+        .select("day", "base")
+    )
+    return (
+        local.join(F.broadcast(bases), "day")
+        .selectExpr("day", "base + run_local AS run")
+        .groupBy("day")
+        .agg(
+            F.max("run").alias("max_concurrent"),
+            F.count("*").alias("n_boundaries"),
+        )
+        .selectExpr(f"day * {CONC_DAY_MS} AS day_ms", "max_concurrent", "n_boundaries")
+    )
+
+
+Q_CONCURRENCY_ORACLE = f"""
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+flagged AS (
+  SELECT user_id, ts_ms, event_id,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                OR ts_ms - lag(ts_ms) OVER w > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), sess AS (
+  SELECT user_id, MIN(ts_ms) AS s, MAX(ts_ms) AS e FROM (
+    SELECT user_id, ts_ms,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged) GROUP BY user_id, session_id
+), bounds AS (
+  SELECT user_id, s AS ts, CAST(1 AS BIGINT) AS delta FROM sess
+  UNION ALL
+  SELECT user_id, e + 1 AS ts, CAST(-1 AS BIGINT) AS delta FROM sess
+), run AS (
+  SELECT CAST(floor(ts / {CONC_DAY_MS}) AS BIGINT) AS day,
+         SUM(delta) OVER (ORDER BY ts, delta, user_id ROWS UNBOUNDED PRECEDING) AS run
+  FROM bounds
+)
+SELECT day * {CONC_DAY_MS} AS day_ms, MAX(run) AS max_concurrent,
+       COUNT(*) AS n_boundaries
+FROM run GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_session_concurrency", q_session_concurrency, Q_CONCURRENCY_ORACLE,
+              "peak concurrent sessions per day via sharded sweep-line prefix sum",
+              ("temporal", "timeseries")),
+]

@@ -467,3 +467,74 @@ SPECS += [
               "fixed-K per-source deterministic sample, sharded two-phase top-K",
               ("pipeline", "trainprep", "sampling")),
 ]
+
+
+# --- deterministic hash-based negative sampling -----------------------------
+# Contrastive-training pair construction: K pseudo-random negatives per
+# anchor embedding, drawn by a deterministic LCG-style formula over the
+# contiguous id space — so the sample is reproducible, shard-independent,
+# and the DuckDB oracle regenerates it exactly. Shape at 100 TB: the
+# candidate ids are a map-side generator (explode of K per row, no RNG
+# state), then ONE equi-join on neg_id fetches negative metadata —
+# uniform fan-in by construction (the mixer spreads ids), so the join has
+# no skew. |corpus| enters as a broadcast one-row aggregate, never a
+# driver collect. The per-row product vec_id * 40503 stays inside a long
+# up to ~2e14 anchors.
+
+NEG_K = 4
+_NEG_A, _NEG_B = 40503, 1000003
+
+
+def pipeline_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K negatives per anchor: (anchor, rank, negative id/label, and a
+    false-negative flag when the drawn negative shares the anchor's
+    label — the quantity contrastive pipelines monitor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_df = emb.agg(F.count("*").alias("n"))
+    cand = (
+        emb.select("vec_id", F.col("label").alias("anchor_label"))
+        .crossJoin(F.broadcast(n_df))
+        .selectExpr(
+            "vec_id", "anchor_label", "n",
+            f"explode(sequence(1, {NEG_K})) AS neg_rank",
+        )
+        .selectExpr(
+            "vec_id", "anchor_label", "neg_rank",
+            f"(vec_id * {_NEG_A} + neg_rank * {_NEG_B}) % n AS h", "n",
+        )
+        .selectExpr(
+            "vec_id", "anchor_label", "neg_rank",
+            "CASE WHEN h = vec_id THEN (h + 1) % n ELSE h END AS neg_id",
+        )
+    )
+    neg = emb.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
+    return cand.join(neg, "neg_id").select(
+        "vec_id", "neg_rank", "neg_id", "anchor_label", "neg_label",
+        (F.col("neg_label") == F.col("anchor_label")).cast("int").alias("is_false_negative"),
+    )
+
+
+NEGATIVE_PAIRS_ORACLE = f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+cand AS (
+  SELECT e.vec_id, e.label AS anchor_label, i.neg_rank,
+         (e.vec_id * {_NEG_A} + i.neg_rank * {_NEG_B}) % nn.n AS h, nn.n
+  FROM embeddings e, nn,
+       (SELECT unnest(generate_series(1, {NEG_K})) AS neg_rank) i
+), fixed AS (
+  SELECT vec_id, anchor_label, neg_rank,
+         CASE WHEN h = vec_id THEN (h + 1) % n ELSE h END AS neg_id
+  FROM cand
+)
+SELECT f.vec_id, f.neg_rank, f.neg_id, f.anchor_label, g.label AS neg_label,
+       CAST(g.label = f.anchor_label AS INT) AS is_false_negative
+FROM fixed f JOIN embeddings g ON g.vec_id = f.neg_id
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_negative_pairs", pipeline_negative_pairs,
+              NEGATIVE_PAIRS_ORACLE,
+              "deterministic K-negative sampling per anchor, skew-free fetch join",
+              ("trainprep", "contrastive")),
+]

@@ -94,6 +94,15 @@ HEADLINE = [
     "profile_events",
     "pipeline_reservoir_sample",
     "emb_pool_by_label",
+    # rank statistics, time-series fill, clickstream, training pairs
+    "q_revenue_gini",
+    "ts_forward_fill",
+    "q_anomaly_trailing",
+    "q_event_transitions",
+    "q_session_concurrency",
+    "emb_project_int8",
+    "pipeline_negative_pairs",
+    "q_fk_integrity_audit",
 ]
 
 

@@ -285,3 +285,65 @@ def test_rolling_wau_broadcasts_day_spine(spark):
 
     df = analytics.q_rolling_wau(spark, SF_DIR)
     assert_broadcast_join(df)
+
+
+def test_emb_project_no_shuffle(spark):
+    """The int8 linear projection is pure map-side work — any Exchange in
+    the plan means the GEMV stopped scaling at scan speed."""
+    from apache_flink_datastream_api_spark.operators import similarity
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    plan = explain_string(similarity.emb_project_int8(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_forward_fill_single_user_exchange(spark):
+    """Both lead() passes of the LOCF fill must ride ONE hashpartitioning
+    on user_id; the only other exchange is the small per-day rollup."""
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    plan = explain_string(temporal.ts_forward_fill(spark, SF_DIR))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_gini_no_global_window(spark):
+    """The distributed rank must never plan a SinglePartition exchange for
+    the big side — that is exactly the bottleneck the value shards avoid.
+    The only single-partition work allowed is the driver-scale shard-base
+    cumsum and the final one-row aggregate."""
+    from apache_flink_datastream_api_spark.operators import analytics
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    df = analytics.q_revenue_gini(spark, SF_DIR)
+    plan = explain_string(df)
+    # orders-side rank path partitions by shard; bases side broadcasts
+    assert "hashpartitioning(shard" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_session_concurrency_sharded_prefix(spark):
+    """Sweep-line cumsum shards by day (hashpartitioning(day)); day bases
+    arrive via broadcast, not a second big-side shuffle."""
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    plan = explain_string(temporal.q_session_concurrency(spark, SF_DIR))
+    assert "hashpartitioning(day" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_negative_pairs_broadcasts_count(spark):
+    """|corpus| must enter as a broadcast one-row aggregate; the negative
+    fetch is an equi-join, never a nested loop."""
+    from apache_flink_datastream_api_spark.operators import trainprep
+    from apache_flink_datastream_api_spark.plans.inspect import (
+        assert_no_cartesian, explain_string,
+    )
+
+    df = trainprep.pipeline_negative_pairs(spark, SF_DIR)
+    plan = explain_string(df, "simple")
+    assert "BroadcastExchange" in plan, plan
+    # exactly ONE nested-loop join is legal: the broadcast of the one-row
+    # count. The negative fetch itself must be a keyed equi-join.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan
