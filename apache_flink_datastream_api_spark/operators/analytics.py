@@ -966,3 +966,64 @@ SPECS += [
               "Gini concentration via sharded two-pass distributed rank",
               ("analytics", "rank")),
 ]
+
+
+# --- global-decile feature binning ------------------------------------------
+# ML feature-prep: bucket a numeric column by its own global deciles.
+# Two stages: (1) ONE aggregate computes all 9 boundaries (Spark
+# ``percentile`` — at 100 TB swap for ``approx_percentile``'s t-digest,
+# same plan shape, bounded memory); (2) the boundaries broadcast back
+# (one row) and every row binned map-side by integer comparison. The
+# boundaries are FLOORED TO INTEGER CENTS before comparing so the bucket
+# decision is exact integer logic on both engines — never a double
+# equality at a bucket edge. Fact table is scanned twice (boundary pass +
+# bin pass) — unavoidable for exact global quantiles; the approx variant
+# can fold into one pass with a pre-sampled sketch.
+
+
+def q_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin lineitem prices into global deciles; per bucket: row count,
+    min/max/sum in integer cents."""
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+    )
+    bnd = li.agg(*[
+        F.expr(f"CAST(floor(percentile(cents, {k}/10)) AS BIGINT)").alias(f"b{k}")
+        for k in range(1, 10)
+    ])
+    binned = li.crossJoin(F.broadcast(bnd)).selectExpr(
+        "cents",
+        "CASE "
+        + " ".join(f"WHEN cents <= b{k} THEN {k - 1}" for k in range(1, 10))
+        + " ELSE 9 END AS decile",
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("sum_cents"),
+    )
+
+
+Q_DECILE_ORACLE = (
+    "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+    " FROM lineitem),\nb AS (SELECT "
+    + ", ".join(
+        f"CAST(floor(quantile_cont(cents, {k}/10.0)) AS BIGINT) AS b{k}"
+        for k in range(1, 10)
+    )
+    + " FROM c),\nbinned AS (SELECT cents, CASE "
+    + " ".join(f"WHEN cents <= b{k} THEN {k - 1}" for k in range(1, 10))
+    + " ELSE 9 END AS decile FROM c, b)\n"
+    "SELECT decile, COUNT(*) AS n, MIN(cents) AS min_cents,"
+    " MAX(cents) AS max_cents,"
+    " CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents"
+    " FROM binned GROUP BY 1"
+)
+
+
+SPECS += [
+    QuerySpec("q_decile_binning", q_decile_binning, Q_DECILE_ORACLE,
+              "global-decile feature binning with integer-floored boundaries",
+              ("analytics", "binning")),
+]

@@ -833,3 +833,89 @@ SPECS += [
               "peak concurrent sessions per day via sharded sweep-line prefix sum",
               ("temporal", "timeseries")),
 ]
+
+
+# --- snapshot diff (lakehouse table-version reconciliation) -----------------
+# Classify every key across two table versions as added / removed /
+# changed / unchanged — the audit behind incremental publishes and CDC
+# backfills. ONE full-outer equi-join on the key, NULL-side tests for
+# presence, column compare for change; Catalyst shuffles both sides by
+# key once and the classification is map-side. At 100 TB both snapshots
+# are key-bucketed on disk and the join is zero-exchange (see
+# bucketed_join_roundtrip for the pinned plan). The two "versions" here
+# are deterministic derivations of the driver's orders table (a later
+# cutoff + a simulated price correction + an archival purge) so the
+# oracle regenerates them exactly.
+
+SNAP_CUT1 = "1997-06-01"
+SNAP_CUT2 = "1997-09-01"
+SNAP_ARCHIVE = "1995-06-01"
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row counts per change class between snapshot v1 (orders before
+    SNAP_CUT1) and v2 (orders before SNAP_CUT2, price-corrected for 'P'
+    status, 'F' orders older than SNAP_ARCHIVE purged)."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderdate") < F.lit(SNAP_CUT1)).selectExpr(
+        "o_orderkey", "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    v2 = o.where(
+        (F.col("o_orderdate") < F.lit(SNAP_CUT2))
+        & ~(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") < F.lit(SNAP_ARCHIVE))
+        )
+    ).selectExpr(
+        "o_orderkey", "o_orderstatus",
+        "CAST(round(o_totalprice * 100) AS BIGINT)"
+        " + CASE WHEN o_orderstatus = 'P' THEN 500 ELSE 0 END AS cents",
+    )
+    d = v1.selectExpr("o_orderkey", "o_orderstatus AS st1", "cents AS c1").join(
+        v2.selectExpr("o_orderkey", "o_orderstatus AS st2", "cents AS c2"),
+        "o_orderkey",
+        "full_outer",
+    )
+    return (
+        d.selectExpr(
+            "CASE WHEN c1 IS NULL THEN 'added'"
+            " WHEN c2 IS NULL THEN 'removed'"
+            " WHEN c1 <> c2 OR st1 <> st2 THEN 'changed'"
+            " ELSE 'unchanged' END AS change"
+        )
+        .groupBy("change")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+Q_SNAPSHOT_DIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{SNAP_CUT1}'
+), v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderstatus = 'P' THEN 500 ELSE 0 END AS cents
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{SNAP_CUT2}'
+    AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '{SNAP_ARCHIVE}')
+), d AS (
+  SELECT v1.o_orderstatus AS st1, v2.o_orderstatus AS st2,
+         v1.cents AS c1, v2.cents AS c2
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT CASE WHEN c1 IS NULL THEN 'added' WHEN c2 IS NULL THEN 'removed'
+            WHEN c1 <> c2 OR st1 <> st2 THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       COUNT(*) AS n_rows
+FROM d GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_snapshot_diff", q_snapshot_diff, Q_SNAPSHOT_DIFF_ORACLE,
+              "added/removed/changed/unchanged audit across two table versions",
+              ("temporal", "cdc")),
+]

@@ -560,3 +560,66 @@ SPECS += [
               "regex PII redaction (emails/phones) over constructed payloads",
               ("text", "quality")),
 ]
+
+
+# --- vocabulary growth (Heaps-law curve) ------------------------------------
+# Corpus diagnostics: how many NEW word-trigram shingles each ingestion
+# batch contributes, and the cumulative vocabulary size — the curve that
+# tells a data pipeline whether more raw corpus still buys new content
+# (plateau = diminishing returns / heavy duplication). First occurrence
+# is min(doc_id) per shingle: explode is map-side, ONE shuffle on the
+# shingle key with map-side partial min, and the per-batch rollup +
+# cumulative sum run on |batches| rows (driver-scale). At 100 TB the
+# shingle-keyed aggregate is the same plan as the dedup family's —
+# uniform hash keys, no skew.
+
+VOCAB_BATCH = 25
+_VOCAB_K = 3
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New word-trigram shingles per VOCAB_BATCH-doc ingestion batch and
+    the cumulative vocabulary size."""
+    from pyspark.sql import Window
+
+    sh_s = X.shingles_spark(X.tokens_spark("text"), _VOCAB_K)
+    docs = load_table(spark, sf_dir, "documents")
+    first = (
+        docs.select("doc_id", F.explode(F.expr(sh_s)).alias("sh"))
+        .groupBy("sh")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_batch = first.selectExpr(
+        f"CAST(floor(first_doc / {VOCAB_BATCH}) AS BIGINT) AS batch"
+    ).groupBy("batch").agg(F.count("*").alias("n_new_shingles"))
+    wb = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_batch.select(
+        "batch", "n_new_shingles",
+        F.sum("n_new_shingles").over(wb).alias("vocab_size"),
+    )
+
+
+TEXT_VOCAB_GROWTH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({X.shingles_duck(X.tokens_duck("text"), _VOCAB_K)}) AS s
+  FROM documents
+), first AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+), per_batch AS (
+  SELECT CAST(floor(first_doc / {VOCAB_BATCH}) AS BIGINT) AS batch,
+         COUNT(*) AS n_new_shingles
+  FROM first GROUP BY 1
+)
+SELECT batch, n_new_shingles,
+       SUM(n_new_shingles) OVER (ORDER BY batch ROWS UNBOUNDED PRECEDING) AS vocab_size
+FROM per_batch
+"""
+
+
+SPECS += [
+    QuerySpec("text_vocab_growth", text_vocab_growth, TEXT_VOCAB_GROWTH_ORACLE,
+              "Heaps-law vocabulary growth per ingestion batch (first-occurrence min)",
+              ("text", "diagnostics")),
+]

@@ -103,6 +103,9 @@ HEADLINE = [
     "emb_project_int8",
     "pipeline_negative_pairs",
     "q_fk_integrity_audit",
+    "q_decile_binning",
+    "q_snapshot_diff",
+    "text_vocab_growth",
 ]
 
 
