@@ -1027,3 +1027,173 @@ SPECS += [
               "global-decile feature binning with integer-floored boundaries",
               ("analytics", "binning")),
 ]
+
+
+# --- hour-of-week activity heatmap ------------------------------------------
+# The dashboard "when are my users active" matrix: (day-of-week, hour)
+# cells with counts and exact value sums. Day-of-week comes from pure
+# epoch-ms arithmetic — (floor(ts/86400000) + 4) % 7, anchored on
+# 1970-01-01 being a Thursday — NOT from an engine dow() function, whose
+# week-origin and locale semantics differ across engines. Single scan,
+# one 168-key aggregate, all integer.
+
+
+def q_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (dow, hour) cell: event count and exact cents total.
+    dow 0 = Sunday."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "CAST((floor(unix_millis(ts) / 86400000) + 4) % 7 AS BIGINT) AS dow",
+        "CAST(floor(unix_millis(ts) / 3600000) % 24 AS BIGINT) AS hour",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    ).groupBy("dow", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+Q_HOUR_HEATMAP_ORACLE = """
+SELECT CAST((floor(epoch_ms(ts) / 86400000) + 4) % 7 AS BIGINT) AS dow,
+       CAST(floor(epoch_ms(ts) / 3600000) % 24 AS BIGINT) AS hour,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("q_hour_heatmap", q_hour_heatmap, Q_HOUR_HEATMAP_ORACLE,
+              "hour-of-week activity matrix from portable epoch arithmetic",
+              ("analytics", "dashboard")),
+]
+
+
+# --- banding (range-dimension) join -----------------------------------------
+# Join a fact against an irregular [lo, hi) band dimension — price tiers,
+# SLA buckets, duration bands. The dim is tiny and data-driven, so the
+# right physical plan is a BROADCAST non-equi join (nested-loop against
+# ≤ dozens of broadcast rows ≈ a map-side CASE); when the bands are
+# static literals Catalyst would fold an equivalent CASE, and when the
+# dim is large the scale path is interval alignment to a grid +
+# equi-join. The fact side never shuffles before the final k-row agg.
+
+PRICE_TIERS = [
+    ("budget", 0, 8_000_000),
+    ("mid", 8_000_000, 15_000_000),
+    ("premium", 15_000_000, 30_000_000),
+    ("luxury", 30_000_000, 10**15),
+]
+
+
+def q_price_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count + exact revenue per price tier via a broadcast
+    range-band join."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+    )
+    tiers = spark.createDataFrame(PRICE_TIERS, "tier string, lo long, hi long")
+    j = o.join(
+        F.broadcast(tiers),
+        (F.col("cents") >= F.col("lo")) & (F.col("cents") < F.col("hi")),
+    )
+    return j.groupBy("tier").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("revenue_cents"),
+    )
+
+
+_TIER_VALUES = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in PRICE_TIERS)
+
+Q_PRICE_TIER_ORACLE = f"""
+WITH tiers(tier, lo, hi) AS (VALUES {_TIER_VALUES}),
+o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT tier, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS revenue_cents
+FROM o JOIN tiers ON cents >= lo AND cents < hi
+GROUP BY tier
+"""
+
+
+# --- Lorenz / Pareto decile table -------------------------------------------
+# "The top 10% of customers drive X% of revenue": per-customer revenue,
+# customers ranked by revenue, revenue share per customer-decile. Third
+# user of the value-sharded two-pass distributed rank (with
+# q_revenue_gini and q_session_concurrency) — by now the house pattern
+# for global order statistics without a single-partition window. Decile
+# ids use true integer division (`div`), never a cast of a double ratio.
+# |customers| and total revenue enter as ONE broadcast one-row aggregate.
+
+LORENZ_SHARD_CENTS = 10_000_000
+
+
+def q_pareto_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer-revenue decile (0 = top spenders): customer count,
+    exact revenue cents, and share of total revenue."""
+    rev = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("rev")
+    )
+    tot = rev.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(rev AS DECIMAL(28,0))")).cast("long").alias("total"),
+    )
+    sharded = rev.selectExpr(
+        "o_custkey", "rev", f"CAST(floor(rev / {LORENZ_SHARD_CENTS}) AS BIGINT) AS shard"
+    )
+    in_shard = Window.partitionBy("shard").orderBy("rev", "o_custkey")
+    local = sharded.withColumn("lr", F.row_number().over(in_shard))
+    shard_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        sharded.groupBy("shard").agg(F.count("*").alias("c"))
+        .withColumn("base", F.coalesce(F.sum("c").over(shard_w), F.lit(0)))
+        .select("shard", "base")
+    )
+    ranked = (
+        local.join(F.broadcast(bases), "shard")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("rev", "n", "total", "base + lr AS rnk_asc")
+    )
+    return (
+        ranked.selectExpr(
+            "rev", "total", "((n - rnk_asc) * 10) div n AS decile"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.expr("CAST(rev AS DECIMAL(28,0))")).cast("long").alias("revenue_cents"),
+            F.first("total").alias("t"),
+        )
+        .selectExpr(
+            "decile", "n_customers", "revenue_cents",
+            "round(CAST(revenue_cents AS DOUBLE) / t, 6) AS revenue_share",
+        )
+    )
+
+
+Q_LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS total FROM rev
+), ranked AS (
+  SELECT rev, n, total,
+         row_number() OVER (ORDER BY rev, o_custkey) AS rnk_asc
+  FROM rev, tot
+)
+SELECT ((n - rnk_asc) * 10) // n AS decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS revenue_cents,
+       round(CAST(CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / ANY_VALUE(total), 6) AS revenue_share
+FROM ranked GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_price_tier_join", q_price_tier_join, Q_PRICE_TIER_ORACLE,
+              "broadcast range-band join against an irregular tier dimension",
+              ("analytics", "join")),
+    QuerySpec("q_pareto_lorenz", q_pareto_lorenz, Q_LORENZ_ORACLE,
+              "customer-revenue Lorenz deciles via value-sharded distributed rank",
+              ("analytics", "rank")),
+]

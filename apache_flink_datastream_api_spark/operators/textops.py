@@ -623,3 +623,60 @@ SPECS += [
               "Heaps-law vocabulary growth per ingestion batch (first-occurrence min)",
               ("text", "diagnostics")),
 ]
+
+
+# --- corpus datacard --------------------------------------------------------
+# The per-(source, lang) summary every dataset release ships: doc/token/
+# char counts, token-length extremes, and each slice's fraction of the
+# corpus. One grouped aggregate over one scan; the corpus total joins
+# back as a broadcast one-row aggregate (never a second scan of the
+# fact table, never a collect). The fraction is ONE double division of
+# two exact longs, rounded — portable.
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card table: per (source, lang) doc/token/char totals,
+    token-count extremes, and fraction of all docs."""
+    toks = X.tokens_spark("text")
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("total_docs"))
+    return (
+        docs.selectExpr("source", "lang", f"size({toks}) AS n_toks", "n_chars")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("n_toks").alias("min_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "source", "lang", "n_docs", "n_tokens", "n_chars",
+            "min_tokens", "max_tokens",
+            "round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS frac_docs",
+        )
+    )
+
+
+CORPUS_DATACARD_ORACLE = f"""
+WITH t AS (SELECT COUNT(*) AS total_docs FROM documents),
+g AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         SUM(len({X.tokens_duck("text")})) AS n_tokens,
+         SUM(n_chars) AS n_chars,
+         MIN(len({X.tokens_duck("text")})) AS min_tokens,
+         MAX(len({X.tokens_duck("text")})) AS max_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens, n_chars, min_tokens, max_tokens,
+       round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS frac_docs
+FROM g, t
+"""
+
+
+SPECS += [
+    QuerySpec("corpus_datacard", corpus_datacard, CORPUS_DATACARD_ORACLE,
+              "per-(source, lang) dataset-card rollup with corpus fractions",
+              ("text", "diagnostics")),
+]

@@ -106,6 +106,10 @@ HEADLINE = [
     "q_decile_binning",
     "q_snapshot_diff",
     "text_vocab_growth",
+    "q_hour_heatmap",
+    "corpus_datacard",
+    "q_price_tier_join",
+    "q_pareto_lorenz",
 ]
 
 

@@ -47,6 +47,14 @@ REPRESENTATIVES = [
     "pipeline_pretrain_e2e",
     # iterative join+agg loop with integer-exact rank arithmetic
     "graph_pagerank",
+    # value-sharded distributed rank (global rank must not depend on layout)
+    "q_revenue_gini",
+    # day-sharded sweep-line prefix sum (global running order)
+    "q_session_concurrency",
+    # one-exchange double window pass + generator fill
+    "ts_forward_fill",
+    # global-quantile boundaries broadcast back for binning
+    "q_decile_binning",
 ]
 
 
