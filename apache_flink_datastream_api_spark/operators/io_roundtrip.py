@@ -416,3 +416,58 @@ SPECS += [
               "per-doc binary files through the binaryFile source, byte-exact",
               ("io", "multimodal")),
 ]
+
+
+# --- file lineage via the _metadata column ----------------------------------
+# "Which physical file did each row come from" — the provenance question
+# behind incremental reprocessing, bad-file quarantine, and audit
+# trails. Spark exposes it as the hidden ``_metadata`` struct on every
+# file source, served from the scan's own file split (zero extra IO).
+# Exercised as a roundtrip so the oracle stays path-independent: write a
+# copy partitioned by a derived shard, read it back, and recover the
+# shard FROM THE FILE PATH (``regexp_extract(_metadata.file_path,
+# 'shard=...')``) — never from the data column. The per-shard counts +
+# exact key checksums then have to match the shard arithmetic computed
+# directly on the source view. At 100 TB this is the mechanics of
+# quarantining a bad file: group by provenance, compare checksums.
+
+LINEAGE_SHARDS = 8
+
+
+def q_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders sharded into LINEAGE_SHARDS partition dirs, read back,
+    and aggregate per shard recovered from _metadata.file_path."""
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="lineage_"), "orders")
+    src = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", f"pmod(o_orderkey, {LINEAGE_SHARDS}) AS shard"
+    )
+    src.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "shard=([0-9]+)", 1
+            ).cast("long").alias("shard_from_path"),
+            "o_orderkey",
+        )
+        .groupBy("shard_from_path")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+    )
+
+
+FILE_LINEAGE_ORACLE = f"""
+SELECT o_orderkey % {LINEAGE_SHARDS} AS shard_from_path,
+       COUNT(*) AS n_rows,
+       SUM(o_orderkey) AS key_checksum
+FROM orders GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_file_lineage", q_file_lineage, FILE_LINEAGE_ORACLE,
+              "row provenance recovered from _metadata.file_path, checksummed",
+              ("io", "lineage")),
+]

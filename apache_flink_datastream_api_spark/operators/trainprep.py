@@ -538,3 +538,62 @@ SPECS += [
               "deterministic K-negative sampling per anchor, skew-free fetch join",
               ("trainprep", "contrastive")),
 ]
+
+
+# --- deterministic class rebalancing ----------------------------------------
+# Oversample minority classes to (approximate) parity by an integer
+# replication factor rep = ceil(max_class_size / class_size) — the
+# deterministic batch form of weighted sampling for class-imbalanced
+# training. Per-label factors are a driver-scale broadcast dim; the
+# replication itself is a map-side ``explode(sequence(1, rep))`` — no
+# shuffle of the fact table, no RNG. Output pins the post-balance class
+# sizes plus an exact id checksum over the replicated rows, so the
+# oracle verifies the replication content, not just its cardinality.
+
+
+def pipeline_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per label: size before/after oversampling to parity, the
+    replication factor, and an exact checksum of replicated ids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    maxn = counts.agg(F.max("n").alias("maxn"))
+    factors = counts.crossJoin(F.broadcast(maxn)).selectExpr(
+        "label", "n", "CAST(ceil(CAST(maxn AS DOUBLE) / n) AS BIGINT) AS rep"
+    )
+    rebal = (
+        emb.join(F.broadcast(factors), "label")
+        .selectExpr("label", "vec_id", "explode(sequence(1, rep)) AS copy_i")
+    )
+    out = rebal.groupBy("label").agg(
+        F.count("*").alias("n_after"),
+        F.sum("vec_id").alias("id_checksum"),
+    )
+    return out.join(
+        factors.select("label", F.col("n").alias("n_before"), "rep"), "label"
+    )
+
+
+CLASS_REBALANCE_ORACLE = """
+WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+mx AS (SELECT MAX(n) AS maxn FROM counts),
+factors AS (
+  SELECT label, n, CAST(ceil(CAST(maxn AS DOUBLE) / n) AS BIGINT) AS rep
+  FROM counts, mx
+), rebal AS (
+  SELECT e.label, e.vec_id
+  FROM embeddings e JOIN factors f USING (label),
+       UNNEST(generate_series(1, f.rep)) AS g(copy_i)
+)
+SELECT r.label, COUNT(*) AS n_after, SUM(vec_id) AS id_checksum,
+       ANY_VALUE(f.n) AS n_before, ANY_VALUE(f.rep) AS rep
+FROM rebal r JOIN factors f USING (label)
+GROUP BY r.label
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_class_rebalance", pipeline_class_rebalance,
+              CLASS_REBALANCE_ORACLE,
+              "map-side oversampling to class parity with exact content checksums",
+              ("trainprep", "sampling")),
+]

@@ -110,6 +110,8 @@ HEADLINE = [
     "corpus_datacard",
     "q_price_tier_join",
     "q_pareto_lorenz",
+    "q_file_lineage",
+    "pipeline_class_rebalance",
 ]
 
 

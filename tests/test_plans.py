@@ -347,3 +347,46 @@ def test_negative_pairs_broadcasts_count(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert any(j in plan for j in
                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Sweep EVERY batch registry query's physical plan: no accidental
+    CartesianProduct anywhere, and every BroadcastNestedLoopJoin is on an
+    explicit allowlist of shapes where the broadcast side is driver-scale
+    BY CONSTRUCTION (one-row count aggregates, a handful of band/anchor
+    rows, or a deliberately brute-force baseline). A new query that
+    sneaks in an unkeyed join fails here before it costs quadratic time
+    at scale."""
+    from apache_flink_datastream_api_spark.registry import all_queries
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    # non-batch surfaces (streaming runs, sinks, sources, stubs) are
+    # exercised by their own tests; explain here would re-run streams
+    skip_tags = {"streaming", "io", "sink", "source", "multimodal",
+                 "sketch", "spark4"}
+    # every legal nested-loop: why its broadcast side is tiny
+    bnlj_ok = {
+        "q22_idle_wealthy_customers",   # scalar avg-balance subquery (1 row)
+        "q_monthly_order_series",       # calendar spine vs month bounds (1 row)
+        "q_rolling_wau",                # anchor-day spine (|days| rows)
+        "q_decile_binning",             # 9 global boundaries (1 row)
+        "q_price_tier_join",            # 4 tier bands
+        "q_pareto_lorenz",              # (n, total) aggregate (1 row)
+        "knn_bruteforce_cosine",        # brute-force baseline BY DESIGN
+        "ts_similarity_topk",           # broadcast probe series (1 series)
+        "knn_lsh_cosine",               # broadcast probe vector
+        "text_bm25_rank",               # corpus stats (1 row) + query terms
+        "corpus_datacard",              # corpus total (1 row)
+        "pipeline_negative_pairs",      # |corpus| count (1 row)
+        "pipeline_class_rebalance",     # max class size (1 row)
+    }
+    violations = []
+    for name, spec in all_queries().items():
+        if skip_tags & set(spec.tags):
+            continue
+        plan = explain_string(spec.fn(spark, SF_DIR), "simple")
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            violations.append(f"{name}: unallowlisted BroadcastNestedLoopJoin")
+    assert not violations, "\n".join(violations)
