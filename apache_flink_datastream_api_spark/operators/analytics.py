@@ -1197,3 +1197,79 @@ SPECS += [
               "customer-revenue Lorenz deciles via value-sharded distributed rank",
               ("analytics", "rank")),
 ]
+
+
+# --- month-over-month revenue bridge ----------------------------------------
+# The SaaS-finance waterfall: decompose each month's revenue movement
+# into new / expansion / contraction / churned, by customer. Customer-
+# month revenue aggregates once (shuffle 1, map-side combine), then ONE
+# window pass per customer (lag revenue, lag/lead month — shuffle 2 on
+# o_custkey) classifies inflows and projects churn into the month AFTER
+# last activity. All amounts integer cents; a month gap (pm < m-1)
+# counts as 'new' again, mirroring the churn row emitted at pm+1.
+
+
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (month, class ∈ new/expansion/contraction/churned): customer
+    count and exact cents amount."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    cm = o.groupBy("o_custkey", "m").agg(F.sum("cents").alias("rev"))
+    wc = Window.partitionBy("o_custkey").orderBy("m")
+    lagged = cm.select(
+        "o_custkey", "m", "rev",
+        F.lag("m").over(wc).alias("pm"),
+        F.lag("rev").over(wc).alias("prev"),
+        F.lead("m").over(wc).alias("nm"),
+    )
+    inflow = lagged.selectExpr(
+        "m",
+        "CASE WHEN pm IS NULL OR pm < m - 1 THEN 'new' "
+        "WHEN rev >= prev THEN 'expansion' ELSE 'contraction' END AS cls",
+        "CASE WHEN pm IS NULL OR pm < m - 1 THEN rev "
+        "WHEN rev >= prev THEN rev - prev ELSE prev - rev END AS amt",
+    )
+    churn = lagged.where(
+        F.col("nm").isNull() | (F.col("nm") > F.col("m") + 1)
+    ).selectExpr("m + 1 AS m", "'churned' AS cls", "rev AS amt")
+    return inflow.unionByName(churn).groupBy("m", "cls").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("amt").alias("amount_cents"),
+    )
+
+
+Q_REVENUE_BRIDGE_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), cm AS (SELECT o_custkey, m, SUM(cents) AS rev FROM o GROUP BY 1, 2),
+lagged AS (
+  SELECT o_custkey, m, rev,
+         lag(m) OVER w AS pm, lag(rev) OVER w AS prev, lead(m) OVER w AS nm
+  FROM cm WINDOW w AS (PARTITION BY o_custkey ORDER BY m)
+), inflow AS (
+  SELECT m,
+         CASE WHEN pm IS NULL OR pm < m - 1 THEN 'new'
+              WHEN rev >= prev THEN 'expansion' ELSE 'contraction' END AS cls,
+         CASE WHEN pm IS NULL OR pm < m - 1 THEN rev
+              WHEN rev >= prev THEN rev - prev ELSE prev - rev END AS amt
+  FROM lagged
+), churn AS (
+  SELECT m + 1 AS m, 'churned' AS cls, rev AS amt
+  FROM lagged WHERE nm IS NULL OR nm > m + 1
+)
+SELECT m, cls, COUNT(*) AS n_customers, SUM(amt) AS amount_cents
+FROM (SELECT * FROM inflow UNION ALL SELECT * FROM churn) GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("q_revenue_bridge", q_revenue_bridge, Q_REVENUE_BRIDGE_ORACLE,
+              "MoM revenue waterfall: new/expansion/contraction/churned per month",
+              ("analytics", "finance")),
+]

@@ -919,3 +919,57 @@ SPECS += [
               "added/removed/changed/unchanged audit across two table versions",
               ("temporal", "cdc")),
 ]
+
+
+# --- event debounce ---------------------------------------------------------
+# Alert/telemetry debouncing: suppress repeats of the same (user, type)
+# within DEBOUNCE_GAP_MS of the previously KEPT occurrence's predecessor
+# — here the standard lag-based form: an event survives iff it is the
+# first of its (user, type) or arrived more than the gap after the
+# previous raw event. One lag over ONE (user_id, event_type) exchange;
+# the per-type rollup is k rows. The streaming twin is the X1 state
+# machine with the comparison inverted — same semantics, incremental.
+
+DEBOUNCE_GAP_MS = 5 * 60 * 1000
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: raw event count vs count surviving a 5-minute
+    same-(user, type) debounce."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ms", "event_id")
+    flagged = ev.withColumn(
+        "keep",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > DEBOUNCE_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_raw"), F.sum("keep").alias("n_after_debounce")
+    )
+
+
+Q_DEBOUNCE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+), f AS (
+  SELECT event_type,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                OR ts_ms - lag(ts_ms) OVER w > {DEBOUNCE_GAP_MS}
+              THEN 1 ELSE 0 END AS keep
+  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id)
+)
+SELECT event_type, COUNT(*) AS n_raw, SUM(keep) AS n_after_debounce
+FROM f GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_event_debounce", q_event_debounce, Q_DEBOUNCE_ORACLE,
+              "5-minute same-(user,type) debounce: raw vs surviving counts",
+              ("temporal", "dedup")),
+]

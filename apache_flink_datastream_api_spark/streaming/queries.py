@@ -1004,3 +1004,45 @@ SPECS = [
               "across micro-batch boundaries, source+state hash-checked",
               ("streaming", "stateful", "source", "spark4")),
 ]
+
+
+# --- X4 streaming: keyed debounce across micro-batches ----------------------
+
+from ..operators.temporal import DEBOUNCE_GAP_MS  # noqa: E402
+from .state import debounced_events  # noqa: E402
+
+
+def x4_debounce_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_event_debounce: per-(user, type) ValueState of
+    the last raw timestamp, carried across micro-batches; emits only
+    events > DEBOUNCE_GAP_MS after their predecessor. The oracle replays
+    the identical suppression with one lag() window in SQL."""
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+    )
+    kept = debounced_events(stream, DEBOUNCE_GAP_MS)
+    return run_available_now(kept, spark, mode="update")
+
+
+X4_DEBOUNCE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+), f AS (
+  SELECT user_id, event_type, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                OR ts_ms - lag(ts_ms) OVER w > {DEBOUNCE_GAP_MS}
+              THEN 1 ELSE 0 END AS keep
+  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id)
+)
+SELECT user_id, event_type, ts_ms FROM f WHERE keep = 1
+"""
+
+
+SPECS += [
+    QuerySpec("x4_debounce_stream", x4_debounce_stream, X4_DEBOUNCE_ORACLE,
+              "applyInPandasWithState keyed debounce (streaming twin of q_event_debounce)",
+              ("streaming", "stateful")),
+]

@@ -244,3 +244,58 @@ def session_durations(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- X4: keyed debounce (the batch q_event_debounce as incremental state) ---
+# Suppress repeats of the same (user, type) arriving within gap_ms of the
+# previous raw occurrence. State is ONE long per key (last raw ts) — the
+# minimal ValueState shape, identical memory profile to X1. Batch twin:
+# operators/temporal.py::q_event_debounce (lag + gap compare); outputs
+# must agree exactly when the stream replays the same bounded input.
+
+DEBOUNCE_STATE = StructType([StructField("last_ts", LongType())])
+
+
+def make_debouncer(gap_ms: int):
+    """Per (user_id, event_type) key: emit only events that arrive more
+    than gap_ms after the previous raw event of the same key."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = _sorted(pdfs)
+        last = state.get[0] if state.exists else None
+        out: list[tuple[Any, Any, int]] = []
+        for ts in rows["ts_ms"]:
+            ts = int(ts)
+            if last is None or ts - last > gap_ms:
+                out.append((key[0], key[1], ts))
+            last = ts
+        state.update((last,))
+        yield pd.DataFrame(out, columns=["user_id", "event_type", "ts_ms"])
+
+    return fn
+
+
+def debounced_events(df: DataFrame, gap_ms: int) -> DataFrame:
+    """X4 streaming operator: df must contain (user_id, event_type,
+    ts_ms [, event_id]). Output: the surviving (user_id, event_type,
+    ts_ms) rows."""
+    cols = ["user_id", "event_type", "ts_ms"]
+    if "event_id" in df.columns:
+        cols.append("event_id")
+    sel = df.selectExpr(*cols)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_ms", LongType()),
+        ]
+    )
+    return sel.groupBy("user_id", "event_type").applyInPandasWithState(
+        make_debouncer(gap_ms),
+        outputStructType=out_schema,
+        stateStructType=DEBOUNCE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -112,6 +112,9 @@ HEADLINE = [
     "q_pareto_lorenz",
     "q_file_lineage",
     "pipeline_class_rebalance",
+    "q_event_debounce",
+    "q_revenue_bridge",
+    "x4_debounce_stream",
 ]
 
 

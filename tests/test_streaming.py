@@ -537,3 +537,34 @@ def test_streaming_upsert_snapshot_sink(spark):
     }
     assert got == want
     shutil.rmtree(src)
+
+
+def test_x4_debounce_state_survives_micro_batches(spark, chunked_events_dir):
+    """Debounce suppression spanning a batch boundary (an event early in
+    chunk N+1 within the gap of one late in chunk N) requires the
+    last-raw-ts state to persist; 3-batch replay must equal the batch
+    lag() analog on the same subset."""
+    from apache_flink_datastream_api_spark.streaming.state import debounced_events
+
+    # gap wide enough that the sparse sf0.001 fixture actually suppresses
+    # events, including across the chunk boundaries
+    gap_ms = 12 * 3600 * 1000
+    stream = _chunk_stream(spark, chunked_events_dir)
+    got = run_available_now(debounced_events(stream, gap_ms), spark,
+                            mode="update")
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") < 3000)
+        .selectExpr("user_id", "event_type", "unix_millis(ts) AS ts_ms", "event_id")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_ms", "event_id")
+    want = (
+        e.withColumn("prev", F.lag("ts_ms").over(w))
+        .where(F.col("prev").isNull()
+               | (F.col("ts_ms") - F.col("prev") > gap_ms))
+        .select("user_id", "event_type", "ts_ms")
+    )
+    cols = ["user_id", "event_type", "ts_ms"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() < e.count(), "fixture never triggered a suppression"
