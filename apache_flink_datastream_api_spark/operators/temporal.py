@@ -973,3 +973,191 @@ SPECS += [
               "5-minute same-(user,type) debounce: raw vs surviving counts",
               ("temporal", "dedup")),
 ]
+
+
+# --- top session journeys ---------------------------------------------------
+# "What are the 10 most common user journeys" — session paths as ordered
+# event-type strings. The path string is built DETERMINISTICALLY:
+# collect_list into (ts, id, type) structs, array_sort (total order —
+# collect_list alone has no ordering guarantee under parallelism), then
+# transform+array_join. Sessions ride the same gap logic/exchange as
+# q_user_sessions_gap; the path rollup shuffles one row per session; the
+# final top-10 is a TakeOrdered (per-partition heaps, no global sort).
+# Per-session collect_list is bounded by session length — the only
+# memory assumption, true for human-scale sessions.
+
+
+def q_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 10 session event-type paths by frequency (ties broken by
+    path string)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    sess = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .selectExpr("array_join(transform(evs, x -> x.event_type), '>') AS path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+Q_TOP_JOURNEYS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+), f AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > {SESSION_GAP_MS}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+), p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path ASC LIMIT 10
+"""
+
+
+# --- inter-arrival gap statistics -------------------------------------------
+# Traffic-modeling basics: per event type, the distribution of same-user
+# inter-arrival gaps. One lag over a (user, type) exchange, then a
+# percentile aggregate per type (the single-array-buffer form; swap for
+# approx_percentile at 100 TB). Percentile outputs go through floor()
+# BEFORE the BIGINT cast — a .5 interpolated midpoint would otherwise
+# round differently across engines (truncate vs half-even).
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: count, p50/p90 (floored ms), and min of same-user
+    inter-arrival gaps."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    gaps = (
+        e.withColumn(
+            "prev",
+            F.lag("ts_ms").over(
+                Window.partitionBy("user_id", "event_type").orderBy(
+                    "ts_ms", "event_id"
+                )
+            ),
+        )
+        .where(F.col("prev").isNotNull())
+        .selectExpr("event_type", "ts_ms - prev AS gap_ms")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.expr("CAST(floor(percentile(gap_ms, 0.5)) AS BIGINT)").alias("p50_gap_ms"),
+        F.expr("CAST(floor(percentile(gap_ms, 0.9)) AS BIGINT)").alias("p90_gap_ms"),
+        F.min("gap_ms").alias("min_gap_ms"),
+    )
+
+
+Q_INTERARRIVAL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+), g AS (
+  SELECT event_type, ts_ms - lag(ts_ms) OVER w AS gap_ms
+  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id)
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       CAST(floor(quantile_cont(gap_ms, 0.5)) AS BIGINT) AS p50_gap_ms,
+       CAST(floor(quantile_cont(gap_ms, 0.9)) AS BIGINT) AS p90_gap_ms,
+       MIN(gap_ms) AS min_gap_ms
+FROM g WHERE gap_ms IS NOT NULL GROUP BY 1
+"""
+
+
+# --- trending: trailing-7-day top-3 -----------------------------------------
+# The "trending now" board: per day, the 3 most frequent event types
+# over the trailing week. Reuses the rolling-WAU shape — daily rollup
+# first (the big reduction), trailing window via a broadcast anchor-day
+# spine join on the ALREADY-AGGREGATED table, then WindowGroupLimit-
+# eligible row_number(<=3) with an explicit tie-break.
+
+
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: rank 1-3 event types by trailing-7-day count."""
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        f"CAST(floor(unix_millis(ts) / {CONC_DAY_MS}) AS BIGINT) AS day",
+        "event_type",
+    )
+    daily = e.groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    anchors = daily.select("day").distinct().selectExpr("day AS anchor_day")
+    rolled = (
+        daily.join(
+            F.broadcast(anchors),
+            (F.col("day") <= F.col("anchor_day"))
+            & (F.col("day") > F.col("anchor_day") - 7),
+        )
+        .groupBy("anchor_day", "event_type")
+        .agg(F.sum("n").alias("n7"))
+    )
+    wr = Window.partitionBy("anchor_day").orderBy(F.desc("n7"), F.asc("event_type"))
+    return (
+        rolled.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .selectExpr(f"anchor_day * {CONC_DAY_MS} AS day_ms", "rnk", "event_type", "n7")
+    )
+
+
+Q_TRENDING_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(floor(epoch_ms(ts) / {CONC_DAY_MS}) AS BIGINT) AS day, event_type
+  FROM events
+), daily AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+anchors AS (SELECT DISTINCT day AS anchor_day FROM daily),
+rolled AS (
+  SELECT anchor_day, event_type, SUM(n) AS n7
+  FROM daily JOIN anchors ON day <= anchor_day AND day > anchor_day - 7
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT anchor_day, event_type, n7,
+         row_number() OVER (PARTITION BY anchor_day
+                            ORDER BY n7 DESC, event_type ASC) AS rnk
+  FROM rolled
+)
+SELECT anchor_day * {CONC_DAY_MS} AS day_ms, rnk, event_type, n7
+FROM ranked WHERE rnk <= 3
+"""
+
+
+SPECS += [
+    QuerySpec("q_top_journeys", q_top_journeys, Q_TOP_JOURNEYS_ORACLE,
+              "top-10 session event paths, order-deterministic array build",
+              ("temporal", "clickstream")),
+    QuerySpec("q_interarrival_stats", q_interarrival_stats, Q_INTERARRIVAL_ORACLE,
+              "same-user inter-arrival gap percentiles per event type",
+              ("temporal", "timeseries")),
+    QuerySpec("q_trending_topk", q_trending_topk, Q_TRENDING_ORACLE,
+              "trailing-7-day top-3 event types per day (aggregate-then-spine)",
+              ("temporal", "clickstream")),
+]

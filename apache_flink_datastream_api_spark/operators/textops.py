@@ -583,7 +583,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     sh_s = X.shingles_spark(X.tokens_spark("text"), _VOCAB_K)
-    docs = load_table(spark, sf_dir, "documents")
+    # shingling is CPU-bound: re-spread a low-split scan first (no-op on
+    # any well-split production table) — 4x at bench scale
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     first = (
         docs.select("doc_id", F.explode(F.expr(sh_s)).alias("sh"))
         .groupBy("sh")

@@ -115,6 +115,9 @@ HEADLINE = [
     "q_event_debounce",
     "q_revenue_bridge",
     "x4_debounce_stream",
+    "q_top_journeys",
+    "q_interarrival_stats",
+    "q_trending_topk",
 ]
 
 

@@ -379,6 +379,7 @@ def test_registry_wide_plan_hygiene(spark):
         "corpus_datacard",              # corpus total (1 row)
         "pipeline_negative_pairs",      # |corpus| count (1 row)
         "pipeline_class_rebalance",     # max class size (1 row)
+        "q_trending_topk",              # anchor-day spine (|days| rows)
     }
     violations = []
     for name, spec in all_queries().items():
