@@ -1279,3 +1279,88 @@ SPECS += [
               "MoM revenue waterfall: new/expansion/contraction/churned per month",
               ("analytics", "finance")),
 ]
+
+
+# --- market-basket co-purchase pairs ----------------------------------------
+# "Frequently bought together": for every unordered part pair, in how
+# many orders both appear; top 20. Same generator-not-self-join shape as
+# q_event_cooccurrence but over a LARGE key domain: collect_set per
+# order (one shuffle), map-side pair explode bounded by basket size
+# squared (TPC-H baskets ≤ 7 lines — human-basket scale), pair rollup,
+# then TakeOrdered with a full (count, pa, pb) tie-break so the top-20
+# cut is deterministic. The naive basket self-join would shuffle the
+# line table twice more and square the skewed baskets inside the join.
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 co-purchased part pairs by distinct order count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("pa"), F.asc("pb"))
+        .limit(20)
+    )
+
+
+Q_COPURCHASE_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b2.l_partkey AS pb
+  FROM b a JOIN b b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+)
+SELECT pa, pb, COUNT(*) AS n_orders FROM p GROUP BY 1, 2
+ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20
+"""
+
+
+# --- group-size distribution ------------------------------------------------
+# The "how big are my groups" histogram (lines per order, events per
+# session, chunks per doc): double aggregation — sizes, then counts of
+# sizes. Second agg input is |orders| rows, output |distinct sizes|;
+# the fraction normalizer is a broadcast one-row sum over the TINY
+# distribution table, not a third pass over the fact.
+
+
+def q_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of lineitem counts per order with corpus fractions."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    dist = sizes.groupBy("n_lines").agg(F.count("*").alias("n_orders"))
+    tot = dist.agg(F.sum("n_orders").alias("t"))
+    return dist.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_lines", "n_orders",
+        "round(CAST(n_orders AS DOUBLE) / t, 6) AS frac_orders",
+    )
+
+
+Q_BASKET_SIZE_ORACLE = """
+WITH s AS (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1),
+d AS (SELECT n_lines, COUNT(*) AS n_orders FROM s GROUP BY 1),
+t AS (SELECT SUM(n_orders) AS t FROM d)
+SELECT n_lines, n_orders, round(CAST(n_orders AS DOUBLE) / t, 6) AS frac_orders
+FROM d, t
+"""
+
+
+SPECS += [
+    QuerySpec("q_copurchase_pairs", q_copurchase_pairs, Q_COPURCHASE_ORACLE,
+              "frequently-bought-together pairs via basket generator, top-20",
+              ("analytics", "basket")),
+    QuerySpec("q_basket_size_dist", q_basket_size_dist, Q_BASKET_SIZE_ORACLE,
+              "group-size histogram (lines per order) with fractions",
+              ("analytics", "distribution")),
+]

@@ -118,6 +118,8 @@ HEADLINE = [
     "q_top_journeys",
     "q_interarrival_stats",
     "q_trending_topk",
+    "q_copurchase_pairs",
+    "q_basket_size_dist",
 ]
 
 

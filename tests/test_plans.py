@@ -380,6 +380,7 @@ def test_registry_wide_plan_hygiene(spark):
         "pipeline_negative_pairs",      # |corpus| count (1 row)
         "pipeline_class_rebalance",     # max class size (1 row)
         "q_trending_topk",              # anchor-day spine (|days| rows)
+        "q_basket_size_dist",           # distribution total (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
