@@ -1364,3 +1364,120 @@ SPECS += [
               "group-size histogram (lines per order) with fractions",
               ("analytics", "distribution")),
 ]
+
+
+# --- winsorized (outlier-clamped) statistics --------------------------------
+# Robust-stats cleaning: clamp each group's values to its own [p01, p99]
+# before averaging — the standard defense against sensor glitches and
+# fat-finger amounts. Per-group bounds come from ONE array-percentile
+# aggregate (k rows), broadcast back; the clamp + mean is a second scan,
+# map-side. Bounds are floored/ceiled to integer cents so the clamp
+# comparisons are exact integer logic; the mean is exact DECIMAL sum /
+# count with one final rounded division.
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: n, clamped-row count, and the winsorized mean
+    (values clamped to the type's own [p01, p99])."""
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS cents"
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(
+            "CAST(floor(percentile(cents, array(0.01, 0.99))[0]) AS BIGINT)"
+        ).alias("lo"),
+        F.expr(
+            "CAST(ceil(percentile(cents, array(0.01, 0.99))[1]) AS BIGINT)"
+        ).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(bounds), "event_type").selectExpr(
+        "event_type",
+        "CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi ELSE cents END AS w",
+        "CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END AS clamped",
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("clamped").alias("n_clamped"),
+        F.expr(
+            "round(CAST(SUM(CAST(w AS DECIMAL(18,0))) AS DOUBLE)"
+            " / COUNT(*) / 100.0, 6)"
+        ).alias("winsorized_mean"),
+    )
+
+
+Q_WINSORIZED_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), b AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(cents, 0.01)) AS BIGINT) AS lo,
+         CAST(ceil(quantile_cont(cents, 0.99)) AS BIGINT) AS hi
+  FROM ev GROUP BY 1
+), c AS (
+  SELECT ev.event_type,
+         CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi ELSE cents END AS w,
+         CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END AS clamped
+  FROM ev JOIN b USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n, SUM(clamped) AS n_clamped,
+       round(CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100.0, 6)
+         AS winsorized_mean
+FROM c GROUP BY 1
+"""
+
+
+# --- order fulfillment lag --------------------------------------------------
+# Supply-chain SLA: days from order placement to the LAST line shipment,
+# percentiles per priority class. Lineitem reduces to one row per order
+# BEFORE the join (aggregate-then-join — the q18 lesson), the join keys
+# on orderkey, and day lags are exact integer epoch arithmetic with
+# floored percentiles.
+
+
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: order count, p50/p90/max days from order date
+    to last shipment."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    lag = o.join(li, o.o_orderkey == li.l_orderkey).selectExpr(
+        "o_orderpriority",
+        "CAST(floor((unix_millis(last_ship) - unix_millis(o_orderdate))"
+        " / 86400000) AS BIGINT) AS lag_days",
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("CAST(floor(percentile(lag_days, 0.5)) AS BIGINT)").alias("p50_days"),
+        F.expr("CAST(floor(percentile(lag_days, 0.9)) AS BIGINT)").alias("p90_days"),
+        F.max("lag_days").alias("max_days"),
+    )
+
+
+Q_FULFILLMENT_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+), l AS (
+  SELECT o_orderpriority,
+         CAST(floor((epoch_ms(last_ship) - epoch_ms(o_orderdate))
+              / 86400000) AS BIGINT) AS lag_days
+  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(floor(quantile_cont(lag_days, 0.5)) AS BIGINT) AS p50_days,
+       CAST(floor(quantile_cont(lag_days, 0.9)) AS BIGINT) AS p90_days,
+       MAX(lag_days) AS max_days
+FROM l GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_winsorized_stats", q_winsorized_stats, Q_WINSORIZED_ORACLE,
+              "groupwise p01/p99-clamped robust means with clamp counts",
+              ("analytics", "robust")),
+    QuerySpec("q_fulfillment_lag", q_fulfillment_lag, Q_FULFILLMENT_ORACLE,
+              "order-to-last-shipment lag percentiles per priority",
+              ("analytics", "sla")),
+]

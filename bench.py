@@ -120,6 +120,8 @@ HEADLINE = [
     "q_trending_topk",
     "q_copurchase_pairs",
     "q_basket_size_dist",
+    "q_winsorized_stats",
+    "q_fulfillment_lag",
 ]
 
 
