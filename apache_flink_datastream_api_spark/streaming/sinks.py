@@ -70,4 +70,13 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(timeout_s)
-    return spark.table(name)
+    # Materialize the result OUT of the memory sink's named table, then
+    # drop the table. Without this, every bounded replay leaks its full
+    # result set into the session catalog for the session's lifetime —
+    # in a long session (bench: hundreds of streaming runs) the
+    # accumulated tables GC-pressure the JVM until streaming runs take
+    # 5-10x longer. localCheckpoint blocks are freed by the
+    # ContextCleaner once the returned DataFrame is unreferenced.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
