@@ -1481,3 +1481,74 @@ SPECS += [
               "order-to-last-shipment lag percentiles per priority",
               ("analytics", "sla")),
 ]
+
+
+# --- deterministic A/B experiment readout -----------------------------------
+# Experiment analysis without an assignment service: variant = portable
+# hash of user_id mod 2 — deterministic, engine-portable (the same md5
+# prefix family as the dedup operators), uniformly splitting. Per-user
+# metrics reduce FIRST (one shuffle on user_id), variants assign
+# map-side on the reduced table, and the readout is a 2-row aggregate of
+# exact integers with one rounded division per rate. (On driver data
+# this is an A/A test — the two variants should read statistically
+# alike; the operator is the shape, the thresholds are config.)
+
+AB_CONVERT_MIN_PURCHASES = 15
+
+
+def q_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per hash-assigned variant: users, converters (>= threshold
+    purchases), event totals, conversion rate, events/user."""
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("n_purchases"),
+    ).selectExpr(
+        "user_id", "n_events",
+        f"CAST(n_purchases >= {AB_CONVERT_MIN_PURCHASES} AS INT) AS converted",
+    )
+    assigned = per_user.withColumn(
+        "variant",
+        F.pmod(portable_hash64(F.col("user_id").cast("string")), F.lit(2)).cast("bigint"),
+    )
+    return assigned.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.sum("n_events").alias("n_events"),
+        F.expr("round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)").alias(
+            "conversion_rate"
+        ),
+        F.expr("round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)").alias(
+            "events_per_user"
+        ),
+    )
+
+
+def _ab_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH pu AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              >= {AB_CONVERT_MIN_PURCHASES} AS INT) AS converted
+  FROM events GROUP BY 1
+), a AS (
+  SELECT *, ((({h}) % 2) + 2) % 2 AS variant FROM pu
+)
+SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+       SUM(n_events) AS n_events,
+       round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
+       round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS events_per_user
+FROM a GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_ab_readout", q_ab_readout, _ab_oracle(),
+              "hash-assigned A/B variant readout with exact counting metrics",
+              ("analytics", "experiment")),
+]

@@ -122,6 +122,7 @@ HEADLINE = [
     "q_basket_size_dist",
     "q_winsorized_stats",
     "q_fulfillment_lag",
+    "q_ab_readout",
 ]
 
 
