@@ -22,3 +22,14 @@ def test_rows_only(spark, spec):
     df = spec.fn(spark, SF_DIR)
     assert df.schema is not None
     assert df.count() >= 0
+
+
+def test_bench_headline_queries_registered():
+    """Every bench headline entry must resolve in the registry — a rename
+    or removal would otherwise only surface when the driver runs bench."""
+    import bench
+
+    specs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"

@@ -55,6 +55,12 @@ REPRESENTATIVES = [
     "ts_forward_fill",
     # global-quantile boundaries broadcast back for binning
     "q_decile_binning",
+    # value-sharded descending rank + decile bucketing
+    "q_pareto_lorenz",
+    # collect_list path strings must be order-deterministic via array_sort
+    "q_top_journeys",
+    # streaming stateful debounce through the real engine
+    "x4_debounce_stream",
 ]
 
 
