@@ -1552,3 +1552,95 @@ SPECS += [
               "hash-assigned A/B variant readout with exact counting metrics",
               ("analytics", "experiment")),
 ]
+
+
+# --- daily value percentile bands -------------------------------------------
+# The monitoring staple: p50/p90/p99 per day (latency bands, order-value
+# bands). ONE array-percentile buffer per group serves all three
+# percentiles (the q_decile_binning lesson), boundaries floored to
+# integer cents before the BIGINT cast. At 100 TB swap percentile for
+# approx_percentile — same plan, t-digest memory bound.
+
+
+def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: event count and floored p50/p90/p99 of value in cents."""
+    day_ms = 86_400_000
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        f"CAST(floor(unix_millis(ts) / {day_ms}) AS BIGINT) AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    p = "percentile(cents, array(0.5, 0.9, 0.99))"
+    return ev.groupBy("day").agg(
+        F.count("*").alias("n"),
+        F.expr(f"CAST(floor({p}[0]) AS BIGINT)").alias("p50_cents"),
+        F.expr(f"CAST(floor({p}[1]) AS BIGINT)").alias("p90_cents"),
+        F.expr(f"CAST(floor({p}[2]) AS BIGINT)").alias("p99_cents"),
+    ).selectExpr(f"day * {day_ms} AS day_ms", "n", "p50_cents", "p90_cents",
+                 "p99_cents")
+
+
+Q_DAILY_BANDS_ORACLE = """
+WITH e AS (
+  SELECT CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT day * 86400000 AS day_ms, COUNT(*) AS n,
+       CAST(floor(quantile_cont(cents, 0.5)) AS BIGINT) AS p50_cents,
+       CAST(floor(quantile_cont(cents, 0.9)) AS BIGINT) AS p90_cents,
+       CAST(floor(quantile_cont(cents, 0.99)) AS BIGINT) AS p99_cents
+FROM e GROUP BY day
+"""
+
+
+# --- quantity-weighted average ----------------------------------------------
+# The weighted-aggregate primitive (volume-weighted price, token-
+# weighted loss): sum(w*x)/sum(w) from exact integer products (DECIMAL
+# accumulators sized for 1e12-row groups), ONE rounded double division
+# at the end. Part dim broadcasts; the fact table shuffles once on the
+# brand rollup.
+
+
+def q_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per brand: line count, total quantity, quantity-weighted average
+    extended price."""
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c",
+        "CAST(l_quantity AS BIGINT) AS qty",
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+            F.expr(
+                "round(CAST(SUM(CAST(price_c * qty AS DECIMAL(28,0))) AS DOUBLE)"
+                " / SUM(qty) / 100.0, 6)"
+            ).alias("qty_weighted_avg_price"),
+        )
+    )
+
+
+Q_WEIGHTED_AVG_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_lines,
+       SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+       round(CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(l_quantity AS HUGEINT)) AS DOUBLE)
+             / SUM(CAST(l_quantity AS BIGINT)) / 100.0, 6)
+         AS qty_weighted_avg_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_daily_value_bands", q_daily_value_bands, Q_DAILY_BANDS_ORACLE,
+              "daily p50/p90/p99 value bands, one percentile buffer per day",
+              ("analytics", "monitoring")),
+    QuerySpec("q_weighted_avg_price", q_weighted_avg_price, Q_WEIGHTED_AVG_ORACLE,
+              "quantity-weighted average price per brand, exact products",
+              ("analytics", "agg")),
+]

@@ -123,6 +123,8 @@ HEADLINE = [
     "q_winsorized_stats",
     "q_fulfillment_lag",
     "q_ab_readout",
+    "q_daily_value_bands",
+    "q_weighted_avg_price",
 ]
 
 
