@@ -1,0 +1,409 @@
+"""Customer/user behavior analytics: RFM segmentation, new-vs-returning,
+cumulative reach, skyline, visit bitmaps, graph reachability, LATERAL top-k.
+
+The reference's analytics surface is keyed windowed reduces over user
+streams (``chapter6/CourseUseCase.java:82-95``, ``chapter2/
+KeyedStreamOperations.java:68-69``); this module extends that to the
+product-analytics battery a warehouse team runs over the same event/order
+data. Everything here is declarative DataFrame/SQL — Catalyst picks the
+physical plan — and every output is integer-exact or floored-boundary
+deterministic so the DuckDB oracle hash-matches bit-for-bit.
+
+Scale notes (100 TB):
+- RFM: facts aggregate per-customer FIRST (one shuffle, map-side partial
+  agg), then quartile boundaries come from ONE ``percentile`` aggregate
+  over the per-customer rollup (swap for ``approx_percentile`` at scale:
+  same plan shape, bounded memory) and broadcast back — no global sort,
+  no unpartitioned window over the fact table.
+- new-vs-returning / cumulative reach: first-seen day per user is a
+  per-user min (one shuffle); the daily rollup is calendar-bounded
+  (≤ days in range), so its running-sum window is single-partition by
+  CONSTRUCTION, not by luck.
+- Pareto frontier: per-price-point group max, then a strict-predecessor
+  running max over DISTINCT price points — the window input is the
+  aggregated price-point table, not the fact table.
+- reachability: the recursive CTE iterates over the event-type edge
+  list (≤ |types|² rows) — the BFS frontier is bounded no matter how
+  many trillions of events produced the edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+SPECS: list[QuerySpec] = []
+
+DAY_MS = 86_400_000
+
+
+# --- RFM customer segmentation ----------------------------------------------
+# Recency / Frequency / Monetary quartile scores per customer, rolled up
+# to named segments. Boundaries are quantile_cont values FLOORED TO
+# INTEGERS before comparison (house pattern from q_decile_binning) so a
+# score is never decided by a double comparison at a bucket edge.
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (r,f,m) quartile cell: customer count, total monetary cents,
+    and a named segment. Lower recency-days ⇒ higher r_score."""
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "CAST(floor(unix_millis(o_orderdate) / 86400000) AS BIGINT) AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("monetary"),
+    )
+    anchor = o.agg(F.max("day").alias("today"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).selectExpr(
+        "o_custkey", "today - last_day AS rec", "freq", "monetary"
+    )
+    # ONE aggregate computes all nine boundaries (three percentile
+    # buffers, one pass) — nine scalar calls would sort the rollup nine
+    # times (measured 6.5x on the decile query).
+    bnd = rfm.agg(
+        F.expr("percentile(rec, array(0.25, 0.5, 0.75))").alias("rb"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fb"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mb"),
+    ).selectExpr(
+        *[f"CAST(floor(rb[{i}]) AS BIGINT) AS rb{i + 1}" for i in range(3)],
+        *[f"CAST(floor(fb[{i}]) AS BIGINT) AS fb{i + 1}" for i in range(3)],
+        *[f"CAST(floor(mb[{i}]) AS BIGINT) AS mb{i + 1}" for i in range(3)],
+    )
+    scored = rfm.crossJoin(F.broadcast(bnd)).selectExpr(
+        "monetary",
+        # recency: smaller is better — invert the >-count
+        "4 - (CAST(rec > rb1 AS INT) + CAST(rec > rb2 AS INT) + CAST(rec > rb3 AS INT)) AS r_score",
+        "1 + CAST(freq > fb1 AS INT) + CAST(freq > fb2 AS INT) + CAST(freq > fb3 AS INT) AS f_score",
+        "1 + CAST(monetary > mb1 AS INT) + CAST(monetary > mb2 AS INT) + CAST(monetary > mb3 AS INT) AS m_score",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.expr("CAST(monetary AS DECIMAL(18,0))")).cast("long").alias("total_monetary_cents"),
+        )
+        .selectExpr(
+            "r_score", "f_score", "m_score", "n_customers", "total_monetary_cents",
+            "CASE WHEN r_score = 4 AND f_score = 4 THEN 'champions'"
+            " WHEN f_score >= 3 AND r_score >= 3 THEN 'loyal'"
+            " WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'"
+            " WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'"
+            " ELSE 'regular' END AS segment",
+        )
+    )
+
+
+Q_RFM_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(epoch_ms(o_orderdate) / 86400000) AS BIGINT) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), per_cust AS (
+  SELECT o_custkey, MAX(day) AS last_day, COUNT(*) AS freq,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS monetary
+  FROM o GROUP BY o_custkey
+), rfm AS (
+  SELECT o_custkey, (SELECT MAX(day) FROM o) - last_day AS rec, freq, monetary
+  FROM per_cust
+), b AS (
+  SELECT CAST(floor(quantile_cont(rec, 0.25)) AS BIGINT) AS rb1,
+         CAST(floor(quantile_cont(rec, 0.5))  AS BIGINT) AS rb2,
+         CAST(floor(quantile_cont(rec, 0.75)) AS BIGINT) AS rb3,
+         CAST(floor(quantile_cont(freq, 0.25)) AS BIGINT) AS fb1,
+         CAST(floor(quantile_cont(freq, 0.5))  AS BIGINT) AS fb2,
+         CAST(floor(quantile_cont(freq, 0.75)) AS BIGINT) AS fb3,
+         CAST(floor(quantile_cont(monetary, 0.25)) AS BIGINT) AS mb1,
+         CAST(floor(quantile_cont(monetary, 0.5))  AS BIGINT) AS mb2,
+         CAST(floor(quantile_cont(monetary, 0.75)) AS BIGINT) AS mb3
+  FROM rfm
+), scored AS (
+  SELECT monetary,
+         4 - (CAST(rec > rb1 AS INT) + CAST(rec > rb2 AS INT) + CAST(rec > rb3 AS INT)) AS r_score,
+         1 + CAST(freq > fb1 AS INT) + CAST(freq > fb2 AS INT) + CAST(freq > fb3 AS INT) AS f_score,
+         1 + CAST(monetary > mb1 AS INT) + CAST(monetary > mb2 AS INT) + CAST(monetary > mb3 AS INT) AS m_score
+  FROM rfm, b
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(monetary AS HUGEINT)) AS BIGINT) AS total_monetary_cents,
+       CASE WHEN r_score = 4 AND f_score = 4 THEN 'champions'
+            WHEN f_score >= 3 AND r_score >= 3 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+# --- daily new vs returning users -------------------------------------------
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: active users split into first-ever-seen-today vs
+    returning. Day floor is pure epoch arithmetic (portable, no engine
+    date_trunc timezone semantics)."""
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        f"unix_millis(ts) - pmod(unix_millis(ts), {DAY_MS}) AS day_ms",
+    )
+    active = ev.distinct()  # (user, day) pairs — one shuffle
+    firsts = active.groupBy("user_id").agg(F.min("day_ms").alias("first_day_ms"))
+    return (
+        active.join(firsts, "user_id")  # same key as groupBy — AQE reuses the exchange
+        .groupBy("day_ms")
+        .agg(
+            F.sum(F.expr("CAST(day_ms = first_day_ms AS INT)")).alias("new_users"),
+            F.sum(F.expr("CAST(day_ms <> first_day_ms AS INT)")).alias("returning_users"),
+        )
+    )
+
+
+Q_NEW_RETURNING_ORACLE = f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms
+  FROM events
+), firsts AS (
+  SELECT user_id, MIN(day_ms) AS first_day_ms FROM active GROUP BY user_id
+)
+SELECT day_ms,
+       SUM(CAST(day_ms = first_day_ms AS INT)) AS new_users,
+       SUM(CAST(day_ms <> first_day_ms AS INT)) AS returning_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY day_ms
+"""
+
+
+# --- cumulative distinct users (reach curve) --------------------------------
+
+def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day. The expensive part (first-seen
+    day per user) is a per-user min; the running sum runs over the
+    calendar-bounded daily rollup, so the unpartitioned window is safe
+    at any fact scale."""
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", f"unix_millis(ts) - pmod(unix_millis(ts), {DAY_MS}) AS day_ms"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day_ms").alias("first_day_ms"))
+    daily_new = firsts.groupBy("first_day_ms").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("first_day_ms").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        F.col("first_day_ms").alias("day_ms"),
+        F.col("new_users"),
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+Q_REACH_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id, MIN(epoch_ms(ts) - epoch_ms(ts) % {DAY_MS}) AS first_day_ms
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT first_day_ms AS day_ms, COUNT(*) AS new_users FROM firsts GROUP BY 1
+)
+SELECT day_ms, new_users,
+       SUM(new_users) OVER (ORDER BY day_ms
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cumulative_users
+FROM daily
+"""
+
+
+# --- 2-D Pareto frontier (skyline) ------------------------------------------
+# Parts minimizing retail price while maximizing size: p survives iff no
+# q has (price < p AND size >= s) or (price <= p AND size > s). Two
+# aggregation levels replace the naive quadratic NOT EXISTS self-join:
+# (1) max size per exact price point, (2) strict-predecessor running max
+# across ordered price points.
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents", "p_size"
+    )
+    g = p.groupBy("price_cents").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    g2 = g.withColumn("prev_max", F.max("gmax").over(w))
+    return (
+        p.join(g2, "price_cents")
+        .where(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max")))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+    )
+
+
+Q_PARETO_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, p_size
+  FROM part
+), g AS (
+  SELECT price_cents, MAX(p_size) AS gmax FROM p GROUP BY price_cents
+), g2 AS (
+  SELECT price_cents, gmax,
+         MAX(gmax) OVER (ORDER BY price_cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM g
+)
+SELECT p_partkey, price_cents, p_size
+FROM p JOIN g2 USING (price_cents)
+WHERE p_size = gmax AND (prev_max IS NULL OR p_size > prev_max)
+"""
+
+
+# --- weekday visit bitmap ----------------------------------------------------
+# Per-user day-of-week activity pattern packed into a 7-bit mask
+# (bit_or aggregate — associative, map-side combinable), rolled up to a
+# pattern distribution. Day-of-week is epoch arithmetic anchored on
+# 1970-01-01 = Thursday ((d + 3) % 7 ⇒ 0 = Monday), same portability
+# rationale as q_hour_heatmap.
+
+def q_weekday_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        f"CAST(pmod(CAST(floor(unix_millis(ts) / {DAY_MS}) AS BIGINT) + 3, 7) AS INT) AS dow",
+    )
+    masks = ev.groupBy("user_id").agg(
+        F.expr("bit_or(CAST(1 AS BIGINT) << dow)").alias("mask")
+    )
+    return (
+        masks.groupBy("mask")
+        .agg(F.count("*").alias("n_users"))
+        .selectExpr("mask", "CAST(bit_count(mask) AS INT) AS n_active_dows", "n_users")
+    )
+
+
+Q_WEEKDAY_BITMAP_ORACLE = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST((CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT) + 3) % 7 AS INT) AS dow
+  FROM events
+), m AS (
+  SELECT user_id, bit_or(CAST(1 AS BIGINT) << dow) AS mask FROM e GROUP BY user_id
+)
+SELECT mask, CAST(bit_count(mask) AS INT) AS n_active_dows, COUNT(*) AS n_users
+FROM m GROUP BY mask
+"""
+
+
+# --- event-type reachability (recursive CTE BFS) ----------------------------
+# Which event types are reachable from 'signup' through observed
+# consecutive-event transitions, and in how few hops. The edge list is
+# |types|² at most — the recursion (Spark 4 WITH RECURSIVE) runs over
+# that tiny relation regardless of fact volume. Depth-bounded UNION ALL
+# BFS + min(hops) aggregate keeps identical semantics on both engines
+# (neither needs cycle detection: the bound caps expansion).
+
+MAX_HOPS = 6
+
+
+def q_reachable_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .distinct()
+    )
+    edges.localCheckpoint(eager=True).createOrReplaceTempView("_behavior_edges")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE r(t, d) AS (
+          SELECT 'signup', 0
+          UNION ALL
+          SELECT e.dst, r.d + 1
+          FROM _behavior_edges e JOIN r ON e.src = r.t
+          WHERE r.d < {MAX_HOPS}
+        )
+        SELECT t AS event_type, MIN(d) AS hops FROM r GROUP BY t
+        """
+    )
+
+
+Q_REACHABLE_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+  QUALIFY dst IS NOT NULL
+)
+SELECT t AS event_type, MIN(d) AS hops FROM (
+  WITH RECURSIVE r(t, d) AS (
+    SELECT 'signup', 0
+    UNION ALL
+    SELECT e.dst, r.d + 1 FROM edges e JOIN r ON e.src = r.t WHERE r.d < {MAX_HOPS}
+  ) SELECT t, d FROM r
+) GROUP BY t
+"""
+
+
+# --- per-nation top-2 customers via LATERAL ---------------------------------
+# The correlated LATERAL subquery surface (Spark 4 + DuckDB both speak
+# it). Semantically identical to the rank-filter house pattern
+# (q_top3_orders_per_priority) — registered to pin the LATERAL plan
+# shape itself: Catalyst rewrites the correlated limit into a
+# partitioned rank, so at scale this is one shuffle on the correlation
+# key, not |nation| probes.
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_behavior_cust")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_behavior_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey,
+               CAST(round(l.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM _behavior_nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM _behavior_cust c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) l
+        """
+    )
+
+
+Q_LATERAL_ORACLE = """
+SELECT n.n_name, l.c_custkey,
+       CAST(round(l.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) l
+"""
+
+
+SPECS += [
+    QuerySpec("q_rfm_segmentation", q_rfm_segmentation, Q_RFM_ORACLE,
+              "RFM quartile segmentation with floored-boundary exact scoring",
+              ("analytics", "segmentation")),
+    QuerySpec("q_new_vs_returning", q_new_vs_returning, Q_NEW_RETURNING_ORACLE,
+              "daily new vs returning active users",
+              ("analytics", "clickstream")),
+    QuerySpec("q_cumulative_reach", q_cumulative_reach, Q_REACH_ORACLE,
+              "cumulative distinct-user reach curve by day",
+              ("analytics", "clickstream")),
+    QuerySpec("q_pareto_frontier", q_pareto_frontier, Q_PARETO_ORACLE,
+              "2-D skyline via per-price group max + strict-predecessor running max",
+              ("analytics", "rank")),
+    QuerySpec("q_weekday_bitmap", q_weekday_bitmap, Q_WEEKDAY_BITMAP_ORACLE,
+              "per-user day-of-week bitmask distribution (bit_or aggregate)",
+              ("analytics", "clickstream")),
+    QuerySpec("q_reachable_event_types", q_reachable_event_types, Q_REACHABLE_ORACLE,
+              "recursive-CTE BFS over the event-type transition graph",
+              ("analytics", "graph", "recursive")),
+    QuerySpec("q_lateral_topk", q_lateral_topk, Q_LATERAL_ORACLE,
+              "per-nation top-2 customers via correlated LATERAL subquery",
+              ("relational", "lateral")),
+]

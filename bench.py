@@ -125,6 +125,10 @@ HEADLINE = [
     "q_ab_readout",
     "q_daily_value_bands",
     "q_weighted_avg_price",
+    "q_rfm_segmentation",
+    "q_new_vs_returning",
+    "q_reachable_event_types",
+    "q_lateral_topk",
 ]
 
 

@@ -61,6 +61,12 @@ REPRESENTATIVES = [
     "q_top_journeys",
     # streaming stateful debounce through the real engine
     "x4_debounce_stream",
+    # quantile-boundary quartile scores (three percentile buffers, one agg)
+    "q_rfm_segmentation",
+    # strict-predecessor running max over the price-point rollup
+    "q_pareto_frontier",
+    # recursive-CTE BFS seeded from lead() transition edges
+    "q_reachable_event_types",
 ]
 
 
