@@ -471,3 +471,107 @@ SPECS += [
               "row provenance recovered from _metadata.file_path, checksummed",
               ("io", "lineage")),
 ]
+
+
+# --- XML source/sink roundtrip (Spark 4 built-in XML) ------------------------
+# Third ingestion markup after CSV/JSON: the reference's source surface is
+# CSV lines + Kafka strings (SURVEY.md §2.1 S1/S2); enterprise feeds are
+# often XML exports. Spark 4 ships the (formerly spark-xml) data source
+# in-core. Fidelity is pinned the same way as csv_quoted_roundtrip: an
+# XOR-folded 60-bit md5 checksum over the read-back payload matches the
+# oracle's checksum over the ORIGINAL column only if entity
+# escaping/parsing lost nothing. ``ignoreSurroundingSpaces=false`` because
+# the default TRIMS element text — silent corruption for text payloads.
+
+XML_LIMIT = 2000
+
+
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < XML_LIMIT)
+        .selectExpr("doc_id", "lang", "source", "text")
+    )
+    xml_dir = os.path.join(tempfile.mkdtemp(prefix="xml_src_"), "docs")
+    (
+        src.write.mode("overwrite").format("xml")
+        .option("rootTag", "docs").option("rowTag", "doc")
+        .save(xml_dir)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema).format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(xml_dir)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(concat(source, '|', text)), 1, 15), 16, 10) as bigint))"
+        ).alias("payload_checksum"),
+    )
+
+
+XML_ROUNDTRIP_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars,
+       bit_xor(CAST(concat('0x', substr(md5(concat(source, '|', text)), 1, 15)) AS BIGINT)) AS payload_checksum
+FROM documents WHERE doc_id < {XML_LIMIT} GROUP BY 1
+"""
+
+
+# --- raw text-line source roundtrip (S1's DataStream<String> analog) ---------
+# The reference ingests RAW TEXT LINES and parses them positionally
+# (``chapter2/BasicStreamingOperations.java:52-60`` +
+# ``chapter2/AuditTrail.java:15-30``). Batch analog of that whole path:
+# records serialized to delimited lines via concat_ws → ``write.text`` →
+# ``read.text`` (one ``value`` column, exactly DataStream<String>) →
+# positional split/cast parse (P1) → aggregate. The md5 folds the free
+# text BEFORE the line is built so the payload is delimiter-safe.
+
+def text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, sf_dir, "documents").selectExpr(
+        "concat_ws('|', CAST(doc_id AS STRING), lang, source,"
+        " substr(md5(text), 1, 15)) AS value"
+    )
+    txt_dir = tempfile.mkdtemp(prefix="text_lines_")
+    src.write.mode("overwrite").text(txt_dir)
+
+    back = spark.read.text(txt_dir).selectExpr(
+        "CAST(element_at(split(value, '\\\\|'), 1) AS BIGINT) AS doc_id",
+        "element_at(split(value, '\\\\|'), 2) AS lang",
+        "element_at(split(value, '\\\\|'), 3) AS source",
+        "element_at(split(value, '\\\\|'), 4) AS text_md5",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.expr(
+            "bit_xor(cast(conv(text_md5, 16, 10) as bigint))"
+        ).alias("text_checksum"),
+    )
+
+
+TEXT_LINES_ORACLE = """
+SELECT lang, source, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id,
+       bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)) AS text_checksum
+FROM documents GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("xml_roundtrip", xml_roundtrip, XML_ROUNDTRIP_ORACLE,
+              "XML sink → explicit-schema read-back, entity-escape fidelity checksummed",
+              ("io", "source", "sink")),
+    QuerySpec("text_lines_roundtrip", text_lines_roundtrip, TEXT_LINES_ORACLE,
+              "raw text-line write → read.text → positional parse (S1/P1 analog)",
+              ("io", "source")),
+]
