@@ -1161,3 +1161,82 @@ SPECS += [
               "trailing-7-day top-3 event types per day (aggregate-then-spine)",
               ("temporal", "clickstream")),
 ]
+
+
+# --- X5 batch: CEP followed-by (view → purchase within T) -------------------
+# MATCH_RECOGNIZE-style sequence matching with CONSUMPTION ("after match
+# skip past last row"): a view arms a per-user pending state, a purchase
+# fires (view, purchase) when within the bound and always disarms. The
+# consumption makes this genuinely sequential — no lag()/join
+# reformulation exists — so the batch form runs the shared pure-python
+# automaton (streaming/state.py::cep_scan) per user via applyInPandas,
+# and the DuckDB oracle replays the SAME automaton as a depth-bounded
+# recursive CTE stepping one event per iteration (recursion is over the
+# per-user sequence index; the working set is one row per user).
+#
+# Scale: applyInPandas buffers one user's (view|purchase) history per
+# task — bounded per-entity history. For unbounded history the streaming
+# twin (x5_cep_stream) holds ONE long of state per user instead.
+
+CEP_WITHIN_MS = 24 * 3600 * 1000
+
+
+def _cep_recursive_oracle(within_ms: int) -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts), event_id) AS idx
+  FROM events WHERE event_type IN ('view', 'purchase')
+), r(user_id, idx, pending, v_ts, p_ts) AS (
+  SELECT user_id, 0, CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT user_id FROM e)
+  UNION ALL
+  SELECT r.user_id, r.idx + 1,
+         CASE WHEN e.event_type = 'view' THEN e.ts_ms ELSE CAST(-1 AS BIGINT) END,
+         CASE WHEN e.event_type = 'purchase' AND r.pending >= 0
+                   AND e.ts_ms - r.pending <= {within_ms} THEN r.pending END,
+         CASE WHEN e.event_type = 'purchase' AND r.pending >= 0
+                   AND e.ts_ms - r.pending <= {within_ms} THEN e.ts_ms END
+  FROM r JOIN e ON e.user_id = r.user_id AND e.idx = r.idx + 1
+)
+SELECT user_id, v_ts AS view_ts_ms, p_ts AS purchase_ts_ms,
+       p_ts - v_ts AS gap_ms
+FROM r WHERE v_ts IS NOT NULL
+"""
+
+
+def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping (view → purchase ≤ 24 h) matches per user."""
+    import pandas as pd
+
+    from ..streaming.state import _NO_PENDING, cep_scan
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    ).select("user_id", F.unix_millis("ts").alias("ts_ms"), "event_id", "event_type")
+
+    def match(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_ms", "event_id"])
+        pairs, _ = cep_scan(
+            pdf["ts_ms"], pdf["event_type"], CEP_WITHIN_MS, _NO_PENDING
+        )
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            [(uid, v, p, p - v) for v, p in pairs],
+            columns=["user_id", "view_ts_ms", "purchase_ts_ms", "gap_ms"],
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        match, "user_id long, view_ts_ms long, purchase_ts_ms long, gap_ms long"
+    )
+
+
+Q_CEP_ORACLE = _cep_recursive_oracle(CEP_WITHIN_MS)
+
+
+SPECS += [
+    QuerySpec("q_cep_followed_by", q_cep_followed_by, Q_CEP_ORACLE,
+              "CEP view→purchase within 24h, non-overlapping (match consumes)",
+              ("temporal", "cep")),
+]

@@ -1046,3 +1046,30 @@ SPECS += [
               "applyInPandasWithState keyed debounce (streaming twin of q_event_debounce)",
               ("streaming", "stateful")),
 ]
+
+
+# --- X5 streaming: CEP followed-by across micro-batches ---------------------
+
+from ..operators.temporal import CEP_WITHIN_MS, Q_CEP_ORACLE  # noqa: E402
+from .state import cep_followed_by  # noqa: E402
+
+
+def x5_cep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_cep_followed_by: the one-long pending-view
+    ValueState carries the half-open pattern across micro-batch
+    boundaries (a view late in batch N matching a purchase early in
+    batch N+1). Same recursive-CTE oracle as the batch form."""
+    stream = _events_stream(spark, sf_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+    return run_available_now(cep_followed_by(stream, CEP_WITHIN_MS), spark,
+                             mode="update")
+
+
+SPECS += [
+    QuerySpec("x5_cep_stream", x5_cep_stream, Q_CEP_ORACLE,
+              "applyInPandasWithState CEP followed-by (streaming twin of q_cep_followed_by)",
+              ("streaming", "stateful", "cep")),
+]

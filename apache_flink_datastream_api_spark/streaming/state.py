@@ -299,3 +299,81 @@ def debounced_events(df: DataFrame, gap_ms: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- X5: CEP "followed-by" pattern (A then B within T) ----------------------
+# The FlinkCEP / SQL MATCH_RECOGNIZE gap: detect `view` followed by
+# `purchase` within a time bound per user, NON-OVERLAPPING (a match
+# consumes its events — "after match skip past last row"). The automaton
+# is one pending-timestamp per key: a view (re)arms it, a purchase either
+# fires a match (and always disarms) or just disarms — later purchases
+# can only be further from the stale view. Pure-python core shared by the
+# batch `applyInPandas` form and this incremental twin; the oracle
+# replays the same automaton as a recursive CTE.
+#
+# State is ONE long per key regardless of history length — the streaming
+# form is the scale path when per-entity history no longer fits the
+# batch group (applyInPandas buffers a whole key's rows in one worker).
+
+CEP_STATE = StructType([StructField("pending_ts", LongType())])
+
+_NO_PENDING = -1
+
+
+def cep_scan(
+    ts_seq, type_seq, within_ms: int, pending: int,
+    first_type: str = "view", then_type: str = "purchase",
+) -> tuple[list[tuple[int, int]], int]:
+    """Run the followed-by automaton over (ts, type) pairs IN ORDER.
+    Returns (matched (first_ts, then_ts) pairs, final pending state)."""
+    out: list[tuple[int, int]] = []
+    for ts, et in zip(ts_seq, type_seq):
+        ts = int(ts)
+        if et == first_type:
+            pending = ts
+        elif et == then_type:
+            if pending != _NO_PENDING and ts - pending <= within_ms:
+                out.append((pending, ts))
+            pending = _NO_PENDING
+    return out, pending
+
+
+def make_cep_followed_by(within_ms: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = _sorted(pdfs)
+        pending = state.get[0] if state.exists else _NO_PENDING
+        pairs, pending = cep_scan(
+            rows["ts_ms"], rows["event_type"], within_ms, pending
+        )
+        state.update((pending,))
+        yield pd.DataFrame(
+            [(key[0], v, p, p - v) for v, p in pairs],
+            columns=["user_id", "view_ts_ms", "purchase_ts_ms", "gap_ms"],
+        )
+
+    return fn
+
+
+def cep_followed_by(df: DataFrame, within_ms: int) -> DataFrame:
+    """X5 streaming operator: df must contain (user_id, event_type,
+    ts_ms [, event_id]) already filtered to the two pattern types."""
+    cols = ["user_id", "event_type", "ts_ms"]
+    if "event_id" in df.columns:
+        cols.append("event_id")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("view_ts_ms", LongType()),
+            StructField("purchase_ts_ms", LongType()),
+            StructField("gap_ms", LongType()),
+        ]
+    )
+    return df.selectExpr(*cols).groupBy("user_id").applyInPandasWithState(
+        make_cep_followed_by(within_ms),
+        outputStructType=out_schema,
+        stateStructType=CEP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

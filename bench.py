@@ -129,6 +129,9 @@ HEADLINE = [
     "q_new_vs_returning",
     "q_reachable_event_types",
     "q_lateral_topk",
+    "q_cep_followed_by",
+    "x5_cep_stream",
+    "xml_roundtrip",
 ]
 
 

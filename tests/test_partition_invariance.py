@@ -67,6 +67,8 @@ REPRESENTATIVES = [
     "q_pareto_frontier",
     # recursive-CTE BFS seeded from lead() transition edges
     "q_reachable_event_types",
+    # per-user sequential automaton via applyInPandas (CEP consumption)
+    "q_cep_followed_by",
 ]
 
 

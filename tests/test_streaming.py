@@ -568,3 +568,41 @@ def test_x4_debounce_state_survives_micro_batches(spark, chunked_events_dir):
     cols = ["user_id", "event_type", "ts_ms"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert got.count() < e.count(), "fixture never triggered a suppression"
+
+
+def test_x5_cep_state_survives_micro_batches(spark, chunked_events_dir):
+    """A view late in chunk N matching a purchase early in chunk N+1
+    requires the pending-view state to persist; 3-batch replay must equal
+    the single-pass batch automaton on the same subset."""
+    from apache_flink_datastream_api_spark.streaming.state import (
+        _NO_PENDING, cep_followed_by, cep_scan,
+    )
+
+    within_ms = 48 * 3600 * 1000  # wide enough for sparse sf0.001 matches
+    stream = _chunk_stream(spark, chunked_events_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    got = run_available_now(cep_followed_by(stream, within_ms), spark,
+                            mode="update")
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") < 3000)
+        .where(F.col("event_type").isin("view", "purchase"))
+        .selectExpr("user_id", "unix_millis(ts) AS ts_ms", "event_id", "event_type")
+        .orderBy("user_id", "ts_ms", "event_id")
+        .collect()
+    )
+    want = []
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, seq in by_user.items():
+        pairs, _ = cep_scan(
+            [r.ts_ms for r in seq], [r.event_type for r in seq],
+            within_ms, _NO_PENDING,
+        )
+        want += [(uid, v, p, p - v) for v, p in pairs]
+    cols = ["user_id", "view_ts_ms", "purchase_ts_ms", "gap_ms"]
+    assert _sorted_rows(got, cols) == sorted(want)
+    assert got.count() > 0, "fixture produced no CEP matches"
