@@ -519,3 +519,148 @@ SPECS += [
               "map-side integer-exact 64->8 linear projection of embeddings",
               ("similarity", "vector")),
 ]
+
+
+# --- integer-exact Lloyd k-means (fixed iterations) --------------------------
+# The iterative ML-training loop on the engine (same family as
+# graph_pagerank's fixed-iteration join+agg): K=8 centroids, 3 assignment
+# passes over int8-quantized vectors. Everything is INTEGER arithmetic:
+# distances are Σ(a-b)² over quantized elements; centroid updates are
+# FLOOR division of integer sums (portable floor = (s - pmod(s, n)) / n,
+# because engine `//`s disagree on negatives: DuckDB/SQL truncate toward
+# zero, Python floors). Assignment argmin tie-breaks on centroid id via
+# lexicographic struct min.
+#
+# Plan per iteration: assignment is a PURE PROJECTION — the 8 centroids
+# fold into the plan as literals (8×64 longs), so each vector computes 8
+# codegen'd distances map-side with NO join; the update is one
+# (cid, pos) shuffle of 8×64 partial sums. Driver holds only the 8×64
+# centroid matrix between iterations — the 100 TB path is identical.
+# The quantized vectors are localCheckpoint'd once: three passes read
+# the materialized int arrays, not the parquet+quantize lineage.
+
+KMEANS_K = 8
+KMEANS_ITERS = 3  # assignment passes; centroids update after the first two
+_QEXPR = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+
+
+def _assign_expr(centroids: list[list[int]]) -> str:
+    """cid of the nearest centroid (ties → smaller cid), as one
+    codegen-able expression over the quantized array column q."""
+    alts = []
+    for cid, c in enumerate(centroids):
+        arr = f"array({', '.join(f'{x}L' for x in c)})"
+        d = (
+            f"aggregate(zip_with(q, {arr}, (x, y) -> (x - y) * (x - y)), "
+            "0L, (s, v) -> s + v)"
+        )
+        alts.append(f"named_struct('d', {d}, 'c', {cid})")
+    return f"array_min(array({', '.join(alts)})).c"
+
+
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-pass cluster readout: cid, n_vecs, integer inertia, and the
+    final centroid's element sum (checksums the whole centroid matrix)."""
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", f"{_QEXPR} AS q")
+        .localCheckpoint(eager=True)
+    )
+    centroids = [
+        [int(x) for x in r.q]
+        for r in vecs.where(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    ]
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = vecs.selectExpr("q", f"{_assign_expr(centroids)} AS cid")
+        sums = (
+            assigned.selectExpr("cid", "posexplode(q) AS (pos, v)")
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = {r.cid: [0] * len(centroids[0]) for r in sums}
+        for r in sums:
+            new[r.cid][r.pos] = r.s // r.n  # Python // == portable floor
+        # a cluster that lost every vector keeps its previous centroid
+        centroids = [new.get(cid, centroids[cid]) for cid in range(KMEANS_K)]
+    final = vecs.selectExpr("q", f"{_assign_expr(centroids)} AS cid")
+    dist_cols = []
+    for cid, c in enumerate(centroids):
+        arr = f"array({', '.join(f'{x}L' for x in c)})"
+        dist_cols.append(
+            f"WHEN cid = {cid} THEN aggregate(zip_with(q, {arr}, "
+            "(x, y) -> (x - y) * (x - y)), 0L, (s, v) -> s + v)"
+        )
+    csum = {cid: sum(c) for cid, c in enumerate(centroids)}
+    csum_case = " ".join(f"WHEN cid = {c} THEN {s}L" for c, s in csum.items())
+    return (
+        final.selectExpr(
+            "cid", f"CASE {' '.join(dist_cols)} END AS d", f"CASE {csum_case} END AS c_sum"
+        )
+        .groupBy("cid", "c_sum")
+        .agg(F.count("*").alias("n_vecs"), F.sum("d").alias("inertia"))
+        .select("cid", "n_vecs", "inertia", "c_sum")
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled 3-iteration replay: same quantization, same argmin
+    tie-break, same portable floor division, pure SQL."""
+    qd = "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    def assign(vsrc: str, csrc: str, out: str) -> str:
+        return f"""{out}_d AS (
+  SELECT v.vec_id, v.q, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {dist('v.q', 'c.q')}, c.cid) AS rn
+  FROM {vsrc} v CROSS JOIN {csrc} c
+), {out} AS (
+  SELECT vec_id, q, cid FROM {out}_d WHERE rn = 1
+)"""
+
+    def update(asrc: str, prev: str, out: str) -> str:
+        # floor division portable to negative sums; empty clusters inherit
+        # the previous centroid via the left join fallback
+        return f"""{out}_s AS (
+  SELECT a.cid, u.i AS pos,
+         CAST((SUM(a.q[u.i]) - ((SUM(a.q[u.i]) % COUNT(*)) + COUNT(*)) % COUNT(*))
+              / COUNT(*) AS BIGINT) AS e
+  FROM {asrc} a, LATERAL (SELECT unnest(generate_series(1, len(a.q))) AS i) u
+  GROUP BY 1, 2
+), {out}_l AS (
+  SELECT cid, list(e ORDER BY pos) AS q FROM {out}_s GROUP BY cid
+), {out} AS (
+  SELECT p.cid, COALESCE(n.q, p.q) AS q
+  FROM {prev} p LEFT JOIN {out}_l n ON n.cid = p.cid
+)"""
+
+    return f"""
+WITH qv AS (
+  SELECT vec_id, {qd} AS q FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, q FROM qv WHERE vec_id < {KMEANS_K}
+), {assign('qv', 'c0', 'a1')}, {update('a1', 'c0', 'c1')},
+{assign('qv', 'c1', 'a2')}, {update('a2', 'c1', 'c2')},
+{assign('qv', 'c2', 'a3')}
+SELECT a.cid, COUNT(*) AS n_vecs,
+       SUM({dist('a.q', 'c.q')}) AS inertia,
+       MIN(list_sum(c.q)) AS c_sum
+FROM a3 a JOIN c2 c ON c.cid = a.cid
+GROUP BY a.cid
+"""
+
+
+EMB_KMEANS_ORACLE = _kmeans_oracle()
+
+
+SPECS += [
+    QuerySpec("emb_kmeans_lloyd", emb_kmeans_lloyd, EMB_KMEANS_ORACLE,
+              "integer-exact fixed-iteration Lloyd k-means, literal-folded assignment",
+              ("similarity", "ml", "iterative")),
+]

@@ -132,6 +132,7 @@ HEADLINE = [
     "q_cep_followed_by",
     "x5_cep_stream",
     "xml_roundtrip",
+    "emb_kmeans_lloyd",
 ]
 
 

@@ -69,6 +69,8 @@ REPRESENTATIVES = [
     "q_reachable_event_types",
     # per-user sequential automaton via applyInPandas (CEP consumption)
     "q_cep_followed_by",
+    # iterative centroid loop: literal-folded assignment + floor-div update
+    "emb_kmeans_lloyd",
 ]
 
 
