@@ -407,3 +407,40 @@ SPECS += [
               "per-nation top-2 customers via correlated LATERAL subquery",
               ("relational", "lateral")),
 ]
+
+
+# --- Benford leading-digit audit --------------------------------------------
+# Fraud/quality screen: distribution of the first significant digit of
+# order totals vs the Benford expectation. The digit comes from the
+# DECIMAL STRING of integer cents — never float log10 — so bucketing is
+# exact; only the display share divides (one IEEE op on two exact
+# integers, identical in both engines). Single scan, 9-row aggregate.
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT) AS digit"
+    )
+    total = Window.partitionBy()
+    return (
+        o.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .withColumn("pct", F.round(F.col("n") / F.sum("n").over(total) * 100, 6))
+    )
+
+
+Q_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), g AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+)
+SELECT digit, n, round(n / SUM(n) OVER () * 100, 6) AS pct FROM g
+"""
+
+
+SPECS += [
+    QuerySpec("q_benford_digits", q_benford_digits, Q_BENFORD_ORACLE,
+              "Benford leading-digit audit from exact integer-cents strings",
+              ("analytics", "audit")),
+]

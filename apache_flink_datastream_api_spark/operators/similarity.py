@@ -664,3 +664,148 @@ SPECS += [
               "integer-exact fixed-iteration Lloyd k-means, literal-folded assignment",
               ("similarity", "ml", "iterative")),
 ]
+
+
+# --- product-quantization ANN (ADC scan) ------------------------------------
+# The third ANN family after LSH and IVF: vectors compress to PQ_M
+# one-byte codes (here 8 codes for 64 dims — 32x smaller than float32),
+# and each query scans CODES, not vectors, via an asymmetric-distance
+# lookup table (LUT[m][code] = ‖q_m − c_{m,code}‖²). Vectors are
+# L2-NORMALIZED before encoding so squared L2 ≡ 2 − 2·cos and the
+# L2-trained codebooks rank by cosine.
+#
+# Scale shape: codebooks train driver-side on a bounded sample (here the
+# whole 500-vector table; at 100 TB a ~100k-row sample — the codebook is
+# M×KS×SUBDIM floats either way). Encoding is one map pass; the ADC scan
+# is mapInPandas emitting only each PARTITION's top-PQ_CAND per query —
+# the shuffle carries candidates, never the scan. Exact re-rank touches
+# ≤ N_QUERIES × PQ_CAND rows. Approximate by nature → rows-only check +
+# recall floor in tests/test_similarity.py.
+
+PQ_M = 8        # subspaces
+PQ_SUBDIM = 8   # dims per subspace
+PQ_KS = 16      # codewords per subspace
+PQ_ITERS = 5    # per-subspace Lloyd iterations (driver-side, numpy)
+PQ_CAND = 50    # re-rank budget per query
+
+_PQ_CODEBOOK_CACHE: dict[str, "np.ndarray"] = {}
+
+
+def _pq_train(emb: DataFrame) -> "np.ndarray":
+    """(PQ_M, PQ_KS, PQ_SUBDIM) codebooks from normalized vectors; seeds
+    picked in md5(vec_id) order (same deterministic device as IVF)."""
+    rows = emb.selectExpr(
+        "vec_id", "md5(CAST(vec_id AS STRING)) AS h", "embedding"
+    ).orderBy("h", "vec_id").collect()
+    X = np.array([r.embedding for r in rows], dtype="float64")
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = []
+    for m in range(PQ_M):
+        S = X[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        C = S[:PQ_KS].copy()  # rows already in md5 order → seed = first KS
+        for _ in range(PQ_ITERS):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for k in range(PQ_KS):
+                if (a == k).any():
+                    C[k] = S[a == k].mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def pq_codebooks_for(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    if sf_dir not in _PQ_CODEBOOK_CACHE:
+        _PQ_CODEBOOK_CACHE[sf_dir] = _pq_train(load_table(spark, sf_dir, "embeddings"))
+    return _PQ_CODEBOOK_CACHE[sf_dir]
+
+
+def pq_codes_table(spark: SparkSession, sf_dir: str, books=None) -> DataFrame:
+    """The PQ index: every vector's PQ_M byte codes (persist this,
+    partitioned, in production)."""
+    if books is None:
+        books = pq_codebooks_for(spark, sf_dir)
+    B = np.asarray(books)
+
+    @F.pandas_udf("array<int>")
+    def encode(emb_s: pd.Series) -> pd.Series:
+        E = np.stack(emb_s.values).astype("float64")
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        out = np.empty((E.shape[0], PQ_M), dtype="int64")
+        for m in range(PQ_M):
+            S = E[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            d = ((S[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+            out[:, m] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", encode("embedding").alias("codes"))
+
+
+def knn_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via PQ/ADC: per-partition LUT scan of the code table emits
+    top-PQ_CAND approximate candidates per query; exact cosine re-ranks
+    the union to TOP_K."""
+    books = pq_codebooks_for(spark, sf_dir)
+    codes = pq_codes_table(spark, sf_dir, books)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.selectExpr("vec_id", "embedding", f"{norm_spark('embedding')} AS norm")
+    q_rows = base.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    qids = np.array([r.vec_id for r in q_rows])
+    Q = np.array([r.embedding for r in q_rows], dtype="float64")
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    B = np.asarray(books)
+    # LUT[q, m, k] = squared L2 between query subvector and codeword
+    lut = np.stack([
+        ((Q[:, None, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+          - B[m][None, :, :]) ** 2).sum(axis=2)
+        for m in range(PQ_M)
+    ], axis=1)
+
+    def scan(batches):
+        for pdf in batches:
+            C = np.stack(pdf["codes"].values)            # (B, M)
+            vids = pdf["vec_id"].to_numpy()
+            acc = np.zeros((len(qids), len(vids)))
+            for m in range(PQ_M):
+                acc += lut[:, m, C[:, m]]                # (Q, B)
+            k = min(PQ_CAND, len(vids))
+            top = np.argpartition(acc, k - 1, axis=1)[:, :k]
+            out = {
+                "qid": np.repeat(qids, k),
+                "vec_id": vids[top].ravel(),
+                "approx_d": np.take_along_axis(acc, top, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    cand = codes.mapInPandas(scan, "qid long, vec_id long, approx_d double")
+    w_c = Window.partitionBy("qid").orderBy("approx_d", "vec_id")
+    short = (
+        cand.where(F.col("vec_id") != F.col("qid"))
+        .withColumn("r", F.row_number().over(w_c))
+        .where(F.col("r") <= PQ_CAND)
+        .select("qid", "vec_id")
+    )
+    q_vec = base.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS qid2", "embedding AS q_emb", "norm AS q_norm"
+    )
+    scored = (
+        short.join(base, "vec_id")
+        .join(F.broadcast(q_vec), F.col("qid") == F.col("qid2"))
+        .withColumn(
+            "cos_sim", F.expr(f"{dot_spark('embedding', 'q_emb')} / (norm * q_norm)")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
+SPECS += [
+    QuerySpec("knn_pq_cosine", knn_pq_cosine, None,
+              "PQ/ADC ANN: byte-code LUT scan, partition-local top-C, exact re-rank",
+              ("similarity", "ann")),
+]

@@ -1164,19 +1164,23 @@ SPECS += [
 
 
 # --- X5 batch: CEP followed-by (view → purchase within T) -------------------
-# MATCH_RECOGNIZE-style sequence matching with CONSUMPTION ("after match
-# skip past last row"): a view arms a per-user pending state, a purchase
-# fires (view, purchase) when within the bound and always disarms. The
-# consumption makes this genuinely sequential — no lag()/join
-# reformulation exists — so the batch form runs the shared pure-python
-# automaton (streaming/state.py::cep_scan) per user via applyInPandas,
-# and the DuckDB oracle replays the SAME automaton as a depth-bounded
-# recursive CTE stepping one event per iteration (recursion is over the
-# per-user sequence index; the working set is one row per user).
+# MATCH_RECOGNIZE-style sequence matching: a view (re)arms a per-user
+# pending register, a purchase fires (view, purchase) when within the
+# bound and ALWAYS disarms (matched or stale). For THIS policy
+# (single-register, latest-view-wins, purchase-always-clears) the
+# automaton provably collapses to a declarative form: at any purchase
+# the register holds exactly the immediately preceding (view|purchase)
+# event's ts iff that event was a view — so match ⇔ lag(type) = 'view'
+# AND gap ≤ T. The batch query is therefore ONE window pass (codegen,
+# ~10x the applyInPandas automaton it replaced), while the DuckDB
+# oracle still replays the REAL automaton as a depth-bounded recursive
+# CTE stepping one event per iteration — the collapse is CHECKED
+# against the sequential semantics on every run, not assumed.
 #
-# Scale: applyInPandas buffers one user's (view|purchase) history per
-# task — bounded per-entity history. For unbounded history the streaming
-# twin (x5_cep_stream) holds ONE long of state per user instead.
+# Patterns that don't collapse (multi-stage, first-wins, backtracking)
+# keep the sequential form: the streaming twin (x5_cep_stream) runs the
+# shared pure-python automaton (streaming/state.py::cep_scan) with ONE
+# long of state per user carried across micro-batches.
 
 CEP_WITHIN_MS = 24 * 3600 * 1000
 
@@ -1208,27 +1212,22 @@ FROM r WHERE v_ts IS NOT NULL
 
 def q_cep_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-overlapping (view → purchase ≤ 24 h) matches per user."""
-    import pandas as pd
-
-    from ..streaming.state import _NO_PENDING, cep_scan
-
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "purchase")
     ).select("user_id", F.unix_millis("ts").alias("ts_ms"), "event_id", "event_type")
-
-    def match(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts_ms", "event_id"])
-        pairs, _ = cep_scan(
-            pdf["ts_ms"], pdf["event_type"], CEP_WITHIN_MS, _NO_PENDING
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_ts", F.lag("ts_ms").over(w))
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev_type") == "view")
+            & (F.col("ts_ms") - F.col("prev_ts") <= CEP_WITHIN_MS)
         )
-        uid = int(pdf["user_id"].iloc[0])
-        return pd.DataFrame(
-            [(uid, v, p, p - v) for v, p in pairs],
-            columns=["user_id", "view_ts_ms", "purchase_ts_ms", "gap_ms"],
+        .selectExpr(
+            "user_id", "prev_ts AS view_ts_ms", "ts_ms AS purchase_ts_ms",
+            "ts_ms - prev_ts AS gap_ms",
         )
-
-    return ev.groupBy("user_id").applyInPandas(
-        match, "user_id long, view_ts_ms long, purchase_ts_ms long, gap_ms long"
     )
 
 

@@ -684,3 +684,52 @@ SPECS += [
               "per-(source, lang) dataset-card rollup with corpus fractions",
               ("text", "diagnostics")),
 ]
+
+
+# --- Zipf rank-frequency table ----------------------------------------------
+# Corpus-law diagnostic: the top-50 terms with global frequency, rank,
+# and the rank·freq product (Zipf's law predicts it near-constant). All
+# integers; the rank is over the AGGREGATED term table (|vocab| rows,
+# not |tokens|), with lexicographic tie-break so the cut is total.
+# Same spread_small_source rationale as the other corpus scans: the
+# tokenize+explode is CPU-bound, so low-split scans re-parallelize.
+
+ZIPF_TOP = 50
+
+
+def text_zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread_small_source(load_table(spark, sf_dir, "documents"), spark)
+    counts = (
+        docs.select(F.explode(F.expr(TOKS_S)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ZIPF_TOP)
+        .selectExpr("rank", "term", "freq", "rank * freq AS rank_freq")
+    )
+
+
+TEXT_ZIPF_ORACLE = f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({TOKS_D}) AS term FROM documents)
+  GROUP BY term
+), ranked AS (
+  SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+  FROM counts
+)
+SELECT rank, term, freq, rank * freq AS rank_freq
+FROM ranked WHERE rank <= {ZIPF_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("text_zipf_rank", text_zipf_rank, TEXT_ZIPF_ORACLE,
+              "Zipf rank-frequency law table over the corpus vocabulary",
+              ("text", "diagnostics")),
+]

@@ -597,3 +597,77 @@ SPECS += [
               "map-side oversampling to class parity with exact content checksums",
               ("trainprep", "sampling")),
 ]
+
+
+# --- preference-pair construction (DPO/RLHF prep) ---------------------------
+# Contrastive (chosen, rejected) document pairs per (lang, source)
+# bucket: chosen = highest quality score, rejected = lowest. The score is
+# an INTEGER letter-density proxy — (alpha_chars * 1000) div n_chars —
+# so ranking never compares engine-accumulated floats; ties break on
+# doc_id, making the pair selection total. One shuffle on the bucket
+# key; both extremes come from the SAME window pass (rank ascending +
+# rank descending over one sorted partition — Spark reuses the sort).
+# At 100 TB the bucket count is bounded (|lang| × |source|), and the
+# per-bucket window is the standard argmax shape — for mega-buckets
+# swap in the sharded-rank machinery (q_revenue_gini).
+
+def pipeline_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "source",
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) * 1000 AS BIGINT)"
+        " div greatest(length(text), 1) AS score",
+    )
+    w_best = Window.partitionBy("lang", "source").orderBy(
+        F.desc("score"), "doc_id"
+    )
+    w_worst = Window.partitionBy("lang", "source").orderBy(
+        F.asc("score"), "doc_id"
+    )
+    ranked = d.select(
+        "lang", "source", "doc_id", "score",
+        F.row_number().over(w_best).alias("rb"),
+        F.row_number().over(w_worst).alias("rw"),
+    )
+    best = ranked.where(F.col("rb") == 1).selectExpr(
+        "lang", "source", "doc_id AS chosen_doc_id", "score AS chosen_score"
+    )
+    worst = ranked.where(F.col("rw") == 1).selectExpr(
+        "lang", "source", "doc_id AS rejected_doc_id", "score AS rejected_score"
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .where(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+        .selectExpr(
+            "lang", "source", "chosen_doc_id", "rejected_doc_id",
+            "chosen_score", "rejected_score",
+            "chosen_score - rejected_score AS score_margin",
+        )
+    )
+
+
+DPO_PAIRS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000
+              // greatest(length(text), 1) AS BIGINT) AS score
+  FROM documents
+), ranked AS (
+  SELECT lang, source, doc_id, score,
+         row_number() OVER (PARTITION BY lang, source ORDER BY score DESC, doc_id) AS rb,
+         row_number() OVER (PARTITION BY lang, source ORDER BY score ASC, doc_id) AS rw
+  FROM d
+)
+SELECT b.lang, b.source, b.doc_id AS chosen_doc_id, w.doc_id AS rejected_doc_id,
+       b.score AS chosen_score, w.score AS rejected_score,
+       b.score - w.score AS score_margin
+FROM (SELECT * FROM ranked WHERE rb = 1) b
+JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (lang, source)
+WHERE b.doc_id <> w.doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_dpo_pairs", pipeline_dpo_pairs, DPO_PAIRS_ORACLE,
+              "per-bucket (chosen, rejected) preference pairs by integer quality score",
+              ("trainprep", "pairs")),
+]

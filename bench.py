@@ -133,6 +133,10 @@ HEADLINE = [
     "x5_cep_stream",
     "xml_roundtrip",
     "emb_kmeans_lloyd",
+    "knn_pq_cosine",
+    "pipeline_dpo_pairs",
+    "text_zipf_rank",
+    "q_benford_digits",
 ]
 
 

@@ -71,6 +71,10 @@ REPRESENTATIVES = [
     "q_cep_followed_by",
     # iterative centroid loop: literal-folded assignment + floor-div update
     "emb_kmeans_lloyd",
+    # partition-local top-C candidate pruning must preserve the global top-C
+    "knn_pq_cosine",
+    # double-window argmax/argmin extremes per bucket
+    "pipeline_dpo_pairs",
 ]
 
 
