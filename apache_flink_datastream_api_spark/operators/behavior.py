@@ -444,3 +444,116 @@ SPECS += [
               "Benford leading-digit audit from exact integer-cents strings",
               ("analytics", "audit")),
 ]
+
+
+# --- dormant-user reactivation ----------------------------------------------
+# Winback analytics: an event after > REACT_GAP_MS of per-user silence is
+# a "reactivation". One lag() pass (single user_id shuffle), then a
+# calendar-bounded daily rollup.
+
+REACT_GAP_MS = 2 * DAY_MS
+
+
+def q_dormant_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        ev.withColumn("gap", F.col("ts_ms") - F.lag("ts_ms").over(w))
+        .where(F.col("gap") > REACT_GAP_MS)
+        .selectExpr("user_id", f"ts_ms - pmod(ts_ms, {DAY_MS}) AS day_ms", "gap")
+        .groupBy("day_ms")
+        .agg(
+            F.count("*").alias("n_reactivations"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("gap").alias("max_gap_ms"),
+        )
+    )
+
+
+Q_REACTIVATION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+), g AS (
+  SELECT user_id, ts_ms,
+         ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS gap
+  FROM e
+)
+SELECT ts_ms - ts_ms % {DAY_MS} AS day_ms,
+       COUNT(*) AS n_reactivations,
+       COUNT(DISTINCT user_id) AS n_users,
+       MAX(gap) AS max_gap_ms
+FROM g WHERE gap > {REACT_GAP_MS}
+GROUP BY 1
+"""
+
+
+# --- top-k with OTHERS rollup -----------------------------------------------
+# The BI staple Flink's keyed reduce can't express in one pass: top-3
+# brands by exact revenue, every other brand folded into one 'OTHER'
+# row, shares summing to 100%. Aggregate-then-rank: the rank runs over
+# the |brands| rollup, never the fact table.
+
+TOPK_BRANDS = 3
+
+
+def q_topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_brand = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(F.expr(
+            "CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))"
+        )).cast("long").alias("cents"))
+    )
+    w = Window.orderBy(F.desc("cents"), "p_brand")
+    labeled = per_brand.withColumn("rk", F.row_number().over(w)).selectExpr(
+        f"CASE WHEN rk <= {TOPK_BRANDS} THEN p_brand ELSE 'OTHER' END AS brand",
+        f"CASE WHEN rk <= {TOPK_BRANDS} THEN rk ELSE {TOPK_BRANDS + 1} END AS rk",
+        "cents",
+    )
+    total = Window.partitionBy()
+    return (
+        labeled.groupBy("brand", "rk")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("revenue_cents"))
+        .withColumn(
+            "share_pct",
+            F.round(F.col("revenue_cents") / F.sum("revenue_cents").over(total) * 100, 6),
+        )
+    )
+
+
+Q_TOPK_OTHERS_ORACLE = f"""
+WITH per_brand AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), labeled AS (
+  SELECT CASE WHEN rk <= {TOPK_BRANDS} THEN p_brand ELSE 'OTHER' END AS brand,
+         CASE WHEN rk <= {TOPK_BRANDS} THEN rk ELSE {TOPK_BRANDS + 1} END AS rk,
+         cents
+  FROM (SELECT p_brand, cents,
+               row_number() OVER (ORDER BY cents DESC, p_brand) AS rk
+        FROM per_brand)
+), g AS (
+  SELECT brand, rk, CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS revenue_cents
+  FROM labeled GROUP BY brand, rk
+)
+SELECT brand, rk, revenue_cents,
+       round(revenue_cents / SUM(revenue_cents) OVER () * 100, 6) AS share_pct
+FROM g
+"""
+
+
+SPECS += [
+    QuerySpec("q_dormant_reactivation", q_dormant_reactivation, Q_REACTIVATION_ORACLE,
+              "daily winback counts: events after >2d per-user silence",
+              ("analytics", "clickstream")),
+    QuerySpec("q_topk_with_others", q_topk_with_others, Q_TOPK_OTHERS_ORACLE,
+              "top-3 brands by exact revenue with OTHER rollup and shares",
+              ("analytics", "rank")),
+]

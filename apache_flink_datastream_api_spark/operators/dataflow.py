@@ -419,3 +419,71 @@ SPECS = [
     QuerySpec("x2_session_durations", x2_session_durations, X2_ORACLE,
               "session-duration state machine, lag() analog", ("stateful",)),
 ]
+
+
+# --- W7: DYNAMIC-gap session windows ----------------------------------------
+# Spark-4 surface Flink 1.9's fixed-gap sessions lack entirely
+# (``chapter3/WindowingOperations.java:147-150`` hardcodes 5 s): the gap
+# is a PER-ROW expression — purchases hold a session open twice as long
+# as other activity. Merge rule: each event spans [ts, ts+gap(event));
+# overlapping spans per key coalesce. The oracle mirrors it as an
+# islands computation whose boundary is a STRICT-PRECEDING RUNNING MAX
+# of span ends (a plain lag() is wrong here: a long early span can
+# swallow several short later ones).
+
+W7_GAP_DEFAULT_MS = 6 * HOUR_MS
+W7_GAP_PURCHASE_MS = 12 * HOUR_MS
+
+
+def w7_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).withColumn(
+        "ts2", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("12 hours")).otherwise(
+        F.lit("6 hours")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts2", gap).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "cnt",
+        )
+    )
+
+
+W7_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         CASE WHEN event_type = 'purchase' THEN {W7_GAP_PURCHASE_MS}
+              ELSE {W7_GAP_DEFAULT_MS} END AS gap
+  FROM events
+), m AS (
+  SELECT user_id, ms, event_id, gap,
+         MAX(ms + gap) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM e
+), f AS (
+  SELECT user_id, ms, event_id, gap,
+         CASE WHEN prev_end IS NULL OR ms >= prev_end THEN 1 ELSE 0 END AS ns
+  FROM m
+), s AS (
+  SELECT user_id, ms, gap,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, MIN(ms) AS session_start_ms, MAX(ms + gap) AS session_end_ms,
+       COUNT(*) AS cnt
+FROM s GROUP BY user_id, sid
+"""
+
+
+SPECS += [
+    QuerySpec("w7_dynamic_session", w7_dynamic_session, W7_ORACLE,
+              "dynamic per-row-gap session windows (purchases hold 2x longer)",
+              ("window", "spark4")),
+]

@@ -284,3 +284,119 @@ SPECS = [
     QuerySpec("mm_audio_chunks", mm_audio_chunks, MM_AUDIO_CHUNKS_ORACLE,
               "fixed-duration audio chunk geometry via explode", ("multimodal",)),
 ]
+
+
+# --- perceptual-hash near-dup detection over binary payloads ----------------
+# The media-dedup family member: a SimHash-style 60-bit fingerprint over
+# NON-OVERLAPPING 4-byte chunks of the binary payload (hex domain, so
+# both engines shingle the same string), banded 4×15 bits for candidate
+# generation, exact Hamming (bit_count of xor) verification. A real
+# image pHash swaps the chunk hash for DCT coefficients — the Spark
+# plumbing (fingerprint agg, band join, Hamming verify) is identical.
+# Near-dup twins are SYNTHESIZED deterministically (every 5th doc gets a
+# 3-byte-appended copy, same device as json_corrupt_handling) since the
+# corpus has no natural binary near-dups.
+#
+# Scale: one explode + one 60-column vote aggregate (single doc_id
+# shuffle), band join keyed on (band_id, 15-bit value) — the self-join
+# only ever meets rows in the same small bucket; no pairwise scan.
+
+PHASH_BITS = 60
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 15
+PHASH_HAMMING_MAX = 8
+PHASH_TWIN_MOD = 5
+PHASH_TWIN_OFFSET = 1_000_000
+
+_PH_SIG_S = " + ".join(
+    f"shiftleft(cast(s{b} > 0 as bigint), {b})" for b in range(PHASH_BITS)
+)
+_PH_VOTES_D = ", ".join(
+    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(PHASH_BITS)
+)
+_PH_SIG_D = " + ".join(
+    f"(CAST(s{b} > 0 AS BIGINT) << {b})" for b in range(PHASH_BITS)
+)
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "hex(encode(text, 'UTF-8')) AS hx"
+    )
+    twins = docs.where(F.col("doc_id") % PHASH_TWIN_MOD == 0).selectExpr(
+        f"doc_id + {PHASH_TWIN_OFFSET} AS doc_id", "concat(hx, '207632') AS hx"
+    )
+    blobs = docs.unionByName(twins)
+    chunks = blobs.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(0, CAST(ceil(length(hx) / 8.0) AS INT) - 1),"
+        " i -> substr(hx, i * 8 + 1, 8))) AS chunk",
+    )
+    h = chunks.selectExpr(
+        "doc_id", "cast(conv(substr(md5(chunk), 1, 15), 16, 10) as bigint) AS hv"
+    )
+    sigs = h.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(CASE WHEN (shiftright(hv, {b}) & 1) = 1 THEN 1 ELSE -1 END)").alias(f"s{b}")
+            for b in range(PHASH_BITS)
+        ]
+    ).selectExpr("doc_id", f"{_PH_SIG_S} AS sig")
+    sigs = sigs.localCheckpoint(eager=True)  # feeds both join sides
+    bands = sigs.selectExpr(
+        "doc_id", "sig",
+        "explode(transform(sequence(0, "
+        f"{PHASH_BANDS - 1}), b -> named_struct('band', b, "
+        f"'bv', shiftright(sig, b * {PHASH_BAND_BITS}) & {(1 << PHASH_BAND_BITS) - 1}))) AS bb",
+    ).selectExpr("doc_id", "sig", "bb.band AS band", "bb.bv AS bv")
+    a = bands.selectExpr("doc_id AS doc_a", "sig AS sig_a", "band", "bv")
+    b = bands.selectExpr("doc_id AS doc_b", "sig AS sig_b", "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .selectExpr("doc_a", "doc_b", "bit_count(sig_a ^ sig_b) AS hamming")
+        .distinct()
+        .where(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+
+
+MM_PHASH_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+), blobs AS (
+  SELECT doc_id, hx FROM docs
+  UNION ALL
+  SELECT doc_id + {PHASH_TWIN_OFFSET}, hx || '207632'
+  FROM docs WHERE doc_id % {PHASH_TWIN_MOD} = 0
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0,
+             CAST(ceil(length(hx) / 8.0) AS INT) - 1),
+             i -> substr(hx, i * 8 + 1, 8))) AS chunk
+  FROM blobs
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(chunk), 1, 15)) AS BIGINT) AS hv
+  FROM chunks
+), votes AS (
+  SELECT doc_id, {_PH_VOTES_D} FROM h GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {_PH_SIG_D} AS sig FROM votes
+), bands AS (
+  SELECT doc_id, sig, b AS band,
+         (sig >> (b * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1} AS bv
+  FROM sigs, unnest(generate_series(0, {PHASH_BANDS - 1})) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {PHASH_HAMMING_MAX}
+"""
+
+
+SPECS += [
+    QuerySpec("mm_phash_dedup", mm_phash_dedup, MM_PHASH_ORACLE,
+              "banded SimHash near-dup over binary payload chunks, Hamming-verified",
+              ("multimodal", "dedup")),
+]

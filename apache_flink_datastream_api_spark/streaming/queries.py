@@ -1073,3 +1073,38 @@ SPECS += [
               "applyInPandasWithState CEP followed-by (streaming twin of q_cep_followed_by)",
               ("streaming", "stateful", "cep")),
 ]
+
+
+# --- W7 streaming: dynamic-gap session windows ------------------------------
+
+from ..operators.dataflow import W7_ORACLE  # noqa: E402
+
+
+def w7_dynamic_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w7_dynamic_session through the streaming engine: per-row gap
+    expressions drive the session-merge state store. Complete mode for
+    the same batching-invariance reason as w4_session_stream."""
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts2", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("12 hours")).otherwise(
+        F.lit("6 hours")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts2", gap).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "cnt",
+        )
+    )
+    return run_available_now(agg, spark, mode="complete")
+
+
+SPECS += [
+    QuerySpec("w7_dynamic_session_stream", w7_dynamic_session_stream, W7_ORACLE,
+              "dynamic-gap session windows on the streaming state store",
+              ("streaming", "window", "spark4")),
+]

@@ -137,6 +137,10 @@ HEADLINE = [
     "pipeline_dpo_pairs",
     "text_zipf_rank",
     "q_benford_digits",
+    "q_dormant_reactivation",
+    "q_topk_with_others",
+    "w7_dynamic_session",
+    "mm_phash_dedup",
 ]
 
 

@@ -75,6 +75,10 @@ REPRESENTATIVES = [
     "knn_pq_cosine",
     # double-window argmax/argmin extremes per bucket
     "pipeline_dpo_pairs",
+    # per-row-gap session merge in the session_window state machinery
+    "w7_dynamic_session",
+    # banded fingerprint self-join + Hamming verify over synthesized twins
+    "mm_phash_dedup",
 ]
 
 
