@@ -487,3 +487,56 @@ SPECS += [
               "dynamic per-row-gap session windows (purchases hold 2x longer)",
               ("window", "spark4")),
 ]
+
+
+# --- W8: COUNT windows (Flink countWindow family) ----------------------------
+# The DataStream API's other window family (``countWindow(N)``): per-key
+# tumbling windows of N EVENTS, firing only when full — the trailing
+# partial window stays open (Flink semantics; the streaming twin keeps
+# it in state). Batch analog: (row_number - 1) div N over the keyed
+# event order, full windows only. Exact value sums in integer cents.
+
+COUNT_WINDOW_N = 10
+
+
+def w8_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("win_idx", F.expr(f"(rn - 1) div {COUNT_WINDOW_N}"))
+        .groupBy("user_id", "win_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_ms").alias("start_ts_ms"),
+            F.max("ts_ms").alias("end_ts_ms"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("sum_cents"),
+        )
+        .where(F.col("n_events") == COUNT_WINDOW_N)
+    )
+
+
+W8_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) - 1)
+              // {COUNT_WINDOW_N} AS win_idx
+  FROM events
+)
+SELECT user_id, win_idx, COUNT(*) AS n_events,
+       MIN(ts_ms) AS start_ts_ms, MAX(ts_ms) AS end_ts_ms,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents
+FROM e GROUP BY user_id, win_idx
+HAVING COUNT(*) = {COUNT_WINDOW_N}
+"""
+
+
+SPECS += [
+    QuerySpec("w8_count_window", w8_count_window, W8_ORACLE,
+              "per-key tumbling COUNT windows of 10 events, full windows only",
+              ("window", "count")),
+]

@@ -1239,3 +1239,76 @@ SPECS += [
               "CEP view→purchase within 24h, non-overlapping (match consumes)",
               ("temporal", "cep")),
 ]
+
+
+# --- last-touch marketing attribution ---------------------------------------
+# Each purchase's value is attributed to the user's most recent
+# NON-purchase event (the "channel") within a 7-day lookback, else
+# 'none'. The carry is last_value(...) IGNORE NULLS over a
+# strict-preceding frame — one window pass, no as-of join — with the
+# channel and its timestamp carried by TWO aligned IGNORE-NULLS calls
+# over the same deterministic order. Value sums in integer cents.
+
+ATTR_LOOKBACK_MS = 7 * 24 * 3600 * 1000
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp_type = F.expr("CASE WHEN event_type <> 'purchase' THEN event_type END")
+    nonp_ts = F.expr("CASE WHEN event_type <> 'purchase' THEN ts_ms END")
+    touched = (
+        ev.withColumn("last_ch", F.last(nonp_type, ignorenulls=True).over(w))
+        .withColumn("last_ts", F.last(nonp_ts, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .selectExpr(
+            "cents",
+            f"CASE WHEN last_ch IS NOT NULL AND ts_ms - last_ts <= {ATTR_LOOKBACK_MS}"
+            " THEN last_ch ELSE 'none' END AS channel",
+        )
+    )
+    return touched.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("attributed_cents"),
+    )
+
+
+Q_ATTRIBUTION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), t AS (
+  SELECT event_type, ts_ms, cents,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER w AS last_ch,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts_ms END IGNORE NULLS)
+           OVER w AS last_ts
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), p AS (
+  SELECT cents,
+         CASE WHEN last_ch IS NOT NULL AND ts_ms - last_ts <= {ATTR_LOOKBACK_MS}
+              THEN last_ch ELSE 'none' END AS channel
+  FROM t WHERE event_type = 'purchase'
+)
+SELECT channel, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS attributed_cents
+FROM p GROUP BY channel
+"""
+
+
+SPECS += [
+    QuerySpec("q_attribution_last_touch", q_attribution_last_touch,
+              Q_ATTRIBUTION_ORACLE,
+              "last-touch revenue attribution via aligned IGNORE-NULLS carries",
+              ("temporal", "attribution")),
+]

@@ -671,3 +671,57 @@ SPECS += [
               "per-bucket (chosen, rejected) preference pairs by integer quality score",
               ("trainprep", "pairs")),
 ]
+
+
+# --- leave-one-out target encoding ------------------------------------------
+# The leakage-safe categorical-feature encoder: each row's category is
+# replaced by the target mean over all OTHER rows of the category —
+# (Σ_group − own) / (n_group − 1). One tiny per-category aggregate
+# broadcast back; everything else is map-side integer arithmetic. The
+# emitted mean is FLOOR((num·1000) / den) in integer milli-cents, so
+# the comparison never touches engine float accumulation. At 100 TB
+# this is the canonical aggregate-broadcast-rejoin: the fact table is
+# scanned twice but shuffled never.
+
+def pipeline_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("g_sum"),
+        F.count("*").alias("g_n"),
+    )
+    return o.join(F.broadcast(g), "o_orderpriority").selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "g_sum - cents AS loo_num_cents",
+        "g_n - 1 AS loo_den",
+        "(g_sum - cents) * 1000 div (g_n - 1) AS loo_mean_millicents",
+    )
+
+
+LOO_ENCODING_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS g_sum,
+         COUNT(*) AS g_n
+  FROM o GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority,
+       g_sum - cents AS loo_num_cents,
+       g_n - 1 AS loo_den,
+       (g_sum - cents) * 1000 // (g_n - 1) AS loo_mean_millicents
+FROM o JOIN g USING (o_orderpriority)
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_loo_target_encoding", pipeline_loo_target_encoding,
+              LOO_ENCODING_ORACLE,
+              "leakage-safe leave-one-out categorical target encoding, integer-exact",
+              ("trainprep", "features")),
+]

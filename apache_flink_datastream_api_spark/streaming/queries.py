@@ -1108,3 +1108,32 @@ SPECS += [
               "dynamic-gap session windows on the streaming state store",
               ("streaming", "window", "spark4")),
 ]
+
+
+# --- W8 streaming: count windows across micro-batches -----------------------
+
+from ..operators.dataflow import COUNT_WINDOW_N, W8_ORACLE  # noqa: E402
+from .state import count_windows  # noqa: E402
+
+
+def w8_count_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w8_count_window on the streaming engine: the open window's
+    partial aggregate rides ValueState across micro-batches; windows
+    fire exactly on their Nth event. Caveat vs batch: events must
+    arrive in event-time order for identical window membership — the
+    bounded replay preserves file order, which the fixture writes
+    time-sorted (the production form adds a watermark-driven sorter
+    upstream, the standard Flink countWindow caveat)."""
+    stream = _events_stream(spark, sf_dir).selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms",
+        "CAST(round(value * 100) AS BIGINT) AS cents", "event_id",
+    )
+    return run_available_now(count_windows(stream, COUNT_WINDOW_N), spark,
+                             mode="update")
+
+
+SPECS += [
+    QuerySpec("w8_count_window_stream", w8_count_window_stream, W8_ORACLE,
+              "countWindow(10) ValueState machine (streaming twin of w8_count_window)",
+              ("streaming", "stateful", "count")),
+]

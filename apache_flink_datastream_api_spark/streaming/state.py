@@ -377,3 +377,74 @@ def cep_followed_by(df: DataFrame, within_ms: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- W8: per-key COUNT windows (countWindow(N) incremental form) ------------
+# State = the OPEN window's running (win_idx, cnt, sum_cents, min_ts,
+# max_ts). A window fires exactly when its Nth event arrives; the
+# trailing partial window stays in state un-emitted (Flink countWindow
+# semantics), so bounded replays match the batch analog's full-windows-
+# only output.
+
+COUNT_WINDOW_STATE = StructType(
+    [
+        StructField("win_idx", LongType()),
+        StructField("cnt", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("min_ts", LongType()),
+        StructField("max_ts", LongType()),
+    ]
+)
+
+
+def make_count_windower(n: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = _sorted(pdfs)
+        win_idx, cnt, s, lo, hi = (
+            state.get if state.exists else (0, 0, 0, None, None)
+        )
+        out = []
+        for ts, cents in zip(rows["ts_ms"], rows["cents"]):
+            ts, cents = int(ts), int(cents)
+            cnt += 1
+            s += cents
+            lo = ts if lo is None or ts < lo else lo
+            hi = ts if hi is None or ts > hi else hi
+            if cnt == n:
+                out.append((key[0], win_idx, cnt, lo, hi, s))
+                win_idx, cnt, s, lo, hi = win_idx + 1, 0, 0, None, None
+        state.update((win_idx, cnt, s, lo, hi))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "win_idx", "n_events", "start_ts_ms",
+                     "end_ts_ms", "sum_cents"],
+        )
+
+    return fn
+
+
+def count_windows(df: DataFrame, n: int) -> DataFrame:
+    """W8 streaming operator: df must contain (user_id, ts_ms, cents
+    [, event_id])."""
+    cols = ["user_id", "ts_ms", "cents"]
+    if "event_id" in df.columns:
+        cols.append("event_id")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("win_idx", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_ts_ms", LongType()),
+            StructField("end_ts_ms", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    return df.selectExpr(*cols).groupBy("user_id").applyInPandasWithState(
+        make_count_windower(n),
+        outputStructType=out_schema,
+        stateStructType=COUNT_WINDOW_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

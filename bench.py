@@ -141,6 +141,9 @@ HEADLINE = [
     "q_topk_with_others",
     "w7_dynamic_session",
     "mm_phash_dedup",
+    "w8_count_window",
+    "pipeline_loo_target_encoding",
+    "q_attribution_last_touch",
 ]
 
 

@@ -79,6 +79,8 @@ REPRESENTATIVES = [
     "w7_dynamic_session",
     # banded fingerprint self-join + Hamming verify over synthesized twins
     "mm_phash_dedup",
+    # aligned IGNORE-NULLS carries + stale-lookback gate
+    "q_attribution_last_touch",
 ]
 
 

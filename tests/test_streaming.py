@@ -606,3 +606,38 @@ def test_x5_cep_state_survives_micro_batches(spark, chunked_events_dir):
     cols = ["user_id", "view_ts_ms", "purchase_ts_ms", "gap_ms"]
     assert _sorted_rows(got, cols) == sorted(want)
     assert got.count() > 0, "fixture produced no CEP matches"
+
+
+def test_w8_count_window_state_survives_micro_batches(spark, chunked_events_dir):
+    """A count window filling ACROSS a chunk boundary requires the open
+    window's partial aggregate to persist; 3-batch replay must equal the
+    batch row_number() div N analog on the same subset."""
+    from apache_flink_datastream_api_spark.operators.dataflow import COUNT_WINDOW_N
+    from apache_flink_datastream_api_spark.streaming.state import count_windows
+
+    stream = _chunk_stream(spark, chunked_events_dir).selectExpr(
+        "user_id", "ts_ms", "CAST(0 AS BIGINT) AS cents", "event_id"
+    )
+    got = run_available_now(count_windows(stream, COUNT_WINDOW_N), spark,
+                            mode="update")
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") < 3000)
+        .selectExpr("user_id", "unix_millis(ts) AS ts_ms", "event_id")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    want = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("win_idx", F.expr(f"(rn - 1) div {COUNT_WINDOW_N}"))
+        .groupBy("user_id", "win_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_ms").alias("start_ts_ms"),
+            F.max("ts_ms").alias("end_ts_ms"),
+        )
+        .where(F.col("n_events") == COUNT_WINDOW_N)
+    )
+    cols = ["user_id", "win_idx", "n_events", "start_ts_ms", "end_ts_ms"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    assert got.count() > 0, "fixture filled no count windows"
