@@ -1312,3 +1312,214 @@ SPECS += [
               "last-touch revenue attribution via aligned IGNORE-NULLS carries",
               ("temporal", "attribution")),
 ]
+
+
+# --- CEP absence detection: view NOT followed by purchase -------------------
+# FlinkCEP's ``notFollowedBy`` / timeout-pattern family: a view with NO
+# purchase in the next 24 h is an abandonment. Declarative form: the
+# next purchase timestamp comes from a forward IGNORE-NULLS first_value
+# over a strictly-following frame — one window pass, no self-join. The
+# streaming analog of absence-with-timeout is the x3 idle-timeout state
+# machine (GroupStateTimeout), already pinned.
+
+ABANDON_WINDOW_MS = 24 * 3600 * 1000
+
+
+def q_cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms", "event_id"
+    ).where(F.col("event_type").isin("view", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_p = F.first(
+        F.expr("CASE WHEN event_type = 'purchase' THEN ts_ms END"), ignorenulls=True
+    ).over(w)
+    views = (
+        ev.withColumn("next_p_ts", next_p)
+        .where(F.col("event_type") == "view")
+        .selectExpr(
+            f"ts_ms - pmod(ts_ms, {86_400_000}) AS day_ms",
+            f"CAST(next_p_ts IS NULL OR next_p_ts - ts_ms > {ABANDON_WINDOW_MS} AS INT) AS abandoned",
+        )
+    )
+    return views.groupBy("day_ms").agg(
+        F.count("*").alias("n_views"),
+        F.sum("abandoned").alias("n_abandoned"),
+    )
+
+
+Q_NOT_FOLLOWED_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE event_type IN ('view', 'purchase')
+), t AS (
+  SELECT event_type, ts_ms,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts_ms END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p_ts
+  FROM e
+), v AS (
+  SELECT ts_ms - ts_ms % 86400000 AS day_ms,
+         CAST(next_p_ts IS NULL OR next_p_ts - ts_ms > {ABANDON_WINDOW_MS} AS INT) AS abandoned
+  FROM t WHERE event_type = 'view'
+)
+SELECT day_ms, COUNT(*) AS n_views, SUM(abandoned) AS n_abandoned
+FROM v GROUP BY day_ms
+"""
+
+
+# --- temporal table join (point-in-time dimension lookup) -------------------
+# Flink's temporal-table-join family: each purchase joins the SCD2
+# version of the user's activity state that was VALID AT purchase time.
+# The dimension is built from non-purchase events (q_scd2_user_state's
+# change-collapse), the fact side probes it with an equi-join on
+# user_id plus a validity-range residual — Catalyst plans the hash join
+# on the key, the range is a post-join filter (same shape as
+# range_join_purchase_errors; at 100 TB bucket both sides by user).
+
+def q_temporal_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    dim_log = ev.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    versions = (
+        dim_log.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_ms").alias("valid_from_ms"),
+            F.coalesce(F.lead("ts_ms").over(w) - 1, F.lit(2**62)).alias("valid_to_ms"),
+        )
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts_ms").alias("p_ts"), "cents"
+    )
+    joined = p.join(
+        versions,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("valid_from_ms") <= F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("valid_to_ms")),
+        "left",
+    )
+    return joined.groupBy(F.coalesce("state", F.lit("none")).alias("state_at_purchase")).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("revenue_cents"),
+    )
+
+
+Q_TEMPORAL_JOIN_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), log AS (
+  SELECT user_id, event_type, ts_ms, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM e WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), versions AS (
+  SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+         COALESCE(lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) - 1,
+                  4611686018427387904) AS valid_to_ms
+  FROM log WHERE prev_type IS NULL OR prev_type <> event_type
+), p AS (
+  SELECT user_id, ts_ms AS p_ts, cents FROM e WHERE event_type = 'purchase'
+)
+SELECT COALESCE(v.state, 'none') AS state_at_purchase,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(p.cents AS HUGEINT)) AS BIGINT) AS revenue_cents
+FROM p LEFT JOIN versions v
+  ON v.user_id = p.user_id
+ AND v.valid_from_ms <= p.p_ts AND p.p_ts <= v.valid_to_ms
+GROUP BY 1
+"""
+
+
+# --- cohort LTV curve --------------------------------------------------------
+# Revenue-based retention: users cohorted by first-seen 7-day epoch
+# bucket, purchase revenue accumulated by week-age. Epoch-week buckets
+# (floor(ms / 7d)) instead of calendar weeks — engine week-origin
+# semantics differ, epoch arithmetic doesn't. Cumulative LTV runs over
+# the calendar-bounded (cohort × age) grid.
+
+WEEK_MS = 7 * 86_400_000
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.expr(f"CAST(floor(min(ts_ms) / {WEEK_MS}) AS BIGINT)").alias("cohort_week")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .selectExpr(
+            "cohort_week",
+            f"CAST(floor(ts_ms / {WEEK_MS}) AS BIGINT) - cohort_week AS age_weeks",
+            "cents",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(
+            F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("week_revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    return (
+        rev.withColumn("cum_revenue_cents", F.sum("week_revenue_cents").over(w))
+        .join(F.broadcast(sized), "cohort_week")
+        .select("cohort_week", "age_weeks", "cohort_users",
+                "week_revenue_cents", "cum_revenue_cents")
+    )
+
+
+Q_COHORT_LTV_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), firsts AS (
+  SELECT user_id, CAST(floor(MIN(ts_ms) / {WEEK_MS}) AS BIGINT) AS cohort_week
+  FROM e GROUP BY user_id
+), rev AS (
+  SELECT f.cohort_week,
+         CAST(floor(e.ts_ms / {WEEK_MS}) AS BIGINT) - f.cohort_week AS age_weeks,
+         CAST(SUM(CAST(e.cents AS HUGEINT)) AS BIGINT) AS week_revenue_cents
+  FROM e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), sized AS (
+  SELECT cohort_week, COUNT(*) AS cohort_users FROM firsts GROUP BY 1
+)
+SELECT cohort_week, age_weeks, cohort_users, week_revenue_cents,
+       SUM(week_revenue_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_revenue_cents
+FROM rev JOIN sized USING (cohort_week)
+"""
+
+
+SPECS += [
+    QuerySpec("q_cep_not_followed_by", q_cep_not_followed_by, Q_NOT_FOLLOWED_ORACLE,
+              "CEP absence pattern: views NOT followed by purchase within 24h",
+              ("temporal", "cep")),
+    QuerySpec("q_temporal_table_join", q_temporal_table_join, Q_TEMPORAL_JOIN_ORACLE,
+              "point-in-time SCD2 dimension lookup per purchase (Flink temporal join)",
+              ("temporal", "join")),
+    QuerySpec("q_cohort_ltv", q_cohort_ltv, Q_COHORT_LTV_ORACLE,
+              "cumulative revenue LTV per first-seen epoch-week cohort",
+              ("analytics", "cohort")),
+]

@@ -144,6 +144,9 @@ HEADLINE = [
     "w8_count_window",
     "pipeline_loo_target_encoding",
     "q_attribution_last_touch",
+    "q_cep_not_followed_by",
+    "q_temporal_table_join",
+    "q_cohort_ltv",
 ]
 
 

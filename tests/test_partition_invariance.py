@@ -81,6 +81,9 @@ REPRESENTATIVES = [
     "mm_phash_dedup",
     # aligned IGNORE-NULLS carries + stale-lookback gate
     "q_attribution_last_touch",
+    # forward IGNORE-NULLS absence probe + range-residual temporal join
+    "q_cep_not_followed_by",
+    "q_temporal_table_join",
 ]
 
 
