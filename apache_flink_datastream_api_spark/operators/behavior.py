@@ -557,3 +557,68 @@ SPECS += [
               "top-3 brands by exact revenue with OTHER rollup and shares",
               ("analytics", "rank")),
 ]
+
+
+# --- chi-square independence test (event_type × weekday) --------------------
+# Is activity type independent of weekday? Pearson chi² over the full
+# R×C grid — INCLUDING zero cells (their term is E = R·C/N; dropping
+# them understates the statistic). Order-independence trick: each
+# cell's term is one IEEE expression over exact integers (identical on
+# both engines), ROUNDED to 6 decimals, then summed in DECIMAL — so a
+# 1000-way partitioned sum equals the single-threaded oracle exactly.
+# The grid is |types| × 7 — driver-scale however large the fact table.
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"CAST(pmod(CAST(floor(unix_millis(ts) / {DAY_MS}) AS BIGINT) + 3, 7) AS INT) AS dow",
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = rows.crossJoin(F.broadcast(cols)).crossJoin(F.broadcast(n))
+    cells = grid.join(obs, ["event_type", "dow"], "left").selectExpr(
+        "event_type", "dow", "r", "c", "n", "coalesce(o, 0) AS o"
+    )
+    term = (
+        "round(CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)), 6)"
+    )
+    return cells.selectExpr(
+        "event_type", "dow", f"CAST({term} AS DECIMAL(28,6)) AS t"
+    ).agg(
+        F.count("*").alias("n_cells"),
+        F.sum("t").cast("double").alias("chi2"),
+    )
+
+
+Q_CHI2_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch_ms(ts) / {DAY_MS}) AS BIGINT) + 3) % 7 AS INT) AS dow
+  FROM events
+), obs AS (
+  SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY 1, 2
+), r AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+c AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT r.event_type, c.dow, r.r, c.c, n.n, COALESCE(obs.o, 0) AS o
+  FROM r CROSS JOIN c CROSS JOIN n
+  LEFT JOIN obs ON obs.event_type = r.event_type AND obs.dow = c.dow
+), terms AS (
+  SELECT CAST(round(CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         AS DECIMAL(28,6)) AS t
+  FROM cells
+)
+SELECT COUNT(*) AS n_cells, CAST(SUM(t) AS DOUBLE) AS chi2 FROM terms
+"""
+
+
+SPECS += [
+    QuerySpec("q_chi2_independence", q_chi2_independence, Q_CHI2_ORACLE,
+              "Pearson chi-square over the full type×weekday grid, order-independent",
+              ("analytics", "stats")),
+]

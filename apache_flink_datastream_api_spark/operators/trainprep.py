@@ -725,3 +725,191 @@ SPECS += [
               "leakage-safe leave-one-out categorical target encoding, integer-exact",
               ("trainprep", "features")),
 ]
+
+
+# --- dataset freeze: shard manifest ------------------------------------------
+# The reproducibility artifact every frozen training set ships with: a
+# deterministic hash-shard assignment plus per-shard counts, byte
+# totals, and an order-independent XOR content checksum — enough to
+# verify any later re-materialization shard-by-shard without comparing
+# rows. One scan, one 16-group aggregate.
+
+MANIFEST_SHARDS = 16
+
+
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text",
+        "cast(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) as bigint)"
+        f" % {MANIFEST_SHARDS} AS shard",
+    )
+    return d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint))"
+        ).alias("content_checksum"),
+    )
+
+
+SHARD_MANIFEST_ORACLE = f"""
+SELECT {portable_hash64_sql("CAST(doc_id AS VARCHAR)")} % {MANIFEST_SHARDS} AS shard,
+       COUNT(*) AS n_docs, SUM(length(text)) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       bit_xor({portable_hash64_sql("text")}) AS content_checksum
+FROM documents GROUP BY 1
+"""
+
+
+# --- length-bucketed batching efficiency -------------------------------------
+# Why sequence buckets exist: a training batch pads every member to the
+# batch max, so batches drawn in HASH order waste far more tokens than
+# batches drawn in LENGTH order. Both arrangements are global ranks —
+# computed with the value-sharded two-pass distributed rank (the
+# q_revenue_gini machinery; hash ranks shard uniformly by construction)
+# — then batch_id = (rank-1) div B and the waste is an integer
+# aggregate. Output: one row per policy with exact padded/real token
+# counts; the oracle uses plain row_number (single-threaded engine).
+
+BATCH_SIZE = 32
+LEN_SHARD = 200          # chars per length shard
+HASH_SHARD = 1 << 55     # uniform hash shards
+
+
+def _global_rank(df: DataFrame, key: str, shard_expr: str):
+    """Two-pass sharded global rank by (key, doc_id): in-shard
+    row_number + broadcast prefix-sum of shard sizes."""
+    sharded = df.selectExpr("doc_id", "n", "k", f"{shard_expr} AS shard")
+    in_shard = Window.partitionBy("shard").orderBy(key, "doc_id")
+    local = sharded.withColumn("lr", F.row_number().over(in_shard))
+    shard_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        sharded.groupBy("shard").agg(F.count("*").alias("c"))
+        .withColumn("base", F.coalesce(F.sum("c").over(shard_w), F.lit(0)))
+        .select("shard", "base")
+    )
+    return local.join(F.broadcast(bases), "shard").selectExpr(
+        "doc_id", "n", "base + lr AS rnk"
+    )
+
+
+def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "length(text) AS n",
+        "cast(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) as bigint) AS h",
+    )
+    by_len = _global_rank(
+        d.selectExpr("doc_id", "n", "n AS k"), "k", f"k div {LEN_SHARD}"
+    ).withColumn("policy", F.lit("length_sorted"))
+    by_hash = _global_rank(
+        d.selectExpr("doc_id", "n", "h AS k"), "k", f"k div {HASH_SHARD}"
+    ).withColumn("policy", F.lit("hash_order"))
+    both = by_len.unionByName(by_hash).selectExpr(
+        "policy", "n", f"(rnk - 1) div {BATCH_SIZE} AS batch_id"
+    )
+    per_batch = both.groupBy("policy", "batch_id").agg(
+        F.count("*").alias("b_n"),
+        F.max("n").alias("b_max"),
+        F.sum(F.expr("CAST(n AS DECIMAL(18,0))")).cast("long").alias("b_sum"),
+    )
+    return per_batch.groupBy("policy").agg(
+        F.count("*").alias("n_batches"),
+        F.sum(F.expr("CAST(b_sum AS DECIMAL(18,0))")).cast("long").alias("real_tokens"),
+        F.sum(F.expr("CAST(b_max * b_n AS DECIMAL(18,0))")).cast("long").alias("padded_tokens"),
+    ).selectExpr(
+        "policy", "n_batches", "real_tokens", "padded_tokens",
+        "round((padded_tokens - real_tokens) / CAST(padded_tokens AS DOUBLE) * 100, 6)"
+        " AS waste_pct",
+    )
+
+
+LENGTH_BUCKETING_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS n,
+         {portable_hash64_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), ranked AS (
+  SELECT 'length_sorted' AS policy, n,
+         row_number() OVER (ORDER BY n, doc_id) AS rnk
+  FROM d
+  UNION ALL
+  SELECT 'hash_order', n, row_number() OVER (ORDER BY h, doc_id) FROM d
+), batched AS (
+  SELECT policy, n, (rnk - 1) // {BATCH_SIZE} AS batch_id FROM ranked
+), per_batch AS (
+  SELECT policy, batch_id, COUNT(*) AS b_n, MAX(n) AS b_max,
+         CAST(SUM(CAST(n AS HUGEINT)) AS BIGINT) AS b_sum
+  FROM batched GROUP BY 1, 2
+), agg AS (
+  SELECT policy, COUNT(*) AS n_batches,
+         CAST(SUM(CAST(b_sum AS HUGEINT)) AS BIGINT) AS real_tokens,
+         CAST(SUM(CAST(b_max * b_n AS HUGEINT)) AS BIGINT) AS padded_tokens
+  FROM per_batch GROUP BY 1
+)
+SELECT policy, n_batches, real_tokens, padded_tokens,
+       round((padded_tokens - real_tokens) / CAST(padded_tokens AS DOUBLE) * 100, 6)
+         AS waste_pct
+FROM agg
+"""
+
+
+# --- T5-style span-corruption masks ------------------------------------------
+# Denoising-objective prep: deterministic corruption spans per document,
+# one span per 20 whitespace tokens, start positions drawn from the
+# portable hash family keyed on (doc_id, span_idx). Pure map-side
+# generation (sequence + explode) — at 100 TB this runs at scan speed
+# with zero shuffles; the oracle regenerates the same arithmetic.
+
+SPAN_LEN = 3
+SPAN_EVERY = 20
+
+
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"size({X.tokens_spark('text')}) AS n_tokens"
+    ).where(F.col("n_tokens") > SPAN_LEN + SPAN_EVERY)
+    return d.selectExpr(
+        "doc_id", "n_tokens",
+        f"explode(sequence(0, n_tokens div {SPAN_EVERY} - 1)) AS span_idx",
+    ).selectExpr(
+        "doc_id", "n_tokens", "span_idx",
+        "cast(conv(substr(md5(concat(CAST(doc_id AS STRING), '#', CAST(span_idx AS STRING))), 1, 15), 16, 10) as bigint)"
+        f" % (n_tokens - {SPAN_LEN}) AS span_start",
+        f"{SPAN_LEN} AS span_len",
+    )
+
+
+SPAN_CORRUPTION_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len({X.tokens_duck('text')}) AS n_tokens FROM documents
+), eligible AS (
+  SELECT doc_id, n_tokens FROM d WHERE n_tokens > {SPAN_LEN + SPAN_EVERY}
+), spans AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(0, n_tokens // {SPAN_EVERY} - 1)) AS span_idx
+  FROM eligible
+)
+SELECT doc_id, n_tokens, span_idx,
+       {portable_hash64_sql("concat(CAST(doc_id AS VARCHAR), '#', CAST(span_idx AS VARCHAR))")}
+         % (n_tokens - {SPAN_LEN}) AS span_start,
+       {SPAN_LEN} AS span_len
+FROM spans
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_shard_manifest", pipeline_shard_manifest,
+              SHARD_MANIFEST_ORACLE,
+              "dataset-freeze shard manifest with XOR content checksums",
+              ("trainprep", "manifest")),
+    QuerySpec("pipeline_length_bucketing", pipeline_length_bucketing,
+              LENGTH_BUCKETING_ORACLE,
+              "padding-waste comparison: hash-order vs length-bucketed batches",
+              ("trainprep", "batching")),
+    QuerySpec("pipeline_span_corruption", pipeline_span_corruption,
+              SPAN_CORRUPTION_ORACLE,
+              "T5-style deterministic span-corruption mask generation",
+              ("trainprep", "masking")),
+]

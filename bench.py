@@ -147,6 +147,10 @@ HEADLINE = [
     "q_cep_not_followed_by",
     "q_temporal_table_join",
     "q_cohort_ltv",
+    "pipeline_shard_manifest",
+    "pipeline_length_bucketing",
+    "pipeline_span_corruption",
+    "q_chi2_independence",
 ]
 
 

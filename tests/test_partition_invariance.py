@@ -84,6 +84,10 @@ REPRESENTATIVES = [
     # forward IGNORE-NULLS absence probe + range-residual temporal join
     "q_cep_not_followed_by",
     "q_temporal_table_join",
+    # 4th user of the value-sharded rank, two policies in one plan
+    "pipeline_length_bucketing",
+    # rounded-term DECIMAL sum (the order-independent float trick itself)
+    "q_chi2_independence",
 ]
 
 
