@@ -622,3 +622,77 @@ SPECS += [
               "Pearson chi-square over the full type×weekday grid, order-independent",
               ("analytics", "stats")),
 ]
+
+
+# --- lag-1 autocorrelation of the daily revenue series ----------------------
+# Is today's event value predictive of tomorrow's? Pearson r between
+# consecutive-day totals, computed from exact integer sums (the
+# q_portable_stats moment machinery): the daily rollup is
+# calendar-bounded, pairs come from ONE lead() over it, and the final r
+# is a single IEEE composition over exact integers — identical on both
+# engines without tolerance.
+
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        f"unix_millis(ts) - pmod(unix_millis(ts), {DAY_MS}) AS day_ms",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    daily = ev.groupBy("day_ms").agg(
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("x")
+    )
+    w = Window.orderBy("day_ms")
+    pairs = (
+        daily.withColumn("y", F.lead("x").over(w))
+        .withColumn("next_day", F.lead("day_ms").over(w))
+        .where(F.col("next_day") == F.col("day_ms") + DAY_MS)
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(28,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(28,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(28,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(28,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(28,0)) * y")).alias("syy"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_pairs",
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+        " AS autocorr_r",
+    )
+
+
+Q_AUTOCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT x, lead(x) OVER (ORDER BY day_ms) AS y,
+         lead(day_ms) OVER (ORDER BY day_ms) AS next_day, day_ms
+  FROM daily
+  QUALIFY next_day = day_ms + {DAY_MS}
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS autocorr_r
+FROM m
+"""
+
+
+SPECS += [
+    QuerySpec("q_autocorr_daily", q_autocorr_daily, Q_AUTOCORR_ORACLE,
+              "lag-1 autocorrelation of daily revenue from exact integer moments",
+              ("analytics", "stats", "timeseries")),
+]

@@ -1110,3 +1110,60 @@ SPECS += [
               "null-safe dim join + NULL group keys + COUNT(col) semantics",
               ("relational", "join", "nulls")),
 ]
+
+
+# --- SQL-defined functions (scalar UDF + table function) --------------------
+# Spark 4's catalog-level SQL functions (CREATE FUNCTION ... RETURN):
+# reusable business logic that lives in the catalog, fully visible to
+# Catalyst (the body INLINES into the plan — zero UDF overhead, unlike
+# Python/Java UDFs). One scalar function (exact net-revenue units) and
+# one parameterized TABLE function (size-filtered parts) compose into a
+# join+agg; the oracle inlines both bodies by hand, so the hash match
+# proves the inlining is semantics-preserving.
+
+SQLFN_MIN_SIZE = 25
+
+
+def q_sql_udf_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_sqlfn_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sqlfn_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_units(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT "
+        "RETURN CAST(round(p * 100) AS BIGINT) * (100 - CAST(round(d * 100) AS BIGINT))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sized_parts(n INT) "
+        "RETURNS TABLE(p_partkey BIGINT, p_size INT) "
+        "RETURN SELECT p_partkey, p_size FROM _sqlfn_part WHERE p_size >= n"
+    )
+    return spark.sql(
+        f"""
+        SELECT p.p_size,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(net_units(l.l_extendedprice, l.l_discount)
+                             AS DECIMAL(28,0))) AS BIGINT) AS net_units_total
+        FROM _sqlfn_lineitem l
+        JOIN sized_parts({SQLFN_MIN_SIZE}) p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_size
+        """
+    )
+
+
+Q_SQL_UDF_TVF_ORACLE = f"""
+SELECT p.p_size, COUNT(*) AS n_items,
+       CAST(SUM(CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS HUGEINT))
+            AS BIGINT) AS net_units_total
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= {SQLFN_MIN_SIZE}
+GROUP BY p.p_size
+"""
+
+
+SPECS += [
+    QuerySpec("q_sql_udf_tvf", q_sql_udf_tvf, Q_SQL_UDF_TVF_ORACLE,
+              "catalog SQL scalar UDF + parameterized SQL table function, inlined by Catalyst",
+              ("relational", "spark4", "udf")),
+]

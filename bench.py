@@ -151,6 +151,8 @@ HEADLINE = [
     "pipeline_length_bucketing",
     "pipeline_span_corruption",
     "q_chi2_independence",
+    "q_sql_udf_tvf",
+    "q_autocorr_daily",
 ]
 
 
