@@ -14,6 +14,7 @@ Semantics notes vs the reference:
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -55,6 +56,16 @@ def to_kafka(df: DataFrame, topic: str, bootstrap_servers: str, checkpoint: str)
     )
 
 
+def _ephemeral_checkpoint() -> str:
+    """RAM-backed checkpoint dir for BOUNDED replays: the state store +
+    commit log of an availableNow run is scratch space that dies with
+    the result, so tmpfs (when present) removes disk fsyncs from every
+    micro-batch's state commit. Durable production queries pass their
+    own real checkpointLocation instead — never this."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="ckpt_", dir=base)
+
+
 def run_available_now(
     df: DataFrame, spark: SparkSession, mode: str = "update", timeout_s: int = 300
 ) -> DataFrame:
@@ -65,7 +76,7 @@ def run_available_now(
         df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _ephemeral_checkpoint())
         .trigger(availableNow=True)
         .start()
     )
