@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from .fixtures import BASE_TS, ENTITIES, OPERATIONS, USERS
+from ..streaming.sinks import _ephemeral_checkpoint
 
 _A, _C, _M = 1103515245, 12345, 2**31
 
@@ -231,7 +232,7 @@ def s3_generator_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_gen_"))
+        .option("checkpointLocation", _ephemeral_checkpoint())
         .trigger(processingTime="0 seconds")
         .start()
     )

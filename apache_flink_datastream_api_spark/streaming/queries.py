@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..registry import QuerySpec
 from ..sources.tables import load_table
-from .sinks import run_available_now
+from .sinks import _ephemeral_checkpoint, run_available_now
 from .state import interval_alerts, session_durations
 
 # Streaming file sources require an explicit schema. The driver's
@@ -539,7 +539,7 @@ def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(cap)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="late_ckpt_"))
+        .option("checkpointLocation", _ephemeral_checkpoint())
         .trigger(availableNow=True)
         .start()
     )
@@ -859,7 +859,7 @@ def s3_stateful_alert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         alerts.writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_s3x1_"))
+        .option("checkpointLocation", _ephemeral_checkpoint())
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -912,7 +912,7 @@ def statestore_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
     )
-    ckpt = _tf.mkdtemp(prefix="ckpt_statestore_")
+    ckpt = _ephemeral_checkpoint()
     name = f"ss_{_uuid.uuid4().hex[:12]}"
     q = (
         agg.writeStream.outputMode("complete")
