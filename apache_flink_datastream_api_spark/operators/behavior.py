@@ -696,3 +696,156 @@ SPECS += [
               "lag-1 autocorrelation of daily revenue from exact integer moments",
               ("analytics", "stats", "timeseries")),
 ]
+
+
+# --- audience overlap matrix (Jaccard between event-type audiences) ---------
+# "How much do my clickers overlap my buyers?" — pairwise Jaccard over
+# user sets WITHOUT a user-level self-join: each user folds to a 5-bit
+# membership mask (one shuffle), masks roll up to ≤ 2⁵ group counts
+# (driver-scale), and every pairwise intersection/union is integer
+# arithmetic over that tiny rollup. At 100 TB the fact table is
+# touched once, and nothing downstream depends on its size.
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events").selectExpr("user_id", "event_type")
+    bit = " + ".join(
+        f"shiftleft(CAST(max(CAST(event_type = '{t}' AS INT)) AS BIGINT), {i})"
+        for i, t in enumerate(types)
+    )
+    masks = ev.groupBy("user_id").agg(F.expr(bit).alias("mask"))
+    rollup = masks.groupBy("mask").agg(F.count("*").alias("n"))
+    pairs = []
+    for i, a in enumerate(types):
+        for j in range(i + 1, len(types)):
+            b = types[j]
+            pairs.append(
+                f"named_struct('type_a', '{a}', 'type_b', '{b}',"
+                f" 'in_a', CAST((shiftright(mask, {i}) & 1) = 1 AS INT),"
+                f" 'in_b', CAST((shiftright(mask, {j}) & 1) = 1 AS INT))"
+            )
+    exploded = rollup.selectExpr("n", f"explode(array({', '.join(pairs)})) AS p")
+    return (
+        exploded.selectExpr("p.type_a", "p.type_b", "n", "p.in_a", "p.in_b")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.expr("n * in_a * in_b")).alias("n_both"),
+            F.sum(F.expr("n * CAST(in_a + in_b > 0 AS INT)")).alias("n_either"),
+        )
+        .selectExpr(
+            "type_a", "type_b", "n_both", "n_either",
+            "n_both * 1000 div n_either AS jaccard_milli",
+        )
+    )
+
+
+Q_AUDIENCE_ORACLE = """
+WITH masks AS (
+  SELECT user_id,
+         (CAST(MAX(CAST(event_type = 'click' AS INT)) AS BIGINT) << 0)
+       + (CAST(MAX(CAST(event_type = 'error' AS INT)) AS BIGINT) << 1)
+       + (CAST(MAX(CAST(event_type = 'purchase' AS INT)) AS BIGINT) << 2)
+       + (CAST(MAX(CAST(event_type = 'signup' AS INT)) AS BIGINT) << 3)
+       + (CAST(MAX(CAST(event_type = 'view' AS INT)) AS BIGINT) << 4) AS mask
+  FROM events GROUP BY user_id
+), rollup AS (
+  SELECT mask, COUNT(*) AS n FROM masks GROUP BY mask
+), types(t, i) AS (
+  VALUES ('click', 0), ('error', 1), ('purchase', 2), ('signup', 3), ('view', 4)
+), pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, a.i AS ia, b.i AS ib
+  FROM types a JOIN types b ON a.i < b.i
+), cells AS (
+  SELECT p.type_a, p.type_b, r.n,
+         CAST((r.mask >> p.ia) & 1 = 1 AS INT) AS in_a,
+         CAST((r.mask >> p.ib) & 1 = 1 AS INT) AS in_b
+  FROM pairs p CROSS JOIN rollup r
+)
+SELECT type_a, type_b,
+       SUM(n * in_a * in_b) AS n_both,
+       SUM(n * CAST(in_a + in_b > 0 AS INT)) AS n_either,
+       SUM(n * in_a * in_b) * 1000 // SUM(n * CAST(in_a + in_b > 0 AS INT))
+         AS jaccard_milli
+FROM cells GROUP BY 1, 2
+"""
+
+
+# --- single-event-session bounce rate ---------------------------------------
+# Classic web-analytics KPI on the gap-sessionization machinery: a
+# session with exactly one event is a bounce. One lag pass builds
+# session ids, one aggregate sizes them, the daily rollup is
+# calendar-bounded. 30-minute gap (industry default).
+
+BOUNCE_GAP_MS = 30 * 60 * 1000
+
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > BOUNCE_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+    )
+    return (
+        per_session.selectExpr(
+            f"start_ms - pmod(start_ms, {DAY_MS}) AS day_ms",
+            "CAST(n_events = 1 AS INT) AS bounced",
+        )
+        .groupBy("day_ms")
+        .agg(F.count("*").alias("n_sessions"), F.sum("bounced").alias("n_bounces"))
+        .selectExpr(
+            "day_ms", "n_sessions", "n_bounces",
+            "n_bounces * 1000 div n_sessions AS bounce_milli",
+        )
+    )
+
+
+Q_BOUNCE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+), flagged AS (
+  SELECT user_id, ts_ms, event_id,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                OR ts_ms - lag(ts_ms) OVER w > {BOUNCE_GAP_MS}
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), sess AS (
+  SELECT user_id, ts_ms,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts_ms) AS start_ms
+  FROM sess GROUP BY 1, 2
+), daily AS (
+  SELECT start_ms - start_ms % {DAY_MS} AS day_ms,
+         CAST(n_events = 1 AS INT) AS bounced
+  FROM per_session
+)
+SELECT day_ms, COUNT(*) AS n_sessions, SUM(bounced) AS n_bounces,
+       SUM(bounced) * 1000 // COUNT(*) AS bounce_milli
+FROM daily GROUP BY day_ms
+"""
+
+
+SPECS += [
+    QuerySpec("q_audience_overlap", q_audience_overlap, Q_AUDIENCE_ORACLE,
+              "pairwise audience Jaccard via bitmask rollup — no user self-join",
+              ("analytics", "overlap")),
+    QuerySpec("q_bounce_rate", q_bounce_rate, Q_BOUNCE_ORACLE,
+              "daily single-event-session bounce rate on gap sessionization",
+              ("analytics", "clickstream")),
+]

@@ -733,3 +733,94 @@ SPECS += [
               "Zipf rank-frequency law table over the corpus vocabulary",
               ("text", "diagnostics")),
 ]
+
+
+# --- collocation mining by integer lift --------------------------------------
+# Which word bigrams co-occur far more than chance? PMI needs log; LIFT
+# doesn't: lift(x,y) = P(xy) / (P(x)·P(y)) = (c_xy·N_uni²) / (N_bi·c_x·c_y)
+# — a ratio of exact integers, emitted as floor-scaled milli-lift so
+# the ranking never touches accumulated floats. Bigrams from one
+# aligned zip of the token array with its tail (map-side); unigram and
+# bigram count tables join back by term. Min-count floor keeps the
+# rare-pair noise (lift explodes as counts → 1) out of the top-k.
+
+COLLOC_MIN_COUNT = 20
+COLLOC_TOP = 30
+
+
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    toks = docs.select(F.expr(TOKS_S).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    bi = (
+        toks.where(F.expr("size(t) >= 2"))
+        .selectExpr(
+            "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> struct(a AS w1, b AS w2))) AS p"
+        )
+        .selectExpr("p.w1 AS w1", "p.w2 AS w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
+    scored = (
+        bi.where(F.col("c_xy") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(uni.selectExpr("w AS w1", "c AS c_x")), "w1")
+        .join(F.broadcast(uni.selectExpr("w AS w2", "c AS c_y")), "w2")
+        .crossJoin(F.broadcast(n_uni)).crossJoin(F.broadcast(n_bi))
+        .selectExpr(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            "CAST(c_xy AS DECIMAL(38,0)) * n_uni * n_uni * 1000"
+            " div (CAST(n_bi AS DECIMAL(38,0)) * c_x * c_y) AS lift_milli",
+        )
+    )
+    w = Window.orderBy(F.desc("lift_milli"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= COLLOC_TOP)
+        .selectExpr("rank", "w1", "w2", "c_xy", "CAST(lift_milli AS BIGINT) AS lift_milli")
+    )
+
+
+TEXT_COLLOC_ORACLE = f"""
+WITH toks AS (
+  SELECT {TOKS_D} AS t FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), bi AS (
+  SELECT p.w1, p.w2, COUNT(*) AS c_xy FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY 1, 2
+), n1 AS (SELECT SUM(c) AS n_uni FROM uni),
+n2 AS (SELECT SUM(c_xy) AS n_bi FROM bi),
+scored AS (
+  SELECT b.w1, b.w2, b.c_xy,
+         CAST(CAST(b.c_xy AS HUGEINT) * n_uni * n_uni * 1000
+              // (CAST(n_bi AS HUGEINT) * x.c * y.c) AS BIGINT) AS lift_milli
+  FROM bi b
+  JOIN uni x ON x.w = b.w1
+  JOIN uni y ON y.w = b.w2
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE b.c_xy >= {COLLOC_MIN_COUNT}
+)
+SELECT rank, w1, w2, c_xy, lift_milli FROM (
+  SELECT *, row_number() OVER (ORDER BY lift_milli DESC, w1, w2) AS rank
+  FROM scored
+) WHERE rank <= {COLLOC_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("text_collocations_lift", text_collocations_lift, TEXT_COLLOC_ORACLE,
+              "top bigram collocations by integer-exact lift (log-free PMI analog)",
+              ("text", "collocations")),
+]

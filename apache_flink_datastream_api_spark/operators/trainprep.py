@@ -913,3 +913,65 @@ SPECS += [
               "T5-style deterministic span-corruption mask generation",
               ("trainprep", "masking")),
 ]
+
+
+# --- deterministic median imputation -----------------------------------------
+# Feature-prep null handling: every IMPUTE_MOD-th reading is knocked out
+# deterministically (the corruption device from json_corrupt_handling),
+# then refilled with its event-type's median over the SURVIVING values.
+# The median is floored to integer cents (decile-binning boundary rule)
+# so imputed cells are never engine-float artifacts; output pins both
+# populations (observed vs imputed) per type.
+
+IMPUTE_MOD = 7
+
+
+def pipeline_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "event_type",
+        f"CASE WHEN event_id % {IMPUTE_MOD} = 0 THEN NULL"
+        " ELSE CAST(round(value * 100) AS BIGINT) END AS cents",
+    )
+    med = ev.where(F.col("cents").isNotNull()).groupBy("event_type").agg(
+        F.expr("CAST(floor(percentile(cents, 0.5)) AS BIGINT)").alias("median_cents")
+    )
+    filled = ev.join(F.broadcast(med), "event_type").selectExpr(
+        "event_type",
+        "CAST(cents IS NULL AS INT) AS imputed",
+        "coalesce(cents, median_cents) AS filled_cents",
+    )
+    return filled.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("imputed").alias("n_imputed"),
+        F.sum(F.expr("CAST(filled_cents AS DECIMAL(18,0))")).cast("long").alias("sum_cents"),
+        F.min("filled_cents").alias("min_cents"),
+    )
+
+
+MEDIAN_IMPUTE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % {IMPUTE_MOD} = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM events
+), med AS (
+  SELECT event_type, CAST(floor(quantile_cont(cents, 0.5)) AS BIGINT) AS median_cents
+  FROM ev WHERE cents IS NOT NULL GROUP BY event_type
+), filled AS (
+  SELECT ev.event_type, CAST(ev.cents IS NULL AS INT) AS imputed,
+         COALESCE(ev.cents, med.median_cents) AS filled_cents
+  FROM ev JOIN med USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n, SUM(imputed) AS n_imputed,
+       CAST(SUM(CAST(filled_cents AS HUGEINT)) AS BIGINT) AS sum_cents,
+       MIN(filled_cents) AS min_cents
+FROM filled GROUP BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_median_impute", pipeline_median_impute,
+              MEDIAN_IMPUTE_ORACLE,
+              "deterministic knockout + per-type floored-median imputation",
+              ("trainprep", "features")),
+]

@@ -153,6 +153,10 @@ HEADLINE = [
     "q_chi2_independence",
     "q_sql_udf_tvf",
     "q_autocorr_daily",
+    "text_collocations_lift",
+    "q_audience_overlap",
+    "q_bounce_rate",
+    "pipeline_median_impute",
 ]
 
 

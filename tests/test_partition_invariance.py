@@ -88,6 +88,8 @@ REPRESENTATIVES = [
     "pipeline_length_bucketing",
     # rounded-term DECIMAL sum (the order-independent float trick itself)
     "q_chi2_independence",
+    # bigram zip + integer-lift ranking over the aggregated vocab
+    "text_collocations_lift",
 ]
 
 
