@@ -575,3 +575,60 @@ SPECS += [
               "raw text-line write → read.text → positional parse (S1/P1 analog)",
               ("io", "source")),
 ]
+
+
+# --- small-file compaction (table maintenance) ------------------------------
+# The small-files problem: a fragmented write (64 shards of a small
+# slice) is rewritten into COMPACT_TARGET files and read back. The
+# result pins BOTH properties: file count recovered from
+# _metadata.file_path (exactly COMPACT_TARGET — repartition controls
+# output sharding) and a content checksum over the surviving rows (the
+# rewrite lost/duplicated nothing). At 100 TB this is the scheduled
+# compaction job every table format runs; here it's plain parquet +
+# repartition, the mechanism underneath them all.
+
+COMPACT_LIMIT = 5000
+COMPACT_TARGET = 4
+
+
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < COMPACT_LIMIT)
+        .selectExpr("event_id", "user_id", "event_type", "unix_millis(ts) AS ts_ms")
+    )
+    frag_dir = os.path.join(tempfile.mkdtemp(prefix="compact_"), "frag")
+    src.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    compact_dir = os.path.join(os.path.dirname(frag_dir), "compact")
+    spark.read.parquet(frag_dir).repartition(COMPACT_TARGET).write.mode(
+        "overwrite"
+    ).parquet(compact_dir)
+
+    back = spark.read.parquet(compact_dir)
+    return back.select(
+        "*", F.col("_metadata.file_path").alias("fp")
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("fp").alias("n_files_touched"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(concat_ws('|', event_id, user_id, ts_ms)), 1, 15), 16, 10) as bigint))"
+        ).alias("content_checksum"),
+    )
+
+
+COMPACT_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_rows,
+       {COMPACT_TARGET} AS n_files_touched,
+       bit_xor(CAST(concat('0x', substr(md5(concat_ws('|', event_id, user_id,
+                    epoch_ms(ts))), 1, 15)) AS BIGINT)) AS content_checksum
+FROM events WHERE event_id < {COMPACT_LIMIT}
+GROUP BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec("maintenance_compact", maintenance_compact, COMPACT_ORACLE,
+              "small-file compaction rewrite, file count + content checksum pinned",
+              ("io", "maintenance")),
+]

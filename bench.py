@@ -157,6 +157,7 @@ HEADLINE = [
     "q_audience_overlap",
     "q_bounce_rate",
     "pipeline_median_impute",
+    "maintenance_compact",
 ]
 
 

@@ -395,3 +395,14 @@ def test_registry_wide_plan_hygiene(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             violations.append(f"{name}: unallowlisted BroadcastNestedLoopJoin")
     assert not violations, "\n".join(violations)
+
+
+def test_decile_binning_has_no_percentile_buffer(spark):
+    """Regression pin for the exact_quantiles rewrite: the decile plan
+    must contain NO percentile aggregate (whose buffer sorts the whole
+    column in one aggregation state) — boundaries fold in as literals."""
+    from apache_flink_datastream_api_spark.operators.analytics import q_decile_binning
+    from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+    plan = explain_string(q_decile_binning(spark, SF_DIR), "simple")
+    assert "percentile" not in plan.lower(), plan
