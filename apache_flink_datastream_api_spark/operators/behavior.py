@@ -849,3 +849,122 @@ SPECS += [
               "daily single-event-session bounce rate on gap sessionization",
               ("analytics", "clickstream")),
 ]
+
+
+# --- signup → first-purchase activation -------------------------------------
+# The activation-funnel latency readout: of users whose first event
+# window contains a signup, how many purchase within 72 h, and how fast?
+# Per-user firsts are conditional MINs (one shuffle); the
+# purchase-after-signup constraint needs the signup time next to each
+# purchase, i.e. one keyed equi-join of two rollups — never a row-level
+# self-join of the fact table. Median delay is floored to integer ms.
+
+ACTIVATION_WINDOW_MS = 72 * 3600 * 1000
+
+
+def q_signup_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms"
+    )
+    signups = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts_ms").alias("signup_ms")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ms"
+    )
+    first_after = (
+        purchases.join(signups, "user_id")
+        .where(F.col("ts_ms") >= F.col("signup_ms"))
+        .groupBy("user_id", "signup_ms")
+        .agg(F.min("ts_ms").alias("first_purchase_ms"))
+        .selectExpr("user_id", "first_purchase_ms - signup_ms AS delay_ms")
+    )
+    joined = signups.join(first_after, "user_id", "left")
+    return joined.agg(
+        F.count("*").alias("n_signup_users"),
+        F.sum(F.expr("CAST(delay_ms IS NOT NULL AS INT)")).alias("n_converted"),
+        F.sum(
+            F.expr(f"CAST(delay_ms <= {ACTIVATION_WINDOW_MS} AS INT)")
+        ).alias("n_converted_72h"),
+        F.expr("CAST(floor(percentile(delay_ms, 0.5)) AS BIGINT)").alias("median_delay_ms"),
+        F.min("delay_ms").alias("min_delay_ms"),
+    ).selectExpr(
+        "n_signup_users", "n_converted", "n_converted_72h",
+        "n_converted_72h * 1000 div n_signup_users AS conversion_72h_milli",
+        "median_delay_ms", "min_delay_ms",
+    )
+
+
+Q_ACTIVATION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), signups AS (
+  SELECT user_id, MIN(ts_ms) AS signup_ms FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+), first_after AS (
+  SELECT p.user_id, MIN(p.ts_ms) - s.signup_ms AS delay_ms
+  FROM e p JOIN signups s USING (user_id)
+  WHERE p.event_type = 'purchase' AND p.ts_ms >= s.signup_ms
+  GROUP BY p.user_id, s.signup_ms
+), joined AS (
+  SELECT s.user_id, f.delay_ms FROM signups s
+  LEFT JOIN first_after f USING (user_id)
+)
+SELECT COUNT(*) AS n_signup_users,
+       SUM(CAST(delay_ms IS NOT NULL AS INT)) AS n_converted,
+       SUM(CAST(delay_ms <= {ACTIVATION_WINDOW_MS} AS INT)) AS n_converted_72h,
+       SUM(CAST(delay_ms <= {ACTIVATION_WINDOW_MS} AS INT)) * 1000 // COUNT(*)
+         AS conversion_72h_milli,
+       CAST(floor(quantile_cont(delay_ms, 0.5)) AS BIGINT) AS median_delay_ms,
+       MIN(delay_ms) AS min_delay_ms
+FROM joined
+"""
+
+
+# --- hour-of-day seasonality index ------------------------------------------
+# Per hour 0-23: activity count, exact value cents, and a seasonality
+# index (share of revenue × 24, milli-scaled: 1000 = perfectly flat).
+# One 24-key aggregate; the index divides two exact integers.
+
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "CAST(floor(pmod(unix_millis(ts), 86400000) / 3600000) AS INT) AS hour",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    hourly = ev.groupBy("hour").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("cents"),
+    )
+    total = Window.partitionBy()
+    return hourly.withColumn(
+        "total_cents", F.sum("cents").over(total)
+    ).selectExpr(
+        "hour", "n_events", "cents",
+        # BIGINT div BIGINT: exact floor for the positive operands here
+        # (cents*24000 fits a long through ~4e14 total cents; beyond
+        # that, lift both sides to DECIMAL div)
+        "cents * 24000 div total_cents AS season_milli",
+    )
+
+
+Q_SEASONALITY_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(floor((epoch_ms(ts) % 86400000) / 3600000) AS INT) AS hour,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+)
+SELECT hour, n_events, cents,
+       CAST(cents * 24000 // SUM(cents) OVER () AS BIGINT) AS season_milli
+FROM hourly
+"""
+
+
+SPECS += [
+    QuerySpec("q_signup_activation", q_signup_activation, Q_ACTIVATION_ORACLE,
+              "signup→purchase 72h activation rate + floored median delay",
+              ("analytics", "funnel")),
+    QuerySpec("q_seasonality_index", q_seasonality_index, Q_SEASONALITY_ORACLE,
+              "hour-of-day revenue seasonality index from exact integer shares",
+              ("analytics", "timeseries")),
+]

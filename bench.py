@@ -158,6 +158,8 @@ HEADLINE = [
     "q_bounce_rate",
     "pipeline_median_impute",
     "maintenance_compact",
+    "q_signup_activation",
+    "q_seasonality_index",
 ]
 
 
