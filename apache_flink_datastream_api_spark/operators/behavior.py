@@ -968,3 +968,117 @@ SPECS += [
               "hour-of-day revenue seasonality index from exact integer shares",
               ("analytics", "timeseries")),
 ]
+
+
+# --- order backlog over time -------------------------------------------------
+# Operational WIP metric: orders placed minus orders fully shipped,
+# cumulatively per day. "Fully shipped" = the order's LAST lineitem
+# shipdate. Two daily delta streams (+placed, −shipped) union into one
+# calendar-bounded series; the running sum is over ≤ |days| rows.
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(floor(unix_millis(o_orderdate) / 86400000) AS BIGINT) AS placed_day",
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.expr(
+            "CAST(floor(unix_millis(max(l_shipdate)) / 86400000) AS BIGINT)"
+        ).alias("shipped_day"))
+    )
+    deltas = (
+        o.selectExpr("placed_day AS day", "1 AS d")
+        .unionByName(
+            o.join(shipped, o.o_orderkey == shipped.l_orderkey)
+            .selectExpr("shipped_day AS day", "-1 AS d")
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.expr("day * 86400000").alias("day_ms"),
+        "delta",
+        F.sum("delta").over(w).alias("backlog"),
+    )
+
+
+Q_BACKLOG_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(epoch_ms(o_orderdate) / 86400000) AS BIGINT) AS placed_day
+  FROM orders
+), shipped AS (
+  SELECT l_orderkey,
+         CAST(floor(epoch_ms(MAX(l_shipdate)) / 86400000) AS BIGINT) AS shipped_day
+  FROM lineitem GROUP BY l_orderkey
+), deltas AS (
+  SELECT day, SUM(d) AS delta FROM (
+    SELECT placed_day AS day, 1 AS d FROM o
+    UNION ALL
+    SELECT s.shipped_day, -1 FROM o JOIN shipped s ON o.o_orderkey = s.l_orderkey
+  ) GROUP BY day
+)
+SELECT day * 86400000 AS day_ms, delta,
+       SUM(delta) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+FROM deltas
+"""
+
+
+# --- duplicate-payment audit -------------------------------------------------
+# Fraud/ops screen: same customer, same $1000 amount band, within a
+# year — the double-charge / split-invoice signature. The self-join
+# keys on (custkey, amount-band) — an EQUI join whose groups are tiny
+# by nature — with the day window as a residual; no unkeyed pair scan
+# anywhere.
+
+DUP_PAY_WINDOW_DAYS = 365
+DUP_PAY_BAND_CENTS = 100_000
+
+
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_custkey",
+        f"CAST(round(o_totalprice * 100) AS BIGINT) div {DUP_PAY_BAND_CENTS} AS band",
+        "CAST(floor(unix_millis(o_orderdate) / 86400000) AS BIGINT) AS day",
+    )
+    a = o.selectExpr("o_custkey", "band", "o_orderkey AS ok_a", "day AS day_a")
+    b = o.selectExpr("o_custkey", "band", "o_orderkey AS ok_b", "day AS day_b")
+    return (
+        a.join(b, ["o_custkey", "band"])
+        .where(
+            (F.col("ok_a") < F.col("ok_b"))
+            & (F.expr(f"abs(day_a - day_b) <= {DUP_PAY_WINDOW_DAYS}"))
+        )
+        .select("o_custkey", "band", "ok_a", "ok_b",
+                F.expr("abs(day_a - day_b)").alias("days_apart"))
+    )
+
+
+Q_DUP_PAY_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS band,
+         CAST(floor(epoch_ms(o_orderdate) / 86400000) AS BIGINT) AS day
+  FROM orders
+)
+SELECT a.o_custkey, a.band, a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+       abs(a.day - b.day) AS days_apart
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.band = b.band
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(a.day - b.day) <= {DUP_PAY_WINDOW_DAYS}
+"""
+
+
+SPECS += [
+    QuerySpec("q_order_backlog", q_order_backlog, Q_BACKLOG_ORACLE,
+              "cumulative placed-minus-shipped order backlog per day",
+              ("analytics", "ops")),
+    QuerySpec("q_duplicate_payments", q_duplicate_payments, Q_DUP_PAY_ORACLE,
+              "double-charge signature: same (customer, amount band) within a year",
+              ("analytics", "audit")),
+]

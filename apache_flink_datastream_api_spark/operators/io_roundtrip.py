@@ -632,3 +632,47 @@ SPECS += [
               "small-file compaction rewrite, file count + content checksum pinned",
               ("io", "maintenance")),
 ]
+
+
+# --- corrupt-file-resilient scan --------------------------------------------
+# At 100 TB some file in the lake is ALWAYS broken. A fleet of good
+# parquet shards plus one deliberately garbage ".parquet" must still
+# scan: ``ignoreCorruptFiles`` (reader option, no session mutation)
+# skips the bad file and the aggregate covers exactly the good rows.
+# Without the option the same scan throws — pinned in tests.
+
+CORRUPT_SCAN_LIMIT = 3000
+
+
+def corrupt_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < CORRUPT_SCAN_LIMIT)
+        .selectExpr("event_id", "event_type", "unix_millis(ts) AS ts_ms")
+    )
+    d = os.path.join(tempfile.mkdtemp(prefix="corrupt_scan_"), "data")
+    src.repartition(4).write.mode("overwrite").parquet(d)
+    with open(os.path.join(d, "part-junk.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet file payload \x00\x01\x02")
+
+    back = spark.read.option("ignoreCorruptFiles", "true").parquet(d)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.min("ts_ms").alias("first_ts_ms"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
+CORRUPT_SCAN_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_rows,
+       MIN(epoch_ms(ts)) AS first_ts_ms, MAX(epoch_ms(ts)) AS last_ts_ms
+FROM events WHERE event_id < {CORRUPT_SCAN_LIMIT}
+GROUP BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec("corrupt_file_scan", corrupt_file_scan, CORRUPT_SCAN_ORACLE,
+              "ignoreCorruptFiles scan survives a garbage shard, rows pinned",
+              ("io", "resilience")),
+]

@@ -160,6 +160,9 @@ HEADLINE = [
     "maintenance_compact",
     "q_signup_activation",
     "q_seasonality_index",
+    "corrupt_file_scan",
+    "q_order_backlog",
+    "q_duplicate_payments",
 ]
 
 
