@@ -1082,3 +1082,112 @@ SPECS += [
               "double-charge signature: same (customer, amount band) within a year",
               ("analytics", "audit")),
 ]
+
+
+# --- nonparametric A/B tests: Mann-Whitney U + Kolmogorov-Smirnov -----------
+# Do 'click' and 'purchase' event values come from the same
+# distribution? Both classic tests reduce to running sums over the
+# DISTINCT-value rollup, so both are integer-exact:
+#   2·R_A = Σ_v c_a(v) · (2·less(v) + c_a(v) + c_b(v) + 1)   (avg-tie ranks ×2)
+#   2·U_A = 2·R_A − n_a·(n_a+1)
+#   KS    = max_v |F_a(v) − F_b(v)| = max |cumA·n_b − cumB·n_a| / (n_a·n_b)
+# The running sums use the value-sharded two-pass prefix sum (5th user
+# of the house machinery) — the distinct-value domain never funnels
+# through one partition. Output is one row of exact integers plus a
+# floor-scaled KS.
+
+MW_SHARD_CENTS = 2_000
+
+
+def q_rank_tests_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).selectExpr(
+        "CAST(round(value * 100) AS BIGINT) AS v",
+        "CAST(event_type = 'click' AS INT) AS is_a",
+    )
+    g = ev.groupBy("v").agg(
+        F.sum("is_a").alias("c_a"),
+        F.sum(F.expr("1 - is_a")).alias("c_b"),
+    ).selectExpr("v", "c_a", "c_b", f"v div {MW_SHARD_CENTS} AS shard")
+    in_shard = Window.partitionBy("shard").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = g.select(
+        "*",
+        F.sum("c_a").over(in_shard).alias("la"),
+        F.sum("c_b").over(in_shard).alias("lb"),
+    )
+    shard_w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        g.groupBy("shard").agg(F.sum("c_a").alias("sa"), F.sum("c_b").alias("sb"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("sa").over(shard_w), F.lit(0)).alias("base_a"),
+            F.coalesce(F.sum("sb").over(shard_w), F.lit(0)).alias("base_b"),
+        )
+    )
+    cum = local.join(F.broadcast(bases), "shard").selectExpr(
+        "c_a", "c_b",
+        "base_a + la AS cum_a",          # inclusive
+        "base_b + lb AS cum_b",
+        "base_a + la - c_a AS less_a",   # strictly below v
+        "base_b + lb - c_b AS less_b",
+    )
+    return (
+        cum.crossJoin(
+            F.broadcast(cum.agg(
+                F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+            ))
+        )
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(F.expr(
+                "CAST(c_a AS DECIMAL(28,0)) * (2 * (less_a + less_b) + c_a + c_b + 1)"
+            )).cast("long").alias("r2a"),
+            F.max(F.expr(
+                "abs(CAST(cum_a AS DECIMAL(28,0)) * n_b - CAST(cum_b AS DECIMAL(28,0)) * n_a)"
+            )).cast("long").alias("ks_num"),
+        )
+        .selectExpr(
+            "n_a", "n_b",
+            "r2a - n_a * (n_a + 1) AS u2_a",
+            "ks_num",
+            "ks_num * 1000 div (n_a * n_b) AS ks_milli",
+        )
+    )
+
+
+Q_RANK_TESTS_ORACLE = """
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(event_type = 'click' AS INT) AS is_a
+  FROM events WHERE event_type IN ('click', 'purchase')
+), g AS (
+  SELECT v, SUM(is_a) AS c_a, SUM(1 - is_a) AS c_b FROM ev GROUP BY v
+), cum AS (
+  SELECT c_a, c_b,
+         SUM(c_a) OVER w AS cum_a, SUM(c_b) OVER w AS cum_b,
+         SUM(c_a) OVER w - c_a AS less_a, SUM(c_b) OVER w - c_b AS less_b
+  FROM g WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), n AS (
+  SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM g
+)
+SELECT n_a, n_b,
+       CAST(SUM(CAST(c_a AS HUGEINT) * (2 * (less_a + less_b) + c_a + c_b + 1))
+            AS BIGINT) - n_a * (n_a + 1) AS u2_a,
+       CAST(MAX(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
+            AS BIGINT) AS ks_num,
+       CAST(MAX(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
+            AS BIGINT) * 1000 // (n_a * n_b) AS ks_milli
+FROM cum, n
+GROUP BY n_a, n_b
+"""
+
+
+SPECS += [
+    QuerySpec("q_rank_tests_ab", q_rank_tests_ab, Q_RANK_TESTS_ORACLE,
+              "integer-exact Mann-Whitney U + KS statistic via sharded rank sums",
+              ("analytics", "stats", "rank")),
+]

@@ -163,6 +163,7 @@ HEADLINE = [
     "corrupt_file_scan",
     "q_order_backlog",
     "q_duplicate_payments",
+    "q_rank_tests_ab",
 ]
 
 

@@ -90,6 +90,8 @@ REPRESENTATIVES = [
     "q_chi2_independence",
     # bigram zip + integer-lift ranking over the aggregated vocab
     "text_collocations_lift",
+    # 5th sharded-rank user: tie-averaged rank sums + KS cross-products
+    "q_rank_tests_ab",
 ]
 
 
