@@ -1191,3 +1191,139 @@ SPECS += [
               "integer-exact Mann-Whitney U + KS statistic via sharded rank sums",
               ("analytics", "stats", "rank")),
 ]
+
+
+# --- CUSUM changepoint detection ---------------------------------------------
+# Where did the daily revenue level shift? The CUSUM statistic
+# S_t = Σ_{i≤t}(x_i − mean) peaks at the changepoint. Kept integer:
+# scale by n — T_t = Σ_{i≤t}(n·x_i − total) — so the argmax day and
+# peak magnitude are exact; only the reported magnitude divides at the
+# end. Daily series is calendar-bounded → the running sum is safe.
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        f"unix_millis(ts) - pmod(unix_millis(ts), {DAY_MS}) AS day_ms",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    daily = ev.groupBy("day_ms").agg(
+        F.sum(F.expr("CAST(cents AS DECIMAL(18,0))")).cast("long").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(28,0))")).cast("long").alias("t"),
+    )
+    w = Window.orderBy("day_ms").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("s", F.sum(F.expr("CAST(n AS DECIMAL(28,0)) * x - t")).over(w))
+    )
+    best = Window.orderBy(F.desc(F.abs(F.col("s"))), "day_ms")
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .where(F.col("rk") == 1)
+        .selectExpr(
+            "day_ms AS changepoint_day_ms",
+            "CAST(s AS BIGINT) AS cusum_scaled",
+            "CAST(abs(s) div n AS BIGINT) AS cusum_cents",
+            "n AS n_days",
+        )
+    )
+
+
+Q_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(CAST(x AS HUGEINT)) AS BIGINT) AS t FROM daily
+), scored AS (
+  SELECT day_ms,
+         SUM(CAST(n AS HUGEINT) * x - t)
+           OVER (ORDER BY day_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         n
+  FROM daily CROSS JOIN tot
+)
+SELECT day_ms AS changepoint_day_ms,
+       CAST(s AS BIGINT) AS cusum_scaled,
+       CAST(abs(s) // n AS BIGINT) AS cusum_cents,
+       n AS n_days
+FROM scored
+ORDER BY abs(s) DESC, day_ms LIMIT 1
+"""
+
+
+# --- weighted median (quantity-weighted price) -------------------------------
+# The value at which HALF THE WEIGHT sits on each side — here the
+# quantity-weighted median lineitem price. Same value-sharded prefix
+# machinery (6th user): per-shard weight subtotals locate the crossing
+# shard driver-side; one filtered in-shard cumulative pass finds the
+# first price whose inclusive cumulative weight reaches ceil(W/2).
+# Everything integer; no global sort of the fact table.
+
+WM_SHARD_CENTS = 1 << 16
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(l_quantity AS BIGINT) AS qty",
+    )
+    g = li.groupBy("cents").agg(F.sum("qty").alias("w")).selectExpr(
+        "cents", "w", f"cents div {WM_SHARD_CENTS} AS shard"
+    )
+    shard_tot = sorted(
+        (r.shard, r.sw)
+        for r in g.groupBy("shard").agg(F.sum("w").alias("sw")).collect()
+    )
+    total_w = sum(sw for _, sw in shard_tot)
+    half = (total_w + 1) // 2  # ceil(W/2): first value reaching half the weight
+    run = 0
+    target_shard, base = None, 0
+    for s, sw in shard_tot:
+        if run + sw >= half:
+            target_shard, base = s, run
+            break
+        run += sw
+    in_shard = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        g.where(F.col("shard") == target_shard)
+        .withColumn("cum", F.sum("w").over(in_shard) + F.lit(base))
+        .where(F.col("cum") >= half)
+        .orderBy("cents")
+        .limit(1)
+        .selectExpr(
+            "cents AS weighted_median_cents",
+            "cum AS cum_weight_at_median",
+            f"CAST({total_w} AS BIGINT) AS total_weight",
+        )
+    )
+
+
+Q_WEIGHTED_MEDIAN_ORACLE = """
+WITH g AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT cents,
+         SUM(w) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER () AS total_w
+  FROM g
+)
+SELECT cents AS weighted_median_cents,
+       cum AS cum_weight_at_median,
+       total_w AS total_weight
+FROM cum WHERE cum >= (total_w + 1) // 2
+ORDER BY cents LIMIT 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_cusum_changepoint", q_cusum_changepoint, Q_CUSUM_ORACLE,
+              "integer-scaled CUSUM changepoint over the daily revenue series",
+              ("analytics", "timeseries")),
+    QuerySpec("q_weighted_median", q_weighted_median, Q_WEIGHTED_MEDIAN_ORACLE,
+              "quantity-weighted median price via sharded weight prefix sums",
+              ("analytics", "rank")),
+]

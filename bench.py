@@ -164,6 +164,8 @@ HEADLINE = [
     "q_order_backlog",
     "q_duplicate_payments",
     "q_rank_tests_ab",
+    "q_cusum_changepoint",
+    "q_weighted_median",
 ]
 
 

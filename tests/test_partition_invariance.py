@@ -92,6 +92,8 @@ REPRESENTATIVES = [
     "text_collocations_lift",
     # 5th sharded-rank user: tie-averaged rank sums + KS cross-products
     "q_rank_tests_ab",
+    # 6th sharded-rank user: driver-located weight-crossing shard
+    "q_weighted_median",
 ]
 
 

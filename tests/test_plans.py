@@ -374,6 +374,7 @@ def test_registry_wide_plan_hygiene(spark):
         "q_chi2_independence",          # |types|x7 grid from marginals (driver-scale)
         "text_collocations_lift",       # N_uni / N_bi scalar totals (1 row each)
         "q_rank_tests_ab",              # (n_a, n_b) totals (1 row)
+        "q_cusum_changepoint",          # (n, total) aggregate (1 row)
         "q_price_tier_join",            # 4 tier bands
         "q_pareto_lorenz",              # (n, total) aggregate (1 row)
         "knn_bruteforce_cosine",        # brute-force baseline BY DESIGN
