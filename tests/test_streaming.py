@@ -641,3 +641,58 @@ def test_w8_count_window_state_survives_micro_batches(spark, chunked_events_dir)
     cols = ["user_id", "win_idx", "n_events", "start_ts_ms", "end_ts_ms"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
     assert got.count() > 0, "fixture filled no count windows"
+
+
+def test_checkpoint_resume_processes_only_new_files(spark):
+    """Incremental recovery: a stopped availableNow query re-started on
+    the SAME checkpoint must process only files that arrived since —
+    carrying keyed state across the restart (an alert whose two events
+    straddle the stop/resume boundary still fires exactly once)."""
+    import os as _os
+    import tempfile as _tf
+
+    from apache_flink_datastream_api_spark.streaming.state import interval_alerts
+
+    src = _tf.mkdtemp(prefix="resume_src_")
+    ckpt = _tf.mkdtemp(prefix="resume_ckpt_", dir="/dev/shm")
+    rows1 = [(1, 100, "error", 1_000_000)]
+    rows2 = [(2, 100, "error", 1_004_000),   # within 10s of event 1 -> alert
+             (3, 200, "error", 9_000_000)]
+    with open(_os.path.join(src, "a.csv"), "w") as f:
+        for r in rows1:
+            f.write(",".join(map(str, r)) + "\n")
+
+    out_dir = _tf.mkdtemp(prefix="resume_out_")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(CHUNK_SCHEMA).csv(src)
+            .where(F.col("event_type") == "error")
+        )
+
+        # memory sink refuses checkpoint recovery; foreachBatch supports it
+        def sink(batch, batch_id):
+            if batch.count():
+                batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            interval_alerts(stream, 10_000)
+            .writeStream.outputMode("update").foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        try:
+            return [tuple(r) for r in spark.read.parquet(out_dir).collect()]
+        except Exception:
+            return []  # nothing written yet
+
+    first = run_once()
+    assert first == [], f"no alert possible from one event, got {first}"
+
+    with open(_os.path.join(src, "b.csv"), "w") as f:
+        for r in rows2:
+            f.write(",".join(map(str, r)) + "\n")
+    second = run_once()
+    # the cross-restart pair (events 1+2) fires exactly once, nothing else
+    assert second == [(100, 1_004_000, 4_000)], second
