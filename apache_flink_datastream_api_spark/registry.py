@@ -37,8 +37,8 @@ class QuerySpec:
 def _collect() -> dict[str, QuerySpec]:
     from .operators import (
         analytics, behavior, dataflow, dedup, io_roundtrip, multimodal,
-        pipeline, profile, relational, similarity, sketches, skew, temporal,
-        textops, trainprep,
+        pipeline, profile, relational, similarity, sketches, skew, statistics,
+        temporal, textops, trainprep,
     )
     from .sources import pydatasource
     from .streaming import queries as streaming_queries
@@ -46,8 +46,8 @@ def _collect() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for mod in (relational, analytics, behavior, dataflow, dedup, similarity,
                 textops, multimodal, skew, temporal, sketches, pipeline,
-                trainprep, profile, io_roundtrip, streaming_queries,
-                pydatasource):
+                trainprep, profile, io_roundtrip, statistics,
+                streaming_queries, pydatasource):
         for spec in mod.SPECS:
             assert spec.name not in specs, f"duplicate query name {spec.name}"
             specs[spec.name] = spec

@@ -166,6 +166,13 @@ HEADLINE = [
     "q_rank_tests_ab",
     "q_cusum_changepoint",
     "q_weighted_median",
+    # classical statistics + churn labels
+    "q_spearman_corr",
+    "q_mann_kendall_trend",
+    "q_tvd_drift",
+    "q_max_drawdown",
+    "q_simpson_diversity",
+    "pipeline_churn_labels",
 ]
 
 

@@ -386,6 +386,9 @@ def test_registry_wide_plan_hygiene(spark):
         "pipeline_class_rebalance",     # max class size (1 row)
         "q_trending_topk",              # anchor-day spine (|days| rows)
         "q_basket_size_dist",           # distribution total (1 row)
+        "q_mann_kendall_trend",         # daily series pair join (calendar-bounded)
+        "q_tvd_drift",                  # (mn, mx) time bounds (1 row)
+        "pipeline_churn_labels",        # t_split bound (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
