@@ -676,3 +676,106 @@ SPECS += [
               "ignoreCorruptFiles scan survives a garbage shard, rows pinned",
               ("io", "resilience")),
 ]
+
+
+# --- z-order layout readout (multi-dim data skipping) ------------------------
+# WHY clustered writes matter at 100 TB: parquet row-group min/max stats
+# prune a scan only if each file covers a NARROW value range. This op
+# quantifies that for a two-dim workload (user_id, value band): both
+# dims are normalized to 10 bits (bounds-adaptive, so the math is
+# scale-independent), bit-interleaved into a 20-bit Morton code, and
+# bucketed into 64 z-shards; the readout compares the summed per-shard
+# min/max span of EACH dim against a hash layout of the same 64 shards.
+# Z-order shrinks both dims' spans simultaneously (a hash layout spans
+# ~everything in every shard), which is exactly the file-skipping win of
+# `repartitionByRange(morton)` + parquet stats on a real write. Pure
+# integer arithmetic end-to-end so the oracle replays it bit-for-bit.
+
+_ZBITS = 10
+_ZSHARDS = 64
+_ZBAND = 500  # value cents per band
+
+
+def _morton(u: str, b: str, spark_side: bool) -> str:
+    if spark_side:
+        terms = [f"shiftleft(shiftright({u}, {i}) & 1, {2 * i})"
+                 for i in range(_ZBITS)]
+        terms += [f"shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})"
+                  for i in range(_ZBITS)]
+    else:
+        terms = [f"((({u} >> {i}) & 1) << {2 * i})" for i in range(_ZBITS)]
+        terms += [f"((({b} >> {i}) & 1) << {2 * i + 1})" for i in range(_ZBITS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def layout_zorder_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id AS u",
+        f"CAST(round(value * 100) AS BIGINT) div {_ZBAND} AS band")
+    bounds = ev.agg(
+        F.min("u").alias("u0"), F.max("u").alias("u1"),
+        F.min("band").alias("b0"), F.max("band").alias("b1"))
+    norm = ev.crossJoin(F.broadcast(bounds)).selectExpr(
+        "event_id", "u", "band",
+        f"(u - u0) * {1 << _ZBITS} div (u1 - u0 + 1) AS un",
+        f"(band - b0) * {1 << _ZBITS} div (b1 - b0 + 1) AS bn",
+    )
+    code = norm.selectExpr(
+        "event_id", "u", "band",
+        f"{_morton('un', 'bn', True)} div {(1 << (2 * _ZBITS)) // _ZSHARDS}"
+        " AS zshard",
+        f"pmod(event_id, {_ZSHARDS}) AS hshard",
+    )
+    both = code.selectExpr("'zorder' AS layout", "zshard AS shard", "u", "band") \
+        .unionByName(code.selectExpr("'hash' AS layout", "hshard AS shard",
+                                     "u", "band"))
+    per_shard = both.groupBy("layout", "shard").agg(
+        (F.max("u") - F.min("u") + 1).alias("span_u"),
+        (F.max("band") - F.min("band") + 1).alias("span_b"),
+    )
+    return per_shard.groupBy("layout").agg(
+        F.count("*").alias("n_shards"),
+        F.sum("span_u").alias("sum_user_span"),
+        F.sum("span_b").alias("sum_band_span"),
+    )
+
+
+ZORDER_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id AS u,
+         CAST(round(value * 100) AS BIGINT) // {_ZBAND} AS band
+  FROM events
+), bounds AS (
+  SELECT MIN(u) AS u0, MAX(u) AS u1, MIN(band) AS b0, MAX(band) AS b1 FROM ev
+), norm AS (
+  SELECT event_id, u, band,
+         (u - u0) * {1 << _ZBITS} // (u1 - u0 + 1) AS un,
+         (band - b0) * {1 << _ZBITS} // (b1 - b0 + 1) AS bn
+  FROM ev CROSS JOIN bounds
+), code AS (
+  SELECT event_id, u, band,
+         {_morton('un', 'bn', False)} // {(1 << (2 * _ZBITS)) // _ZSHARDS}
+           AS zshard,
+         event_id % {_ZSHARDS} AS hshard
+  FROM norm
+), layouts AS (
+  SELECT 'zorder' AS layout, zshard AS shard, u, band FROM code
+  UNION ALL
+  SELECT 'hash', hshard, u, band FROM code
+), per_shard AS (
+  SELECT layout, shard, MAX(u) - MIN(u) + 1 AS span_u,
+         MAX(band) - MIN(band) + 1 AS span_b
+  FROM layouts GROUP BY 1, 2
+)
+SELECT layout, COUNT(*) AS n_shards,
+       CAST(SUM(span_u) AS BIGINT) AS sum_user_span,
+       CAST(SUM(span_b) AS BIGINT) AS sum_band_span
+FROM per_shard GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("layout_zorder_readout", layout_zorder_readout, ZORDER_ORACLE,
+              "Morton z-shard vs hash layout: per-shard min/max span readout",
+              ("scale", "layout")),
+]

@@ -439,6 +439,331 @@ FROM obs LEFT JOIN fut ON obs.user_id = fut.user_id
 """
 
 
+# --- forecast baseline evaluation --------------------------------------------
+# Which forecasting baseline does the daily revenue series support: naive
+# (yesterday) or seasonal-naive (same weekday last week)? MAE in exact
+# cents over the days where both forecasts exist; calendar gaps drop out
+# of the equi-join (no row-lag ambiguity). The shifted copies broadcast —
+# the daily series is calendar-bounded.
+
+def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            f"unix_millis(o_orderdate) - pmod(unix_millis(o_orderdate), {DAY_MS})"
+            " AS day_ms",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day_ms")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("x"))
+    )
+    prev1 = daily.selectExpr(f"day_ms + {DAY_MS} AS day_ms", "x AS x1")
+    prev7 = daily.selectExpr(f"day_ms + {7 * DAY_MS} AS day_ms", "x AS x7")
+    joined = daily.join(F.broadcast(prev1), "day_ms").join(
+        F.broadcast(prev7), "day_ms")
+    return (
+        joined.agg(
+            F.count("*").alias("n_days_eval"),
+            F.sum(F.expr("CAST(abs(x - x1) AS DECIMAL(28,0))"))
+            .cast("long").alias("abs_err_naive"),
+            F.sum(F.expr("CAST(abs(x - x7) AS DECIMAL(28,0))"))
+            .cast("long").alias("abs_err_snaive"),
+        )
+        .selectExpr(
+            "n_days_eval",
+            "abs_err_naive div n_days_eval AS mae_naive_cents",
+            "abs_err_snaive div n_days_eval AS mae_snaive_cents",
+            "CASE WHEN abs_err_snaive < abs_err_naive THEN 'seasonal_naive'"
+            " WHEN abs_err_naive < abs_err_snaive THEN 'naive'"
+            " ELSE 'tie' END AS winner",
+        )
+    )
+
+
+Q_FORECAST_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(o_orderdate) - epoch_ms(o_orderdate) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), joined AS (
+  SELECT d.x, p1.x AS x1, p7.x AS x7
+  FROM daily d
+  JOIN daily p1 ON d.day_ms = p1.day_ms + {DAY_MS}
+  JOIN daily p7 ON d.day_ms = p7.day_ms + {7 * DAY_MS}
+), s AS (
+  SELECT COUNT(*) AS n_days_eval,
+         CAST(SUM(CAST(abs(x - x1) AS HUGEINT)) AS BIGINT) AS abs_err_naive,
+         CAST(SUM(CAST(abs(x - x7) AS HUGEINT)) AS BIGINT) AS abs_err_snaive
+  FROM joined
+)
+SELECT n_days_eval,
+       abs_err_naive // n_days_eval AS mae_naive_cents,
+       abs_err_snaive // n_days_eval AS mae_snaive_cents,
+       CASE WHEN abs_err_snaive < abs_err_naive THEN 'seasonal_naive'
+       WHEN abs_err_naive < abs_err_snaive THEN 'naive'
+       ELSE 'tie' END AS winner
+FROM s
+"""
+
+
+# --- one-way ANOVA ------------------------------------------------------------
+# Does mean event value differ across event types? F-statistic from
+# exact per-group integer moments (n_g, sum, sum-of-squares). s_g^2/n_g
+# is irrational in general, so each group's between-term is FLOORED to an
+# integer first (deterministic double over exact BIGINTs), then the
+# floored terms sum exactly — the chi-square house pattern. floor (not
+# round): half-way rounding of doubles is not specified identically
+# across engines.
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS cents")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("s_g"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(28,0)) * cents")).cast("long")
+            .alias("ss_g"),
+        )
+    )
+    agg = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.expr("CAST(s_g AS DECIMAL(38,0))")).cast("long").alias("s"),
+        F.sum(F.expr("CAST(ss_g AS DECIMAL(38,0))")).cast("long").alias("ss"),
+        F.sum(F.expr(
+            "CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g) AS DECIMAL(38,0))"
+        )).cast("long").alias("sb_terms"),
+    )
+    return agg.selectExpr(
+        "k", "n",
+        "sb_terms - CAST(floor(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS ssb",
+        "ss - sb_terms AS ssw",
+        "CAST(floor((CAST(sb_terms - CAST(floor(CAST(s AS DOUBLE) * s / n)"
+        " AS BIGINT) AS DOUBLE) / (k - 1))"
+        " / (CAST(ss - sb_terms AS DOUBLE) / (n - k)) * 1000) AS BIGINT)"
+        " AS f_milli",
+    )
+
+
+Q_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n_g,
+         CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS s_g,
+         CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+              * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss_g
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(CAST(s_g AS HUGEINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(ss_g AS HUGEINT)) AS BIGINT) AS ss,
+         CAST(SUM(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g) AS HUGEINT))
+              AS BIGINT) AS sb_terms
+  FROM g
+)
+SELECT k, n,
+       sb_terms - CAST(floor(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS ssb,
+       ss - sb_terms AS ssw,
+       CAST(floor((CAST(sb_terms - CAST(floor(CAST(s AS DOUBLE) * s / n)
+        AS BIGINT) AS DOUBLE) / (k - 1))
+        / (CAST(ss - sb_terms AS DOUBLE) / (n - k)) * 1000) AS BIGINT)
+       AS f_milli
+FROM agg
+"""
+
+
+# --- Poisson-bootstrap confidence interval -----------------------------------
+# The scale-idiomatic bootstrap: true multinomial resampling needs a
+# global draw, but Poisson(1) per-row counts approximate it with NO
+# coordination — each row decides its own replica multiplicities from a
+# hash (the standard trick for CIs over 100 TB; one map-side explode,
+# one 32-group aggregate). Thresholds are floor(CDF_k * 2^60) literals
+# of the Poisson(1) CDF, compared against the 60-bit portable hash —
+# pure integer, so the oracle replays the identical draw.
+
+_B = 32  # bootstrap replicas
+_POIS_T = [424136118829305344, 848272237658610688, 1060340297073263360,
+           1131029650211480960, 1148701988496035328, 1152236456152946176,
+           1152825534095764608, 1152909688087595776]  # floor(CDF_k * 2^60)
+
+
+def _pois_case(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    return f"CASE {whens} ELSE {len(_POIS_T)} END"
+
+
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    rep = orders.select(
+        "cents",
+        F.posexplode(F.expr(f"sequence(0, {_B - 1})")).alias("r", "_rv"),
+        "o_orderkey",
+    ).selectExpr(
+        "cents", "r",
+        "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), '#', "
+        "CAST(r AS STRING))), 1, 15), 16, 10) AS BIGINT) AS u",
+    )
+    means = (
+        rep.selectExpr("r", "cents", f"{_pois_case('u')} AS w")
+        .groupBy("r")
+        .agg(
+            F.sum(F.expr("CAST(w AS DECIMAL(28,0)) * cents")).cast("long")
+            .alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .selectExpr("r", "ws * 1000 div wn AS mean_milli")
+    )
+    rk = Window.orderBy("mean_milli", "r")
+    picked = means.withColumn("rk", F.row_number().over(rk)).where(
+        F.col("rk").isin(2, _B - 1))
+    grand = orders.agg(
+        F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("s"),
+        F.count("*").alias("n"),
+    ).selectExpr("s * 1000 div n AS full_mean_milli")
+    return (
+        picked.groupBy()
+        .agg(F.min("mean_milli").alias("ci_lo_milli"),
+             F.max("mean_milli").alias("ci_hi_milli"))
+        .crossJoin(F.broadcast(grand))
+        .selectExpr(f"{_B} AS n_replicas", "ci_lo_milli", "ci_hi_milli",
+                    "full_mean_milli")
+    )
+
+
+_POIS_CASE_SQL = _pois_case("u")
+
+Q_BOOTSTRAP_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), rep AS (
+  SELECT cents, r.range AS r,
+         CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), '#',
+              CAST(r.range AS VARCHAR))), 1, 15)) AS BIGINT) AS u
+  FROM o CROSS JOIN range({_B}) r
+), means AS (
+  SELECT r,
+         CAST(SUM(CAST({_POIS_CASE_SQL} AS HUGEINT) * cents) AS BIGINT)
+           * 1000 // CAST(SUM({_POIS_CASE_SQL}) AS BIGINT) AS mean_milli
+  FROM rep GROUP BY r
+), ranked AS (
+  SELECT mean_milli, row_number() OVER (ORDER BY mean_milli, r) AS rk
+  FROM means
+), grand AS (
+  SELECT CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) * 1000 // COUNT(*)
+         AS full_mean_milli
+  FROM o
+)
+SELECT {_B} AS n_replicas,
+       MIN(mean_milli) AS ci_lo_milli,
+       MAX(mean_milli) AS ci_hi_milli,
+       MAX(full_mean_milli) AS full_mean_milli
+FROM ranked CROSS JOIN grand
+WHERE rk IN (2, {_B - 1})
+"""
+
+
+# --- triangle counting on the co-purchase graph -------------------------------
+# Global clustering of "bought together": triangles via DEGREE-ORDERED
+# edge orientation (each undirected edge points from the lower (deg, id)
+# endpoint), so every wedge is generated at its smallest vertex and
+# out-degrees are O(sqrt(m)) — the standard distributed-triangle trick
+# that keeps hub parts from exploding the wedge join. Two equi-joins:
+# wedge build on src, closure check on (b, c).
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    edges = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS pa, y AS pb))))")).alias("p"))
+        .select("p.pa", "p.pb").distinct()
+    )
+    deg = (
+        edges.selectExpr("pa AS v").unionAll(edges.selectExpr("pb AS v"))
+        .groupBy("v").agg(F.count("*").alias("d"))
+    )
+    oriented = (
+        edges
+        .join(F.broadcast(deg.selectExpr("v AS pa", "d AS da")), "pa")
+        .join(F.broadcast(deg.selectExpr("v AS pb", "d AS db")), "pb")
+        .selectExpr(
+            "CASE WHEN da < db OR (da = db AND pa < pb) THEN pa ELSE pb END AS src",
+            "CASE WHEN da < db OR (da = db AND pa < pb) THEN db ELSE da END AS dd",
+            "CASE WHEN da < db OR (da = db AND pa < pb) THEN pb ELSE pa END AS dst",
+            "CASE WHEN da < db OR (da = db AND pa < pb) THEN da ELSE db END AS ds",
+        )
+        .selectExpr("src", "dst", "ds AS d_src", "dd AS d_dst")
+    )
+    e1 = oriented.selectExpr("src", "dst AS b", "d_dst AS db")
+    e2 = oriented.selectExpr("src", "dst AS c", "d_dst AS dc")
+    wedges = e1.join(e2, "src").where(
+        "db < dc OR (db = dc AND b < c)").select("b", "c")
+    tri = wedges.join(
+        oriented.selectExpr("src AS b", "dst AS c"), ["b", "c"], "left_semi")
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_edge = edges.agg(F.count("*").alias("n_edges"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("CAST(d AS DECIMAL(28,0)) * (d - 1) div 2")).cast("long")
+        .alias("n_wedges"),
+    )
+    return (
+        n_tri.crossJoin(F.broadcast(n_edge)).crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            "n_triangles * 3000 div n_wedges AS clustering_milli",
+        )
+    )
+
+
+Q_TRIANGLE_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+              THEN pa ELSE pb END AS src,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+              THEN pb ELSE pa END AS dst,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND pa < pb)
+              THEN db.d ELSE da.d END AS d_dst
+  FROM edges JOIN deg da ON da.v = pa JOIN deg db ON db.v = pb
+), wedges AS (
+  SELECT e1.dst AS b, e2.dst AS c
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+  WHERE e1.d_dst < e2.d_dst OR (e1.d_dst = e2.d_dst AND e1.dst < e2.dst)
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedges w WHERE EXISTS (
+    SELECT 1 FROM oriented o WHERE o.src = w.b AND o.dst = w.c)
+), es AS (
+  SELECT COUNT(*) AS n_edges FROM edges
+), ds AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(CAST(d AS HUGEINT) * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       n_triangles * 3000 // n_wedges AS clustering_milli
+FROM tri, es, ds
+"""
+
+
 SPECS += [
     QuerySpec("q_spearman_corr", q_spearman_corr, Q_SPEARMAN_ORACLE,
               "tie-averaged Spearman rho via value-sharded distributed ranks",
@@ -458,4 +783,17 @@ SPECS += [
     QuerySpec("pipeline_churn_labels", pipeline_churn_labels, Q_CHURN_ORACLE,
               "leakage-safe churn-label construction (70/30 time split)",
               ("pipeline", "trainprep")),
+    QuerySpec("q_forecast_baseline", q_forecast_baseline, Q_FORECAST_ORACLE,
+              "naive vs seasonal-naive MAE over the daily revenue series",
+              ("analytics", "timeseries")),
+    QuerySpec("q_anova_oneway", q_anova_oneway, Q_ANOVA_ORACLE,
+              "one-way ANOVA F from exact per-group integer moments",
+              ("analytics", "stats")),
+    QuerySpec("q_poisson_bootstrap_ci", q_poisson_bootstrap_ci,
+              Q_BOOTSTRAP_ORACLE,
+              "coordination-free Poisson-bootstrap CI for the mean",
+              ("analytics", "stats", "sampling")),
+    QuerySpec("graph_triangle_count", graph_triangle_count, Q_TRIANGLE_ORACLE,
+              "degree-ordered distributed triangle count + clustering",
+              ("analytics", "graph")),
 ]

@@ -16,7 +16,7 @@ except the final (tiny) aggregations. At 100 TB these run at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as X
 from ..functions.hashing import portable_hash64_sql
@@ -823,4 +823,99 @@ SPECS += [
     QuerySpec("text_collocations_lift", text_collocations_lift, TEXT_COLLOC_ORACLE,
               "top bigram collocations by integer-exact lift (log-free PMI analog)",
               ("text", "collocations")),
+]
+
+
+# --- RAKE keyphrase extraction ------------------------------------------------
+# Rapid Automatic Keyword Extraction: candidate phrases are maximal runs
+# of non-stopword tokens (an islands computation over token positions),
+# each word scores degree/freq over all phrase occurrences, a phrase
+# scores the sum of its word scores. Everything integer (milli-scores via
+# floor division), so the oracle replays it exactly. The only window is
+# per-doc over token positions — bounded by document length, never by
+# corpus size; word and phrase rollups are plain keyed aggregates.
+
+RAKE_MAX_WORDS = 4
+RAKE_TOP = 15
+
+
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKS_S).alias("toks"))
+    toked = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    words = toked.where(f"NOT {X._in_list_spark('tok', X.STOPWORDS)}")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = words.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    phr = (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.expr("array_join(transform(array_sort(collect_list("
+                   "struct(pos, tok))), s -> s.tok), ' ')").alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(f"plen <= {RAKE_MAX_WORDS}")
+    )
+    wp = phr.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+    wscore = (
+        wp.groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("degree"))
+        .selectExpr("w", "degree * 1000 div freq AS wscore")
+    )
+    occ = phr.groupBy("phrase").agg(
+        F.count("*").alias("n_occurrences"), F.max("plen").alias("n_words"))
+    pscore = (
+        occ.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").alias("score_milli"))
+    )
+    return (
+        occ.join(pscore, "phrase")
+        .orderBy(F.desc("score_milli"), "phrase")
+        .limit(RAKE_TOP)
+        .select("phrase", "n_words", "n_occurrences", "score_milli")
+    )
+
+
+_RAKE_STOP_D = X._in_list_duck("tok", X.STOPWORDS)
+
+TEXT_RAKE_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, unnest({TOKS_D}) AS tok,
+         generate_subscripts({TOKS_D}, 1) AS pos
+  FROM documents
+), words AS (
+  SELECT doc_id, pos, tok FROM toked WHERE NOT {_RAKE_STOP_D}
+), isl AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM words
+), phr AS (
+  SELECT doc_id, isl, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM isl GROUP BY 1, 2 HAVING COUNT(*) <= {RAKE_MAX_WORDS}
+), wp AS (
+  SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM phr
+), wscore AS (
+  SELECT w, CAST(SUM(plen) AS BIGINT) * 1000 // COUNT(*) AS wscore
+  FROM wp GROUP BY 1
+), occ AS (
+  SELECT phrase, COUNT(*) AS n_occurrences, MAX(plen) AS n_words
+  FROM phr GROUP BY 1
+), pw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM occ
+), pscore AS (
+  SELECT phrase, CAST(SUM(wscore) AS BIGINT) AS score_milli
+  FROM pw JOIN wscore USING (w) GROUP BY 1
+)
+SELECT occ.phrase, n_words, n_occurrences, score_milli
+FROM occ JOIN pscore ON occ.phrase = pscore.phrase
+ORDER BY score_milli DESC, occ.phrase LIMIT {RAKE_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("text_keyphrase_rake", text_keyphrase_rake, TEXT_RAKE_ORACLE,
+              "RAKE keyphrase extraction: stopword-islands + degree/freq scores",
+              ("text", "keyphrase")),
 ]

@@ -173,6 +173,11 @@ HEADLINE = [
     "q_max_drawdown",
     "q_simpson_diversity",
     "pipeline_churn_labels",
+    "q_forecast_baseline",
+    "q_anova_oneway",
+    "q_poisson_bootstrap_ci",
+    "graph_triangle_count",
+    "layout_zorder_readout",
 ]
 
 

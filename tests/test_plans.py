@@ -389,6 +389,9 @@ def test_registry_wide_plan_hygiene(spark):
         "q_mann_kendall_trend",         # daily series pair join (calendar-bounded)
         "q_tvd_drift",                  # (mn, mx) time bounds (1 row)
         "pipeline_churn_labels",        # t_split bound (1 row)
+        "q_poisson_bootstrap_ci",       # grand-mean row (1 row)
+        "graph_triangle_count",         # three 1-row count aggregates
+        "layout_zorder_readout",        # dim bounds (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
