@@ -1707,3 +1707,63 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float],
         v1, v2 = by_rank[lo], by_rank[hi]
         out.append(v1 + frac * (v2 - v1))
     return out
+
+
+# --- hierarchical share-of-parent rollup -------------------------------------
+# Revenue share of each nation WITHIN its region and of each region
+# within the world — the drill-down tree every BI layer renders. Facts
+# aggregate per nation FIRST (one shuffle after two broadcast dim hops);
+# the parent totals come from windows over the ~25-row aggregated
+# rollup, never the fact table. Shares are exact integer micros.
+
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long")
+             .alias("nation_rev_cents"))
+    )
+    w_r = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name", "n_name", "nation_rev_cents",
+        F.sum("nation_rev_cents").over(w_r).alias("region_rev_cents"),
+    ).selectExpr(
+        "r_name", "n_name", "nation_rev_cents", "region_rev_cents",
+        "CAST(CAST(nation_rev_cents AS DECIMAL(38,0)) * 1000000"
+        " div region_rev_cents AS BIGINT) AS share_of_region_micro",
+    )
+
+
+Q_SHARE_PARENT_ORACLE = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS nation_rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, nation_rev_cents,
+       CAST(SUM(nation_rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS region_rev_cents,
+       CAST(CAST(nation_rev_cents AS HUGEINT) * 1000000
+            // SUM(nation_rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_of_region_micro
+FROM per_nation
+"""
+
+
+SPECS += [
+    QuerySpec("q_share_of_parent", q_share_of_parent, Q_SHARE_PARENT_ORACLE,
+              "nation-within-region revenue shares from one aggregated rollup",
+              ("analytics", "rollup")),
+]

@@ -23,7 +23,7 @@ in the DuckDB oracle. Production at 100 TB would swap md5 → xxhash64
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as X
 from ..functions.hashing import (
@@ -592,4 +592,45 @@ SPECS = [
     QuerySpec("graph_pagerank", graph_pagerank, GRAPH_PAGERANK_ORACLE,
               "integer-exact PageRank over the LSH duplicate graph",
               ("dedup", "iterative", "graph")),
+]
+
+
+# --- canonical-document selection --------------------------------------------
+# What production dedup actually SHIPS: one kept document per duplicate
+# cluster, the rest dropped. Clusters come from the iterative
+# connected-components pass (dedup_components); the keep policy is
+# deterministic "longest text wins, then smallest doc_id" — an argmax
+# window PARTITIONED BY component (near-dup clusters are tiny cliques,
+# so no partition ever exceeds a handful of rows regardless of corpus
+# size). Docs outside any cluster are implicitly kept and not re-listed.
+
+def pipeline_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .selectExpr("component_id", "doc_id", "n_chars",
+                    "CAST(rk = 1 AS INT) AS keep")
+    )
+
+
+CANONICAL_DOCS_ORACLE = f"""
+WITH comp AS (
+  {DEDUP_COMPONENTS_ORACLE}
+)
+SELECT component_id, comp.doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY component_id
+            ORDER BY n_chars DESC, comp.doc_id) = 1 AS INT) AS keep
+FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_canonical_docs", pipeline_canonical_docs,
+              CANONICAL_DOCS_ORACLE,
+              "keep-best-per-duplicate-cluster canonical selection",
+              ("dedup", "pipeline", "iterative")),
 ]

@@ -142,3 +142,92 @@ SPECS += [
               "FK orphan counts for every star-schema edge, one declarative plan",
               ("profile", "quality")),
 ]
+
+
+# --- declarative expectation suite -------------------------------------------
+# The "assert before you train/serve" contract check (Great-Expectations
+# shape, distilled): every rule is a conditional count in ONE aggregate
+# over ONE scan — adding a rule adds a column to the partial aggregate,
+# not a pass over the table — then `stack` unpivots the one-row result
+# into (rule, n_violations, n_checked). The single FK rule is a separate
+# broadcast-dim anti-join count (the full star-schema audit is
+# q_fk_integrity_audit). All-zero violations IS the expected steady
+# state; the value is the plan shape and the wiring.
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    one = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(o_totalprice <= 0 AS BIGINT)")).alias("v_price"),
+        F.sum(F.expr(
+            "CAST(o_orderstatus NOT IN ('O', 'F', 'P') AS BIGINT)")).alias("v_status"),
+        F.sum(F.expr(
+            "CAST(o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',"
+            " '4-NOT SPECIFIED', '5-LOW') AS BIGINT)")).alias("v_prio"),
+        F.sum(F.expr(
+            "CAST(o_orderdate < TIMESTAMP '1992-01-01 00:00:00'"
+            " OR o_orderdate >= TIMESTAMP '2005-01-01 00:00:00' AS BIGINT)"
+        )).alias("v_date"),
+        F.sum(F.expr("CAST(o_custkey IS NULL AS BIGINT)")).alias("v_nullkey"),
+    )
+    rules = one.selectExpr(
+        "stack(5,"
+        " 'totalprice_positive', v_price,"
+        " 'status_in_domain', v_status,"
+        " 'priority_in_domain', v_prio,"
+        " 'orderdate_in_range', v_date,"
+        " 'custkey_not_null', v_nullkey) AS (rule, n_violations)",
+        "n AS n_checked",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    fk = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(F.broadcast(o.agg(F.count("*").alias("n_checked"))))
+        .selectExpr("'custkey_fk_exists' AS rule", "n_violations", "n_checked")
+    )
+    return rules.unionByName(fk)
+
+
+DQ_EXPECTATIONS_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM orders)
+SELECT 'totalprice_positive' AS rule,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS n_violations,
+       MAX(n.n) AS n_checked
+FROM orders CROSS JOIN n
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+       MAX(n.n)
+FROM orders CROSS JOIN n
+UNION ALL
+SELECT 'priority_in_domain',
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+            '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')) AS BIGINT),
+       MAX(n.n)
+FROM orders CROSS JOIN n
+UNION ALL
+SELECT 'orderdate_in_range',
+       CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+            OR o_orderdate >= TIMESTAMP '2005-01-01') AS BIGINT),
+       MAX(n.n)
+FROM orders CROSS JOIN n
+UNION ALL
+SELECT 'custkey_not_null',
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+       MAX(n.n)
+FROM orders CROSS JOIN n
+UNION ALL
+SELECT 'custkey_fk_exists',
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       MAX(n.n)
+FROM orders o CROSS JOIN n
+"""
+
+
+SPECS += [
+    QuerySpec("dq_expectations", dq_expectations, DQ_EXPECTATIONS_ORACLE,
+              "one-scan declarative expectation suite with per-rule counts",
+              ("profile", "quality")),
+]

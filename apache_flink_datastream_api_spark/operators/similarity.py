@@ -809,3 +809,68 @@ SPECS += [
               "PQ/ADC ANN: byte-code LUT scan, partition-local top-C, exact re-rank",
               ("similarity", "ann")),
 ]
+
+
+# --- embedding-space health histogram ----------------------------------------
+# Collapse/anisotropy check before training on an embedding table: the
+# distribution of pairwise cosine similarity over deterministic strided
+# pairs (vec_id -> vec_id + {1, 17, 289}; embeddings carry no spatial
+# order, so strides are as good as random pairs and need NO global
+# sampling coordination). Vectors quantize to int8 first, so dot and
+# norms are exact integers; the cosine band is one deterministic double
+# expression (floor(cos * 20)). A healthy isotropic space concentrates
+# near band 0; a collapsed one piles up at +19.
+
+_SIM_STRIDES = (1, 17, 289)
+_Q8 = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+_Q8_D = "list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+
+
+def emb_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        f"{_Q8} AS q",
+        f"aggregate({_Q8}, 0L, (a, v) -> a + v * v) AS nrm",
+    )
+    strided = None
+    for k in _SIM_STRIDES:
+        a = emb.selectExpr(f"vec_id + {k} AS pk", "q AS qa", "nrm AS na")
+        b = emb.selectExpr("vec_id AS pk", "q AS qb", "nrm AS nb")
+        pairs = a.join(b, "pk").selectExpr(
+            "CAST(floor(CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L,"
+            " (acc, v) -> acc + v) AS DOUBLE)"
+            " / sqrt(CAST(na AS DOUBLE) * nb) * 20) AS BIGINT) AS band",
+        )
+        strided = pairs if strided is None else strided.unionByName(pairs)
+    return strided.groupBy("band").agg(F.count("*").alias("n_pairs"))
+
+
+_SIM_PAIRS_D = " UNION ALL ".join(
+    f"""
+    SELECT CAST(floor(CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+           i -> a.q[i] * b.q[i])) AS DOUBLE)
+           / sqrt(CAST(a.nrm AS DOUBLE) * b.nrm) * 20) AS BIGINT) AS band
+    FROM qe a JOIN qe b ON a.vec_id + {k} = b.vec_id
+    """
+    for k in _SIM_STRIDES
+)
+
+EMB_SIM_HIST_ORACLE = f"""
+WITH qe AS (
+  SELECT vec_id, {_Q8_D} AS q,
+         list_sum(list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT)
+                  * CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))) AS nrm
+  FROM embeddings
+), pairs AS (
+  {_SIM_PAIRS_D}
+)
+SELECT band, COUNT(*) AS n_pairs FROM pairs GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("emb_sim_histogram", emb_sim_histogram, EMB_SIM_HIST_ORACLE,
+              "pairwise-cosine health histogram over strided int8 pairs",
+              ("similarity", "diagnostics")),
+]

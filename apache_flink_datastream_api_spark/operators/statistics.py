@@ -797,3 +797,71 @@ SPECS += [
               "degree-ordered distributed triangle count + clustering",
               ("analytics", "graph")),
 ]
+
+
+# --- seasonal decomposition of the daily revenue series -----------------------
+# Classical additive decompose, integer-exact: trend = centered 7-row
+# moving sum div 7 (NULL until the window is full — no partial-window
+# estimates), seasonal = per-weekday floored mean of the detrended
+# series, residual = remainder. Weekday comes from portable epoch
+# arithmetic (epoch day 0 was a Thursday), never an engine dow().
+# Windows run over the calendar-bounded daily aggregate; the 7-row
+# seasonal map broadcasts back.
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            f"unix_millis(o_orderdate) - pmod(unix_millis(o_orderdate), {DAY_MS})"
+            " AS day_ms",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day_ms")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("x"))
+    )
+    w7 = Window.orderBy("day_ms").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day_ms", "x",
+        F.when(F.count("x").over(w7) == 7,
+               F.expr("1") * F.sum("x").over(w7)).alias("s7"),
+    ).selectExpr(
+        "day_ms", "x", "s7 div 7 AS trend",
+        f"pmod(day_ms div {DAY_MS} + 4, 7) AS dow",
+    ).selectExpr("day_ms", "x", "trend", "dow", "x - trend AS detr")
+    seasonal = trended.where("detr IS NOT NULL").groupBy("dow").agg(
+        F.expr("sum(detr) div count(*)").alias("seasonal"))
+    return (
+        trended.join(F.broadcast(seasonal), "dow")
+        .selectExpr("day_ms", "x", "trend", "seasonal",
+                    "detr - seasonal AS residual")
+    )
+
+
+Q_SEASONAL_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(o_orderdate) - epoch_ms(o_orderdate) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT day_ms, x,
+         CASE WHEN COUNT(x) OVER w = 7 THEN SUM(x) OVER w END // 7 AS trend,
+         (day_ms // {DAY_MS} + 4) % 7 AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day_ms ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detrended AS (
+  SELECT day_ms, x, trend, dow, x - trend AS detr FROM trended
+), seasonal AS (
+  SELECT dow, SUM(detr) // COUNT(*) AS seasonal
+  FROM detrended WHERE detr IS NOT NULL GROUP BY 1
+)
+SELECT day_ms, x, trend, s.seasonal, detr - s.seasonal AS residual
+FROM detrended d JOIN seasonal s ON d.dow = s.dow
+"""
+
+
+SPECS += [
+    QuerySpec("q_seasonal_decompose", q_seasonal_decompose, Q_SEASONAL_ORACLE,
+              "integer-exact additive trend/seasonal/residual decompose",
+              ("analytics", "timeseries")),
+]

@@ -178,6 +178,12 @@ HEADLINE = [
     "q_poisson_bootstrap_ci",
     "graph_triangle_count",
     "layout_zorder_readout",
+    "text_keyphrase_rake",
+    "dq_expectations",
+    "q_share_of_parent",
+    "emb_sim_histogram",
+    "q_seasonal_decompose",
+    "pipeline_canonical_docs",
 ]
 
 

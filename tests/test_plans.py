@@ -392,6 +392,7 @@ def test_registry_wide_plan_hygiene(spark):
         "q_poisson_bootstrap_ci",       # grand-mean row (1 row)
         "graph_triangle_count",         # three 1-row count aggregates
         "layout_zorder_readout",        # dim bounds (1 row)
+        "dq_expectations",              # total-count row (1 row)
     }
     violations = []
     for name, spec in all_queries().items():

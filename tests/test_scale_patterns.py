@@ -229,3 +229,57 @@ def test_observation_metrics_in_streaming_progress(spark):
     want = spark.table(name)
     assert total == want.count() == 200
     assert total_del == want.where("operation = 'Delete'").count()
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: a fact table where ONE key holds half the rows,
+    joined to a well-distributed build side, must show skew handling in
+    the final adaptive plan (the hot partition is split into parallel
+    sub-partitions instead of one straggler task). Pinned by executing
+    the join with thresholds tuned so the hot key exceeds the skew
+    factor, then reading the final (post-execution) plan."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # partition coalescing would merge away the small demo partitions
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # force a sort-merge join so skew-split (not broadcast) is the fix
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the downstream global agg adds a shuffle requirement that would
+        # otherwise veto the skew split (extra-shuffle heuristic)
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.expr("repeat('x', 64)").alias("pad"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit(1).alias("v"))
+        joined = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        [row] = joined.collect()
+        assert row.n == 125_000  # 100k rows of k=7 (odd ids<50k: 25k) + evens
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
