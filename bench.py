@@ -184,6 +184,8 @@ HEADLINE = [
     "emb_sim_histogram",
     "q_seasonal_decompose",
     "pipeline_canonical_docs",
+    "q_price_index",
+    "q_event_study_lift",
 ]
 
 

@@ -94,6 +94,18 @@ REPRESENTATIVES = [
     "q_rank_tests_ab",
     # 6th sharded-rank user: driver-located weight-crossing shard
     "q_weighted_median",
+    # 7th sharded-rank user: tie-averaged x2 ranks on both join sides
+    "q_spearman_corr",
+    # hash-drawn Poisson replica weights + replica-mean rank pick
+    "q_poisson_bootstrap_ci",
+    # degree-ordered orientation + wedge closure joins
+    "graph_triangle_count",
+    # iterative components + per-cluster argmax keep policy
+    "pipeline_canonical_docs",
+    # bounds-normalized Morton sharding vs hash layout
+    "layout_zorder_readout",
+    # stopword-island phrases + degree/freq rollups
+    "text_keyphrase_rake",
 ]
 
 

@@ -393,6 +393,8 @@ def test_registry_wide_plan_hygiene(spark):
         "graph_triangle_count",         # three 1-row count aggregates
         "layout_zorder_readout",        # dim bounds (1 row)
         "dq_expectations",              # total-count row (1 row)
+        "q_price_index",                # base-month scalar (1 row)
+        "q_event_study_lift",           # peak-day row (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
