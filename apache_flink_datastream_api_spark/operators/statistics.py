@@ -1089,3 +1089,349 @@ SPECS += [
               "event-study lift of the peak day vs baseline, exact ratios",
               ("analytics", "timeseries")),
 ]
+
+
+# --- ABC revenue classification -----------------------------------------------
+# Inventory-style ABC: parts covering the first 80% of revenue are 'A',
+# the next 15% 'B', the tail 'C'. Needs every part's CUMULATIVE revenue
+# share in descending order — the value-sharded distributed rank
+# machinery again (descending shards this time): per-shard revenue
+# subtotals prefix-sum on the broadcast side, so the cumulative total
+# each part inherits is exact without any single-partition window.
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(
+            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(28,0))"
+        )).cast("long").alias("rev"))
+    )
+    tot = rev.agg(
+        F.sum(F.expr("CAST(rev AS DECIMAL(38,0))")).cast("long").alias("total"))
+    # descending shards: bigger revenue -> smaller shard id
+    sharded = rev.withColumn("shard", F.expr("-(rev div 1000000)"))
+    w_in = Window.partitionBy("shard").orderBy(
+        F.desc("rev"), "l_partkey").rowsBetween(Window.unboundedPreceding, 0)
+    local = sharded.withColumn("cum_in", F.sum("rev").over(w_in))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        sharded.groupBy("shard").agg(
+            F.sum(F.expr("CAST(rev AS DECIMAL(38,0))")).cast("long").alias("s"))
+        .withColumn("base", F.coalesce(F.sum("s").over(w_sh), F.lit(0)))
+        .select("shard", "base")
+    )
+    classed = (
+        local.join(F.broadcast(bases), "shard")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "rev",
+            "CASE WHEN (base + cum_in) * 100 <= total * 80 THEN 'A'"
+            " WHEN (base + cum_in) * 100 <= total * 95 THEN 'B'"
+            " ELSE 'C' END AS abc",
+            "total",
+        )
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.expr("CAST(rev AS DECIMAL(38,0))")).cast("long")
+            .alias("revenue_cents"),
+            F.max("total").alias("t"),
+        )
+        .selectExpr(
+            "abc", "n_parts", "revenue_cents",
+            "CAST(CAST(revenue_cents AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)"
+            " AS share_micro",
+        )
+    )
+
+
+Q_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS total FROM rev
+), ranked AS (
+  SELECT rev, total,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM rev CROSS JOIN tot
+), classed AS (
+  SELECT rev, total,
+         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+              WHEN cum * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS revenue_cents,
+       CAST(CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS HUGEINT) * 1000000
+         // MAX(total) AS share_micro
+FROM classed GROUP BY 1
+"""
+
+
+# --- XmR control chart (statistical process control) --------------------------
+# Shewhart individuals chart over daily revenue: center = floored mean,
+# natural process limits = mean +/- 2.66 * mean moving range (the 2.66
+# constant scaled to exact integer arithmetic: limits in milli-cents,
+# x2660 factor). Output: the limits and the out-of-control day count —
+# the "did the process shift" readout, integer end-to-end.
+
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            f"unix_millis(o_orderdate) - pmod(unix_millis(o_orderdate), {DAY_MS})"
+            " AS day_ms",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day_ms")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("x"))
+    )
+    w = Window.orderBy("day_ms")
+    mr = daily.withColumn("prev", F.lag("x").over(w)).selectExpr(
+        "day_ms", "x", "abs(x - prev) AS mr")
+    stats = mr.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).cast("long").alias("sx"),
+        F.count("mr").alias("nmr"),
+        F.sum(F.expr("CAST(mr AS DECIMAL(38,0))")).cast("long").alias("smr"),
+    ).selectExpr(
+        "n", "sx * 1000 div n AS center_milli",
+        "(sx * 1000 div n) + 2660 * smr div nmr AS ucl_milli",
+        "(sx * 1000 div n) - 2660 * smr div nmr AS lcl_milli",
+    )
+    return (
+        mr.crossJoin(F.broadcast(stats))
+        .agg(
+            F.max("n").alias("n_days"),
+            F.max("center_milli").alias("center_milli"),
+            F.max("ucl_milli").alias("ucl_milli"),
+            F.max("lcl_milli").alias("lcl_milli"),
+            F.sum(F.expr(
+                "CAST(x * 1000 > ucl_milli OR x * 1000 < lcl_milli AS BIGINT)"
+            )).alias("n_out_of_control"),
+        )
+    )
+
+
+Q_CONTROL_CHART_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(o_orderdate) - epoch_ms(o_orderdate) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), mr AS (
+  SELECT day_ms, x, abs(x - lag(x) OVER (ORDER BY day_ms)) AS mr FROM daily
+), stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS BIGINT) * 1000 // COUNT(*)
+           AS center_milli,
+         COUNT(mr) AS nmr,
+         CAST(SUM(CAST(mr AS HUGEINT)) AS BIGINT) AS smr
+  FROM mr
+)
+SELECT MAX(n) AS n_days,
+       MAX(center_milli) AS center_milli,
+       MAX(center_milli + 2660 * smr // nmr) AS ucl_milli,
+       MAX(center_milli - 2660 * smr // nmr) AS lcl_milli,
+       CAST(SUM(CAST(x * 1000 > center_milli + 2660 * smr // nmr
+                OR x * 1000 < center_milli - 2660 * smr // nmr AS BIGINT))
+            AS BIGINT) AS n_out_of_control
+FROM mr CROSS JOIN stats
+"""
+
+
+SPECS += [
+    QuerySpec("q_abc_analysis", q_abc_analysis, Q_ABC_ORACLE,
+              "ABC revenue classes via descending sharded cumulative shares",
+              ("analytics", "rank")),
+    QuerySpec("q_control_chart", q_control_chart, Q_CONTROL_CHART_ORACLE,
+              "XmR control chart limits + out-of-control days, integer-exact",
+              ("analytics", "timeseries", "stats")),
+]
+
+
+# --- spatial radius self-join via grid blocking -------------------------------
+# The geo family's core join, trig-free: points live on an integer
+# meter grid (coords derived deterministically from the portable hash —
+# the driver tables carry no geo columns), blocking cells are R-sized
+# squares, and each point probes its 3x3 cell neighborhood map-side
+# (explode of 9 offsets — no cross join anywhere). A pair is emitted
+# once (probe side id < target id) and verified with the EXACT integer
+# squared distance — no sqrt, no haversine (sin/cos rounding is not
+# portable across engines; at city scale the planar grid is the
+# standard first stage anyway, with great-circle verify only at the
+# final filter on a real deployment).
+
+_GEO_BOX = 100_000   # 100 km square, integer meters
+_GEO_R = 500         # radius (= blocking cell size)
+
+
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.pmod(portable_hash64(F.concat(F.lit("gx#"),
+               F.col("c_custkey").cast("string"))), F.lit(_GEO_BOX)).alias("x"),
+        F.pmod(portable_hash64(F.concat(F.lit("gy#"),
+               F.col("c_custkey").cast("string"))), F.lit(_GEO_BOX)).alias("y"),
+    )
+    probes = pts.selectExpr(
+        "id AS ida", "x AS xa", "y AS ya",
+        f"explode(array({', '.join(f'struct({dx} AS dx, {dy} AS dy)' for dx in (-1, 0, 1) for dy in (-1, 0, 1))})) AS o",
+    ).selectExpr(
+        "ida", "xa", "ya",
+        f"xa div {_GEO_R} + o.dx AS cx",
+        f"ya div {_GEO_R} + o.dy AS cy",
+    )
+    targets = pts.selectExpr(
+        "id AS idb", "x AS xb", "y AS yb",
+        f"x div {_GEO_R} AS cx", f"y div {_GEO_R} AS cy")
+    return (
+        probes.join(targets, ["cx", "cy"])
+        .where(f"ida < idb AND (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"
+               f" <= {_GEO_R * _GEO_R}")
+        .selectExpr(
+            "ida", "idb",
+            "(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist2")
+    )
+
+
+from ..functions.hashing import portable_hash64_sql as _geo_h  # noqa: E402
+
+_GEO_KX = "concat('gx#', CAST(c_custkey AS VARCHAR))"
+_GEO_KY = "concat('gy#', CAST(c_custkey AS VARCHAR))"
+_GEO_X = f"({_geo_h(_GEO_KX)}) % {_GEO_BOX}"
+_GEO_Y = f"({_geo_h(_GEO_KY)}) % {_GEO_BOX}"
+
+GEO_RADIUS_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id, {_GEO_X} AS x, {_GEO_Y} AS y FROM customer
+)
+SELECT a.id AS ida, b.id AS idb,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND abs(a.x // {_GEO_R} - b.x // {_GEO_R}) <= 1
+ AND abs(a.y // {_GEO_R} - b.y // {_GEO_R}) <= 1
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_GEO_R * _GEO_R}
+"""
+
+
+SPECS += [
+    QuerySpec("geo_radius_join", geo_radius_join, GEO_RADIUS_ORACLE,
+              "grid-blocked spatial radius self-join, exact integer distances",
+              ("analytics", "spatial", "join")),
+]
+
+
+# --- rate-limit / burst detection ---------------------------------------------
+# Fraud-ops staple: which users ever exceeded K events inside any
+# sliding 60 s window? Exact per-event lookback count via a RANGE frame
+# over event time PARTITIONED BY user — state is bounded per user, and
+# the window never leaves its user partition (scales with the user
+# shuffle, not a global sort). Emits each offender's peak rate and when
+# it happened (earliest peak, deterministic).
+
+_RATE_WINDOW_MS = 60_000
+_RATE_LIMIT = 2  # events arrive sparsely in the synthetic stream; 2-in-60s IS the burst
+
+
+def q_rate_limit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts_ms")
+        .rangeBetween(-(_RATE_WINDOW_MS - 1), 0)
+    )
+    counted = ev.withColumn("c60", F.count("*").over(w))
+    peak = Window.partitionBy("user_id").orderBy(
+        F.desc("c60"), "ts_ms")
+    return (
+        counted.withColumn("rk", F.row_number().over(peak))
+        .where(f"rk = 1 AND c60 >= {_RATE_LIMIT}")
+        .selectExpr("user_id", "c60 AS peak_count_60s", "ts_ms AS peak_at_ms")
+    )
+
+
+Q_RATE_LIMIT_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+), counted AS (
+  SELECT user_id, ts_ms,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ms
+                        RANGE BETWEEN {_RATE_WINDOW_MS - 1} PRECEDING
+                        AND CURRENT ROW) AS c60
+  FROM ev
+), ranked AS (
+  SELECT user_id, ts_ms, c60,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c60 DESC, ts_ms) AS rk
+  FROM counted
+)
+SELECT user_id, c60 AS peak_count_60s, ts_ms AS peak_at_ms
+FROM ranked WHERE rk = 1 AND c60 >= {_RATE_LIMIT}
+"""
+
+
+# --- per-part price volatility top-k ------------------------------------------
+# Which parts' prices swing the most? Exact integer variance numerator
+# n*sum(x^2) - sum(x)^2 per part (the q_portable_stats moment pattern,
+# per group), scaled by n^2 via floor division — one rollup shuffle, one
+# TakeOrdered with full tie-breaks.
+
+def q_price_volatility_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey", "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+    g = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).cast("long").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("ss"),
+    )
+    return (
+        g.where("n >= 5")
+        .selectExpr(
+            "l_partkey", "n",
+            "CAST((CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS var_cents2",
+        )
+        .orderBy(F.desc("var_cents2"), "l_partkey")
+        .limit(20)
+    )
+
+
+Q_PRICE_VOL_ORACLE = """
+WITH g AS (
+  SELECT l_partkey, COUNT(*) AS n,
+         CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS s,
+         SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS ss
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, n,
+       CAST((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_cents2
+FROM g WHERE n >= 5
+ORDER BY var_cents2 DESC, l_partkey LIMIT 20
+"""
+
+
+SPECS += [
+    QuerySpec("q_rate_limit_flags", q_rate_limit_flags, Q_RATE_LIMIT_ORACLE,
+              "sliding 60s burst detection per user via RANGE frames",
+              ("analytics", "fraud", "window")),
+    QuerySpec("q_price_volatility_topk", q_price_volatility_topk,
+              Q_PRICE_VOL_ORACLE,
+              "top-20 price-volatile parts by exact integer variance",
+              ("analytics", "stats")),
+]

@@ -975,3 +975,69 @@ SPECS += [
               "deterministic knockout + per-type floored-median imputation",
               ("trainprep", "features")),
 ]
+
+
+# --- incremental aggregate maintenance ---------------------------------------
+# The 100 TB daily-pipeline contract: when a new day lands, update the
+# serving aggregate WITHOUT rescanning history. COUNT/SUM re-aggregate
+# trivially; COUNT(DISTINCT ...) does NOT — the stored state must carry
+# a mergeable distinct representation (exact sets here, since |users| is
+# bounded; at open-domain scale the same shape swaps in HLL sketches —
+# operators/sketches.py pins that union-merge path). This query runs the
+# incremental plan: "state" (days < cutoff) and "delta" (days >= cutoff)
+# aggregated separately, then MERGED (sums added, user sets unioned) —
+# and the DuckDB oracle is the full recompute over all days, so the hash
+# match IS the proof that the merge law holds for every output column.
+
+def pipeline_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "user_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        f"unix_millis(ts) div {86_400_000} AS day",
+    )
+    bounds = ev.agg(F.expr("min(day) + (max(day) - min(day)) * 9 div 10")
+                    .alias("cutoff"))
+    stamped = ev.crossJoin(F.broadcast(bounds))
+
+    def _partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long")
+            .alias("revenue_cents"),
+            F.collect_set("user_id").alias("users"),
+        )
+
+    state = _partial(stamped.where("day < cutoff"))
+    delta = _partial(stamped.where("day >= cutoff"))
+    merged = (
+        state.selectExpr("event_type", "n_events", "revenue_cents", "users")
+        .unionByName(delta.selectExpr(
+            "event_type", "n_events", "revenue_cents", "users"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.expr("CAST(revenue_cents AS DECIMAL(28,0))")).cast("long")
+            .alias("revenue_cents"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("users"))))
+            .alias("n_users"),
+        )
+    )
+    return merged
+
+
+INCREMENTAL_ROLLUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+            AS BIGINT) AS revenue_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_incremental_rollup", pipeline_incremental_rollup,
+              INCREMENTAL_ROLLUP_ORACLE,
+              "state+delta merge equals full recompute (mergeable distincts)",
+              ("pipeline", "scale", "incremental")),
+]

@@ -186,6 +186,12 @@ HEADLINE = [
     "pipeline_canonical_docs",
     "q_price_index",
     "q_event_study_lift",
+    "q_abc_analysis",
+    "q_control_chart",
+    "geo_radius_join",
+    "pipeline_incremental_rollup",
+    "q_rate_limit_flags",
+    "q_price_volatility_topk",
 ]
 
 

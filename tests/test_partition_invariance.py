@@ -106,6 +106,8 @@ REPRESENTATIVES = [
     "layout_zorder_readout",
     # stopword-island phrases + degree/freq rollups
     "text_keyphrase_rake",
+    # descending sharded cumulative shares (8th sharded-rank user)
+    "q_abc_analysis",
 ]
 
 

@@ -395,6 +395,7 @@ def test_registry_wide_plan_hygiene(spark):
         "dq_expectations",              # total-count row (1 row)
         "q_price_index",                # base-month scalar (1 row)
         "q_event_study_lift",           # peak-day row (1 row)
+        "pipeline_incremental_rollup",  # cutoff-day bound (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
