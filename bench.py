@@ -192,6 +192,7 @@ HEADLINE = [
     "pipeline_incremental_rollup",
     "q_rate_limit_flags",
     "q_price_volatility_topk",
+    "q_mad_outliers",
 ]
 
 
