@@ -634,3 +634,101 @@ SPECS += [
               "keep-best-per-duplicate-cluster canonical selection",
               ("dedup", "pipeline", "iterative")),
 ]
+
+
+# --- MinHash accuracy audit ---------------------------------------------------
+# Is the sketch telling the truth? For every LSH candidate pair, the
+# MinHash-ESTIMATED Jaccard (matching family members / 16) sits next to
+# the EXACT shingle Jaccard, with the absolute estimation error — the
+# self-audit that justifies trusting banding thresholds at scales where
+# exact verification of every pair is unaffordable. All ratios are
+# integer micros; the intersection joins on the 60-bit shingle hash
+# (collisions mirrored in the oracle, so the comparison stays bit-true).
+
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
+    base = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(X.shingles_spark("toks", MH_K))))
+        .alias("shingle"),
+    ).selectExpr(
+        "doc_id", "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS h")
+    mins = base.groupBy("doc_id").agg(
+        *[F.expr(f"min({family_member_spark('h', _FAMILY[i])})").alias(f"m{i}")
+          for i in range(MH_HASHES)])
+    sizes = base.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    ma = mins.select([F.col("doc_id").alias("doc_a")]
+                     + [F.col(f"m{i}").alias(f"a{i}") for i in range(MH_HASHES)])
+    mb = mins.select([F.col("doc_id").alias("doc_b")]
+                     + [F.col(f"m{i}").alias(f"b{i}") for i in range(MH_HASHES)])
+    match_expr = " + ".join(
+        f"CAST(a{i} = b{i} AS INT)" for i in range(MH_HASHES))
+    est = pairs.join(F.broadcast(ma), "doc_a").join(
+        F.broadcast(mb), "doc_b").selectExpr(
+        "doc_a", "doc_b",
+        f"({match_expr}) * 1000000 div {MH_HASHES} AS est_micro")
+
+    inter = (
+        pairs.join(base.selectExpr("doc_id AS doc_a", "h"), "doc_a")
+        .join(base.selectExpr("doc_id AS doc_b", "h AS hb"), "doc_b")
+        .where("h = hb")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(F.broadcast(sizes.selectExpr("doc_id AS doc_a", "sz AS sa")), "doc_a")
+        .join(F.broadcast(sizes.selectExpr("doc_id AS doc_b", "sz AS sb")), "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b", "est_micro",
+            "inter * 1000000 div (sa + sb - inter) AS true_micro",
+            "abs(est_micro - inter * 1000000 div (sa + sb - inter)) AS err_micro",
+        )
+    )
+
+
+_acc_match_d = " + ".join(
+    f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(MH_HASHES))
+
+DEDUP_MH_ACCURACY_ORACLE = f"""
+WITH pairs AS (
+  {DEDUP_MINHASH_ORACLE}
+), toks2 AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), sh2 AS (
+  SELECT DISTINCT doc_id, unnest({X.shingles_duck('toks', MH_K)}) AS shingle
+  FROM toks2
+), base2 AS (
+  SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh2
+), mins2 AS (
+  SELECT doc_id, {_mins_d} FROM base2 GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM base2 GROUP BY doc_id
+), est AS (
+  SELECT doc_a, doc_b, ({_acc_match_d}) * 1000000 // {MH_HASHES} AS est_micro
+  FROM pairs JOIN mins2 a ON a.doc_id = doc_a JOIN mins2 b ON b.doc_id = doc_b
+), inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS i
+  FROM pairs
+  JOIN base2 x ON x.doc_id = doc_a
+  JOIN base2 y ON y.doc_id = doc_b AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_micro,
+       i * 1000000 // (sa.sz + sb.sz - i) AS true_micro,
+       abs(est_micro - i * 1000000 // (sa.sz + sb.sz - i)) AS err_micro
+FROM est JOIN inter USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_minhash_accuracy", dedup_minhash_accuracy,
+              DEDUP_MH_ACCURACY_ORACLE,
+              "MinHash-estimated vs exact Jaccard per LSH candidate pair",
+              ("dedup", "audit")),
+]

@@ -874,3 +874,70 @@ SPECS += [
               "pairwise-cosine health histogram over strided int8 pairs",
               ("similarity", "diagnostics")),
 ]
+
+
+# --- per-dimension quantile normalization ------------------------------------
+# Feature prep for heterogeneous embedding dims: map each value to its
+# empirical CDF position (tie-averaged), making every dimension
+# uniform[0,1] — the rank-based cousin of z-scoring, robust to the
+# heavy tails int8 quantization amplifies. Values quantize to the int8
+# grid first, so the per-(dim, value) rollup is small (<= 255 rows per
+# dim) and the tie-averaged x2 rank arithmetic is exact; the CDF
+# position is (r2 - 1) * 500000 div n micros. One rollup shuffle over
+# (dim, qv); the rank map broadcasts back onto the exploded dims.
+
+_QN_DIMS = 4  # normalize the first 4 dimensions (pattern extends to all 64)
+
+
+def emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(slice(embedding, 1, {_QN_DIMS}),"
+            " v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+        )).alias("dim", "qv"),
+    )
+    g = dims.groupBy("dim", "qv").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("dim").orderBy("qv").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).selectExpr("dim", "qv", "2 * less + cnt + 1 AS r2")
+    tot = dims.groupBy("dim").agg(F.count("*").alias("n"))
+    return (
+        dims.join(F.broadcast(ranked), ["dim", "qv"])
+        .join(F.broadcast(tot), "dim")
+        .selectExpr("vec_id", "dim", "(r2 - 1) * 500000 div n AS cdf_micro")
+    )
+
+
+EMB_QNORM_ORACLE = f"""
+WITH dims AS (
+  SELECT vec_id,
+         generate_subscripts(embedding[1:{_QN_DIMS}], 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding[1:{_QN_DIMS}]) AS DOUBLE) * 127.0)
+              AS BIGINT) AS qv
+  FROM embeddings
+), g AS (
+  SELECT dim, qv, COUNT(*) AS cnt FROM dims GROUP BY 1, 2
+), ranked AS (
+  SELECT dim, qv,
+         2 * (SUM(cnt) OVER (PARTITION BY dim ORDER BY qv
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+         + cnt + 1 AS r2
+  FROM g
+), tot AS (
+  SELECT dim, COUNT(*) AS n FROM dims GROUP BY 1
+)
+SELECT vec_id, dim, (r2 - 1) * 500000 // n AS cdf_micro
+FROM dims JOIN ranked USING (dim, qv) JOIN tot USING (dim)
+"""
+
+
+SPECS += [
+    QuerySpec("emb_quantile_normalize", emb_quantile_normalize,
+              EMB_QNORM_ORACLE,
+              "per-dim empirical-CDF feature normalization, tie-exact",
+              ("similarity", "trainprep")),
+]

@@ -193,6 +193,8 @@ HEADLINE = [
     "q_rate_limit_flags",
     "q_price_volatility_topk",
     "q_mad_outliers",
+    "emb_quantile_normalize",
+    "dedup_minhash_accuracy",
 ]
 
 

@@ -129,3 +129,30 @@ def test_window_join_count_identity(spark, events):
     want = sum(r["count"] ** 2 for r in per_group.collect())
     # self-join: every pair within (user, window), including self-pairs
     assert joined.count() == want
+
+
+VALUES = st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                  max_size=80)
+
+
+@given(values=VALUES)
+@PROP_SETTINGS
+def test_tie_rank2_rank_sum_invariant(spark, values):
+    """The value-sharded tie-averaged rank map must satisfy the exact
+    rank-sum law Σ cnt·r2 = n(n+1) (twice the sum of 1..n) for ANY
+    multiset — the invariant every Spearman/Mann-Whitney consumer of
+    the distributed rank machinery leans on — and reproduce a pure-
+    Python tie-averaged ranking exactly."""
+    from apache_flink_datastream_api_spark.operators.statistics import _tie_rank2
+
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    got = {r.v: (r.cnt, r.r2) for r in _tie_rank2(df, 37).collect()}
+
+    n = len(values)
+    assert sum(c * r2 for c, r2 in got.values()) == n * (n + 1)
+
+    svals = sorted(values)
+    for v in set(values):
+        less = sum(1 for x in svals if x < v)
+        tied = sum(1 for x in svals if x == v)
+        assert got[v] == (tied, 2 * less + tied + 1)

@@ -283,3 +283,45 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_map_in_arrow_matches_sql_expression(spark):
+    """mapInArrow (zero-copy Arrow batches, no pandas conversion) computes
+    the int8-quantized embedding checksum identically to the declarative
+    SQL expression — pinning the Arrow-native fast path as a drop-in for
+    per-batch numeric kernels. Both paths floor(v * 127) in float64, so
+    the results are bit-identical, not approximately equal."""
+    import pyarrow as pa
+
+    from apache_flink_datastream_api_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+
+    def quantize(batches):
+        for batch in batches:
+            tbl = pa.table(batch)
+            vecs = tbl.column("embedding").to_pylist()
+            qsum = [
+                sum(int(__import__("math").floor(float(v) * 127.0)) for v in vec)
+                for vec in vecs
+            ]
+            yield pa.record_batch(
+                [tbl.column("vec_id").combine_chunks(),
+                 pa.array(qsum, type=pa.int64())],
+                names=["vec_id", "q_sum"],
+            )
+
+    arrow_out = dict(
+        (r.vec_id, r.q_sum)
+        for r in emb.mapInArrow(quantize, "vec_id long, q_sum long").collect()
+    )
+    sql_out = dict(
+        (r.vec_id, r.q_sum)
+        for r in emb.selectExpr(
+            "vec_id",
+            "aggregate(transform(embedding,"
+            " v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT)),"
+            " 0L, (a, b) -> a + b) AS q_sum",
+        ).collect()
+    )
+    assert arrow_out == sql_out and len(arrow_out) > 0
