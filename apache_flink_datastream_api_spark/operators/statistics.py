@@ -1503,3 +1503,141 @@ SPECS += [
               "median/MAD robust outlier flags from exact sharded quantiles",
               ("analytics", "stats", "robust")),
 ]
+
+
+# --- event-time disorder audit ------------------------------------------------
+# How out-of-order is the stream, per user and overall? An event is
+# "late" if it carries a smaller timestamp than an earlier-ingested
+# event of the same user (ingestion order = event_id, the generator's
+# append order). One per-user window pass (running max of ts over
+# ingestion order, strictly-preceding frame); the summary is what you
+# size WATERMARK DELAY from — the reference hand-tunes 2 s
+# (chapter4/EventTimeOperations.java:98-100), this measures instead.
+
+def q_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "unix_millis(ts) AS ts_ms")
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn("prior_max", F.max("ts_ms").over(w)).selectExpr(
+        "CAST(prior_max IS NOT NULL AND ts_ms < prior_max AS INT) AS late",
+        "CASE WHEN prior_max IS NOT NULL AND ts_ms < prior_max"
+        " THEN prior_max - ts_ms ELSE 0 END AS lag_ms",
+    )
+    return flagged.agg(
+        F.count("*").alias("n_events"),
+        F.sum("late").alias("n_late"),
+        F.expr("sum(late) * 1000000 div count(*)").alias("late_ppm"),
+        F.max("lag_ms").alias("max_disorder_ms"),
+        F.sum(F.expr("CAST(lag_ms AS DECIMAL(28,0))")).cast("long")
+        .alias("total_disorder_ms"),
+    )
+
+
+Q_OOO_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+), flagged AS (
+  SELECT CAST(pm IS NOT NULL AND ts_ms < pm AS INT) AS late,
+         CASE WHEN pm IS NOT NULL AND ts_ms < pm THEN pm - ts_ms
+              ELSE 0 END AS lag_ms
+  FROM (
+    SELECT ts_ms, MAX(ts_ms) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM ev
+  )
+)
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(late) AS BIGINT) AS n_late,
+       CAST(SUM(late) AS BIGINT) * 1000000 // COUNT(*) AS late_ppm,
+       MAX(lag_ms) AS max_disorder_ms,
+       CAST(SUM(CAST(lag_ms AS HUGEINT)) AS BIGINT) AS total_disorder_ms
+FROM flagged
+"""
+
+
+# --- Theil-Sen robust trend ---------------------------------------------------
+# Median-of-pairwise-slopes over the daily revenue series — the robust
+# companion to Mann-Kendall (which only signs the trend; this sizes
+# it). Slopes are exact rationals (cents per day: dx is BIGINT, dt a
+# whole day count); the median picks by rank over slope_micro =
+# dx * 1e6 div dt, floored identically on both engines. The |days|^2
+# pair join is calendar-bounded (same justification as Mann-Kendall).
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            f"unix_millis(o_orderdate) - pmod(unix_millis(o_orderdate), {DAY_MS})"
+            " AS day_ms",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day_ms")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("x"))
+    )
+    a = daily.selectExpr("day_ms AS da", "x AS xa")
+    b = daily.selectExpr("day_ms AS db", "x AS xb")
+    slopes = (
+        b.join(F.broadcast(a), F.col("da") < F.col("db"))
+        .selectExpr(
+            f"(xb - xa) * 1000000 div greatest(1, (db - da) div {DAY_MS})"
+            " AS slope_micro")
+    )
+    # |days|^2/2 pair slopes is calendar-bounded but still millions of
+    # rows — the median comes from the value-sharded rank (9th user),
+    # never a single-partition ORDER BY over the pair set.
+    sharded = slopes.withColumn(
+        "shard", F.expr("slope_micro div 1000000000000"))
+    local = sharded.withColumn("lr", F.row_number().over(
+        Window.partitionBy("shard").orderBy("slope_micro")))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        sharded.groupBy("shard").agg(F.count("*").alias("c"))
+        .withColumn("base", F.coalesce(F.sum("c").over(w_sh), F.lit(0)))
+        .select("shard", "base")
+    )
+    n_row = slopes.agg(F.count("*").alias("m"))
+    return (
+        local.join(F.broadcast(bases), "shard")
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr("slope_micro", "m", "base + lr AS rk")
+        .where("rk = (m + 1) div 2 OR rk = m div 2 + 1")
+        .agg(
+            F.max("m").alias("n_pairs"),
+            F.expr("CAST(sum(slope_micro) div count(*) AS BIGINT)")
+            .alias("theil_sen_slope_micro"),
+        )
+    )
+
+
+Q_THEIL_SEN_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(o_orderdate) - epoch_ms(o_orderdate) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT (b.x - a.x) * 1000000 // greatest(1, (b.day_ms - a.day_ms) // {DAY_MS})
+           AS slope_micro
+  FROM daily a JOIN daily b ON a.day_ms < b.day_ms
+), ranked AS (
+  SELECT slope_micro, row_number() OVER (ORDER BY slope_micro) AS rk,
+         COUNT(*) OVER () AS m
+  FROM slopes
+)
+SELECT MAX(m) AS n_pairs,
+       CAST(SUM(slope_micro) // COUNT(*) AS BIGINT) AS theil_sen_slope_micro
+FROM ranked WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_out_of_order_audit", q_out_of_order_audit, Q_OOO_ORACLE,
+              "event-time disorder audit: late fraction + max watermark lag",
+              ("analytics", "streaming-adjacent", "quality")),
+    QuerySpec("q_theil_sen_trend", q_theil_sen_trend, Q_THEIL_SEN_ORACLE,
+              "Theil-Sen median-of-slopes robust trend over daily revenue",
+              ("analytics", "stats", "robust")),
+]

@@ -919,3 +919,129 @@ SPECS += [
               "RAKE keyphrase extraction: stopword-islands + degree/freq scores",
               ("text", "keyphrase")),
 ]
+
+
+# --- RAG passage retrieval (capstone composition) -----------------------------
+# The retrieval-corpus prep flow end-to-end IN ONE PLAN: overlapping
+# chunking (pipeline.chunk_documents — the context-window packing step)
+# -> chunk-level BM25 over the standing query terms (ln-free idf, the
+# text_bm25_rank determinism recipe, with document length = chunk
+# length and df = chunks containing the term) -> best passage per doc
+# (argmax window inside each doc's handful of chunks) -> global top-5
+# passages. What a retrieval stack materializes before embeddings
+# enter the picture; every stage is the already-verified machinery,
+# composed.
+
+RAG_TOP = 5
+
+
+def pipeline_rag_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .pipeline import chunk_documents
+
+    chunks = chunk_documents(spark, sf_dir)
+    chunks.createOrReplaceTempView("rag_chunks")
+    df_terms = ", ".join(
+        "COUNT(DISTINCT CASE WHEN token = '{t}' THEN struct(doc_id, chunk_id)"
+        " END) AS df_{t}".format(t=t)
+        for t in SEARCH_TERMS
+    )
+
+    def term(t: str) -> str:
+        tf = f"CAST(size(filter(split(chunk_text, ' '), x -> x = '{t}')) AS DOUBLE)"
+        idf = f"((n_chunks - df_{t}) + 0.5) / (df_{t} + 0.5)"
+        sat = (f"({tf} * ({BM25_K1} + 1)) / ({tf} + ({BM25_K1} * ((1 - {BM25_B})"
+               f" + ({BM25_B} * (dl / avgdl)))))")
+        return f"({idf}) * ({sat})"
+
+    scored = spark.sql(f"""
+        WITH stats AS (
+          SELECT COUNT(*) AS n_chunks,
+                 CAST(SUM(CAST(n_chunk_tokens AS DECIMAL(28,0))) AS DOUBLE)
+                   / COUNT(*) AS avgdl
+          FROM rag_chunks
+        ), dfs AS (
+          SELECT {df_terms} FROM (
+            SELECT doc_id, chunk_id, explode(split(chunk_text, ' ')) AS token
+            FROM rag_chunks
+          )
+        )
+        SELECT doc_id, chunk_id, n_chunk_tokens,
+               CAST(n_chunk_tokens AS DOUBLE) AS dl,
+               chunk_text, n_chunks, avgdl,
+               {', '.join(f'df_{t}' for t in SEARCH_TERMS)}
+        FROM rag_chunks CROSS JOIN stats CROSS JOIN dfs
+    """).selectExpr(
+        "doc_id", "chunk_id", "n_chunk_tokens",
+        " + ".join(term(t) for t in SEARCH_TERMS) + " AS score",
+    )
+    best = W.partitionBy("doc_id").orderBy(F.desc("score"), "chunk_id")
+    per_doc = scored.withColumn("brk", F.row_number().over(best)).where("brk = 1")
+    top = W.orderBy(F.desc("score"), "doc_id", "chunk_id")
+    return (
+        per_doc.withColumn("rank", F.row_number().over(top))
+        .where(f"rank <= {RAG_TOP}")
+        .select("rank", "doc_id", "chunk_id", "n_chunk_tokens", "score")
+    )
+
+
+from .pipeline import CHUNK_ORACLE as _CHUNK_ORACLE  # noqa: E402
+
+_RAG_DF_D = ", ".join(
+    "COUNT(DISTINCT CASE WHEN token = '{t}' THEN (doc_id, chunk_id)"
+    " END) AS df_{t}".format(t=t)
+    for t in SEARCH_TERMS
+)
+
+
+def _rag_term_duck(t: str) -> str:
+    tf = (f"CAST(len(list_filter(string_split(chunk_text, ' '),"
+          f" x -> x = '{t}')) AS DOUBLE)")
+    idf = f"((n_chunks - df_{t}) + 0.5) / (df_{t} + 0.5)"
+    sat = (f"({tf} * ({BM25_K1} + 1)) / ({tf} + ({BM25_K1} * ((1 - {BM25_B})"
+           f" + ({BM25_B} * (dl / avgdl)))))")
+    return f"({idf}) * ({sat})"
+
+
+PIPELINE_RAG_ORACLE = f"""
+WITH rag_chunks AS (
+  {_CHUNK_ORACLE}
+), stats AS (
+  SELECT COUNT(*) AS n_chunks,
+         CAST(SUM(CAST(n_chunk_tokens AS HUGEINT)) AS DOUBLE) / COUNT(*)
+           AS avgdl
+  FROM rag_chunks
+), dfs AS (
+  SELECT {_RAG_DF_D} FROM (
+    SELECT doc_id, chunk_id, unnest(string_split(chunk_text, ' ')) AS token
+    FROM rag_chunks
+  )
+), scored AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens,
+         {" + ".join(_rag_term_duck(t) for t in SEARCH_TERMS)} AS score
+  FROM (
+    SELECT doc_id, chunk_id, n_chunk_tokens,
+           CAST(n_chunk_tokens AS DOUBLE) AS dl, chunk_text,
+           n_chunks, avgdl, {', '.join(f'df_{t}' for t in SEARCH_TERMS)}
+    FROM rag_chunks CROSS JOIN stats CROSS JOIN dfs
+  )
+), per_doc AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, chunk_id) AS brk
+  FROM scored
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS rank,
+       doc_id, chunk_id, n_chunk_tokens, score
+FROM per_doc WHERE brk = 1
+ORDER BY score DESC, doc_id, chunk_id
+LIMIT {RAG_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_rag_passages", pipeline_rag_passages,
+              PIPELINE_RAG_ORACLE,
+              "chunk -> chunk-BM25 -> best-passage-per-doc -> top-5 retrieval",
+              ("text", "search", "pipeline")),
+]

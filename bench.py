@@ -195,6 +195,9 @@ HEADLINE = [
     "q_mad_outliers",
     "emb_quantile_normalize",
     "dedup_minhash_accuracy",
+    "pipeline_rag_passages",
+    "q_out_of_order_audit",
+    "q_theil_sen_trend",
 ]
 
 

@@ -108,6 +108,8 @@ REPRESENTATIVES = [
     "text_keyphrase_rake",
     # descending sharded cumulative shares (8th sharded-rank user)
     "q_abc_analysis",
+    # 9th sharded-rank user: median of the pair-slope multiset
+    "q_theil_sen_trend",
 ]
 
 

@@ -396,6 +396,10 @@ def test_registry_wide_plan_hygiene(spark):
         "q_price_index",                # base-month scalar (1 row)
         "q_event_study_lift",           # peak-day row (1 row)
         "pipeline_incremental_rollup",  # cutoff-day bound (1 row)
+        "pipeline_rag_passages",        # chunk-corpus stats + dfs (1 row each)
+        "q_abc_analysis",               # revenue-total row (1 row)
+        "q_control_chart",              # chart-limits row (1 row)
+        "q_theil_sen_trend",            # daily pair join (calendar-bounded) + m row
     }
     violations = []
     for name, spec in all_queries().items():
