@@ -1641,3 +1641,236 @@ SPECS += [
               "Theil-Sen median-of-slopes robust trend over daily revenue",
               ("analytics", "stats", "robust")),
 ]
+
+
+# --- Poisson-bootstrap CI for A/B uplift --------------------------------------
+# The experimentation deliverable: not "is the uplift nonzero" (the rank
+# tests answer that) but "how big is it, with what interval". Same
+# coordination-free Poisson(1) replica machinery as
+# q_poisson_bootstrap_ci, drawn INDEPENDENTLY per arm (hash-salted by
+# the arm), uplift per replica = mean_b - mean_a in exact milli-cents,
+# CI = the 2nd/31st order statistics of 32 replica uplifts.
+
+def q_ab_bootstrap_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    fam = _boot_family(_B)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("arm"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        portable_hash64(F.concat(F.col("event_type"), F.lit("#"),
+                                 F.col("event_id").cast("string"))).alias("h"),
+    )
+    members = ", ".join(_boot_member("h", abc, True) for abc in fam)
+    rep = ev.select(
+        "arm", "cents",
+        F.posexplode(F.expr(f"array({members})")).alias("r", "u"),
+    ).selectExpr("arm", "cents", "r", f"{_pois_case('u')} AS w")
+    arm_means = (
+        rep.groupBy("r", "arm")
+        .agg(F.sum(F.expr("CAST(w AS DECIMAL(28,0)) * cents")).cast("long")
+             .alias("ws"),
+             F.sum("w").alias("wn"))
+        .selectExpr("r", "arm", "ws * 1000 div wn AS mean_milli")
+    )
+    uplift = (
+        arm_means.groupBy("r").pivot("arm", ["click", "purchase"])
+        .agg(F.first("mean_milli"))
+        .selectExpr("r", "purchase - click AS uplift_milli")
+    )
+    rk = Window.orderBy("uplift_milli", "r")
+    picked = uplift.withColumn("rk", F.row_number().over(rk)).where(
+        F.col("rk").isin(2, _B - 1))
+    point = (
+        ev.groupBy("arm").agg(
+            F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("s"),
+            F.count("*").alias("n"))
+        .groupBy().pivot("arm", ["click", "purchase"]).agg(
+            F.first(F.expr("s * 1000 div n")))
+        .selectExpr("purchase - click AS uplift_point_milli")
+    )
+    return (
+        picked.groupBy()
+        .agg(F.min("uplift_milli").alias("ci_lo_milli"),
+             F.max("uplift_milli").alias("ci_hi_milli"))
+        .crossJoin(F.broadcast(point))
+        .selectExpr(f"{_B} AS n_replicas", "ci_lo_milli", "ci_hi_milli",
+                    "uplift_point_milli")
+    )
+
+
+_AB_H = _ph64_sql("concat(event_type, '#', CAST(event_id AS VARCHAR))")
+_AB_MEMBERS = ", ".join(
+    _boot_member("h", abc, False) for abc in _boot_family(_B))
+
+Q_AB_UPLIFT_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type AS arm, CAST(round(value * 100) AS BIGINT) AS cents,
+         {_AB_H} AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+), rep AS (
+  SELECT arm, cents,
+         generate_subscripts([{_AB_MEMBERS}], 1) - 1 AS r,
+         unnest([{_AB_MEMBERS}]) AS u
+  FROM ev
+), arm_means AS (
+  SELECT r, arm,
+         CAST(SUM(CAST({_POIS_CASE_SQL} AS HUGEINT) * cents) AS BIGINT)
+           * 1000 // CAST(SUM({_POIS_CASE_SQL}) AS BIGINT) AS mean_milli
+  FROM rep GROUP BY 1, 2
+), uplift AS (
+  SELECT r,
+         MAX(CASE WHEN arm = 'purchase' THEN mean_milli END)
+         - MAX(CASE WHEN arm = 'click' THEN mean_milli END) AS uplift_milli
+  FROM arm_means GROUP BY r
+), ranked AS (
+  SELECT uplift_milli, row_number() OVER (ORDER BY uplift_milli, r) AS rk
+  FROM uplift
+), point AS (
+  SELECT MAX(CASE WHEN arm = 'purchase' THEN m END)
+         - MAX(CASE WHEN arm = 'click' THEN m END) AS uplift_point_milli
+  FROM (
+    SELECT arm, CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) * 1000 // COUNT(*)
+           AS m
+    FROM ev GROUP BY arm
+  )
+)
+SELECT {_B} AS n_replicas,
+       MIN(uplift_milli) AS ci_lo_milli,
+       MAX(uplift_milli) AS ci_hi_milli,
+       MAX(uplift_point_milli) AS uplift_point_milli
+FROM ranked CROSS JOIN point
+WHERE rk IN (2, {_B - 1})
+"""
+
+
+SPECS += [
+    QuerySpec("q_ab_bootstrap_uplift", q_ab_bootstrap_uplift,
+              Q_AB_UPLIFT_ORACLE,
+              "Poisson-bootstrap CI for the A/B uplift in exact milli-cents",
+              ("analytics", "stats", "sampling")),
+]
+
+
+# --- CEP times() quantifier ---------------------------------------------------
+# The FlinkCEP quantifier family member the followed-by pair doesn't
+# cover: pattern "at least N views within the lookback day, then a
+# purchase" (times(N) + next). Declarative form: one per-user RANGE
+# frame counting views in the preceding day AT each purchase — no
+# automaton needed because the quantifier is a windowed count, which is
+# exactly why Flink's times() exists as syntax and Spark needs none.
+
+_CEP_TIMES_N = 2
+_CEP_TIMES_WINDOW_MS = 86_400_000  # day lookback; the sparse synthetic stream has no hour-scale bursts
+
+
+def q_cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")).selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms", "event_id")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts_ms")
+        .rangeBetween(-_CEP_TIMES_WINDOW_MS, -1)
+    )
+    counted = ev.withColumn(
+        "n_views_1h",
+        F.sum(F.expr("CAST(event_type = 'view' AS BIGINT)")).over(w))
+    return (
+        counted.where(
+            f"event_type = 'purchase' AND n_views_1h >= {_CEP_TIMES_N}")
+        .selectExpr("user_id", "ts_ms AS purchase_ts_ms", "n_views_1h")
+    )
+
+
+Q_CEP_TIMES_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE event_type IN ('view', 'purchase')
+), counted AS (
+  SELECT user_id, event_type, ts_ms,
+         SUM(CAST(event_type = 'view' AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts_ms
+           RANGE BETWEEN {_CEP_TIMES_WINDOW_MS} PRECEDING AND 1 PRECEDING)
+           AS n_views_1h
+  FROM ev
+)
+SELECT user_id, ts_ms AS purchase_ts_ms, n_views_1h
+FROM counted
+WHERE event_type = 'purchase' AND n_views_1h >= {_CEP_TIMES_N}
+"""
+
+
+# --- A/A calibration ----------------------------------------------------------
+# Before trusting any A/B readout: split the SAME population into 32
+# pseudo-experiments by hash and measure how often a no-effect split
+# produces an |uplift| beyond the practical-significance bar. A
+# well-behaved assignment shows few exceedances; a biased hash or a
+# heavy tail shows up immediately. Pure integer arithmetic per split.
+
+_AA_SPLITS = 32
+_AA_BAR_MILLI = 200_000  # 200 cents practical-significance bar
+
+
+def q_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.pmod(portable_hash64(F.concat(F.lit("aa#"),
+               F.col("user_id").cast("string"))), F.lit(_AA_SPLITS * 2))
+        .alias("bucket"),
+    ).selectExpr(
+        f"bucket div 2 AS split_id", "pmod(bucket, 2) AS arm", "cents")
+    per_arm = ev.groupBy("split_id", "arm").agg(
+        F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("s"),
+        F.count("*").alias("n"),
+    ).selectExpr("split_id", "arm", "s * 1000 div n AS mean_milli")
+    uplifts = (
+        per_arm.groupBy("split_id").pivot("arm", [0, 1])
+        .agg(F.first("mean_milli"))
+        .selectExpr("split_id", "`1` - `0` AS uplift_milli")
+    )
+    return uplifts.agg(
+        F.count("*").alias("n_splits"),
+        F.max(F.abs(F.col("uplift_milli"))).alias("max_abs_uplift_milli"),
+        F.sum(F.expr(
+            f"CAST(abs(uplift_milli) > {_AA_BAR_MILLI} AS BIGINT)"))
+        .alias("n_exceedances"),
+    )
+
+
+_AA_H = _ph64_sql("concat('aa#', CAST(user_id AS VARCHAR))")
+
+Q_AA_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         ({_AA_H}) % {_AA_SPLITS * 2} AS bucket
+  FROM events
+), per_arm AS (
+  SELECT bucket // 2 AS split_id, bucket % 2 AS arm,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) * 1000 // COUNT(*)
+           AS mean_milli
+  FROM ev GROUP BY 1, 2
+), uplifts AS (
+  SELECT split_id,
+         MAX(CASE WHEN arm = 1 THEN mean_milli END)
+         - MAX(CASE WHEN arm = 0 THEN mean_milli END) AS uplift_milli
+  FROM per_arm GROUP BY 1
+)
+SELECT COUNT(*) AS n_splits,
+       MAX(abs(uplift_milli)) AS max_abs_uplift_milli,
+       CAST(SUM(CAST(abs(uplift_milli) > {_AA_BAR_MILLI} AS BIGINT))
+            AS BIGINT) AS n_exceedances
+FROM uplifts
+"""
+
+
+SPECS += [
+    QuerySpec("q_cep_times", q_cep_times, Q_CEP_TIMES_ORACLE,
+              "CEP times(N) quantifier: >=2 views in the day before purchase",
+              ("analytics", "cep", "window")),
+    QuerySpec("q_aa_calibration", q_aa_calibration, Q_AA_ORACLE,
+              "A/A split calibration: false-exceedance audit over 32 splits",
+              ("analytics", "stats", "experimentation")),
+]

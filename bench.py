@@ -198,6 +198,9 @@ HEADLINE = [
     "pipeline_rag_passages",
     "q_out_of_order_audit",
     "q_theil_sen_trend",
+    "q_ab_bootstrap_uplift",
+    "q_cep_times",
+    "q_aa_calibration",
 ]
 
 

@@ -110,6 +110,10 @@ REPRESENTATIVES = [
     "q_abc_analysis",
     # 9th sharded-rank user: median of the pair-slope multiset
     "q_theil_sen_trend",
+    # per-arm replica pivot + order-statistic pick over hash draws
+    "q_ab_bootstrap_uplift",
+    # hash-split pseudo-experiments (integer per-split means)
+    "q_aa_calibration",
 ]
 
 

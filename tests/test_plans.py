@@ -400,6 +400,7 @@ def test_registry_wide_plan_hygiene(spark):
         "q_abc_analysis",               # revenue-total row (1 row)
         "q_control_chart",              # chart-limits row (1 row)
         "q_theil_sen_trend",            # daily pair join (calendar-bounded) + m row
+        "q_ab_bootstrap_uplift",        # point-estimate row (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
