@@ -1874,3 +1874,119 @@ SPECS += [
               "A/A split calibration: false-exceedance audit over 32 splits",
               ("analytics", "stats", "experimentation")),
 ]
+
+
+# --- language-ID confusion matrix (model eval) --------------------------------
+# The eval readout for the text_langid heuristic: confusion counts per
+# (labeled, predicted) cell plus per-class recall and the global
+# accuracy — documents carry ground-truth `lang`, so the classifier
+# grades itself. The model-evaluation shape (one keyed rollup over the
+# scored scan + a broadcast per-class total) applies unchanged to any
+# classifier whose scores are deterministic columns.
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import text_langid
+
+    scored = text_langid(spark, sf_dir)
+    cells = scored.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs"))
+    per_class = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("class_total"))
+    return (
+        cells.join(F.broadcast(per_class), "labeled_lang")
+        .selectExpr(
+            "labeled_lang", "predicted_lang", "n_docs",
+            "n_docs * 1000000 div class_total AS cell_ppm",
+        )
+    )
+
+
+TEXT_LANGID_CONFUSION_ORACLE = """
+WITH scored AS (
+  {langid}
+), cells AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM scored GROUP BY 1, 2
+), per_class AS (
+  SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS class_total
+  FROM cells GROUP BY 1
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+       n_docs * 1000000 // class_total AS cell_ppm
+FROM cells JOIN per_class USING (labeled_lang)
+"""
+
+
+# --- rolling-origin forecast backtest -----------------------------------------
+# q_forecast_baseline picks a winner at horizon 1 and 7; this grades the
+# seasonal-naive forecaster at EVERY horizon 1..7 days with the rolling
+# origin — MAE(h) = mean |x(d) - x(d - h)| over all evaluable days. One
+# map-side horizon explode + seven broadcast equi-joins collapsed into a
+# single shifted self-join on (day - h). The MAE-vs-horizon curve is how
+# a forecasting team picks the refresh cadence.
+
+_BT_HORIZONS = 7
+
+
+def q_backtest_horizon_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            f"unix_millis(o_orderdate) - pmod(unix_millis(o_orderdate), {DAY_MS})"
+            " AS day_ms",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day_ms")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("x"))
+    )
+    probes = daily.selectExpr(
+        "x AS x_now",
+        f"explode(transform(sequence(1, {_BT_HORIZONS}),"
+        f" h -> struct(h AS h, day_ms - h * {DAY_MS} AS base_day))) AS e",
+    ).selectExpr("x_now", "e.h AS h", "e.base_day AS day_ms")
+    joined = probes.join(F.broadcast(daily), "day_ms")
+    return (
+        joined.groupBy("h")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.expr("CAST(abs(x_now - x) AS DECIMAL(28,0))")).cast("long")
+            .alias("abs_err"),
+        )
+        .selectExpr("h AS horizon_days", "n_days",
+                    "abs_err div n_days AS mae_cents")
+    )
+
+
+Q_BACKTEST_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(o_orderdate) - epoch_ms(o_orderdate) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), probes AS (
+  SELECT d.x AS x_now, h.range AS h, d.day_ms - h.range * {DAY_MS} AS day_ms
+  FROM daily d CROSS JOIN range(1, {_BT_HORIZONS} + 1) h
+)
+SELECT h AS horizon_days, COUNT(*) AS n_days,
+       CAST(SUM(CAST(abs(x_now - b.x) AS HUGEINT)) AS BIGINT) // COUNT(*)
+         AS mae_cents
+FROM probes p JOIN daily b USING (day_ms)
+GROUP BY 1
+"""
+
+
+from .textops import TEXT_LANGID_ORACLE as _LANGID_ORACLE  # noqa: E402
+
+TEXT_LANGID_CONFUSION_ORACLE = TEXT_LANGID_CONFUSION_ORACLE.format(
+    langid=_LANGID_ORACLE)
+
+SPECS += [
+    QuerySpec("text_langid_confusion", text_langid_confusion,
+              TEXT_LANGID_CONFUSION_ORACLE,
+              "confusion matrix + per-class recall for the langid heuristic",
+              ("text", "eval")),
+    QuerySpec("q_backtest_horizon_mae", q_backtest_horizon_mae,
+              Q_BACKTEST_ORACLE,
+              "rolling-origin MAE per forecast horizon 1..7 days",
+              ("analytics", "timeseries", "eval")),
+]

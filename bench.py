@@ -201,6 +201,8 @@ HEADLINE = [
     "q_ab_bootstrap_uplift",
     "q_cep_times",
     "q_aa_calibration",
+    "text_langid_confusion",
+    "q_backtest_horizon_mae",
 ]
 
 
