@@ -1990,3 +1990,149 @@ SPECS += [
               "rolling-origin MAE per forecast horizon 1..7 days",
               ("analytics", "timeseries", "eval")),
 ]
+
+
+# --- difference-in-differences ------------------------------------------------
+# The minimal causal readout: treated group = purchase events, control =
+# click events, treatment boundary = the time-range midpoint. DiD =
+# (treated_post - treated_pre) - (control_post - control_pre) over
+# floored mean milli-cents. One conditional aggregate after the 1-row
+# bounds broadcast; the parallel-trends caveat is the analyst's, the
+# engine's job is the exact arithmetic.
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")).selectExpr(
+        "event_type", "unix_millis(ts) AS ts_ms",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+    bounds = ev.agg(F.expr("(min(ts_ms) + max(ts_ms)) div 2").alias("mid"))
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .selectExpr("event_type", "CAST(ts_ms >= mid AS INT) AS post", "cents")
+        .groupBy("event_type", "post")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("s"),
+             F.count("*").alias("n"))
+        .selectExpr("event_type", "post", "s * 1000 div n AS mean_milli")
+    )
+    return (
+        cells.groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.max(F.expr("CASE WHEN post = 1 THEN mean_milli END")).alias("post"),
+             F.max(F.expr("CASE WHEN post = 0 THEN mean_milli END")).alias("pre"))
+        .selectExpr(
+            "purchase_post - purchase_pre AS treated_delta_milli",
+            "click_post - click_pre AS control_delta_milli",
+            "(purchase_post - purchase_pre) - (click_post - click_pre)"
+            " AS did_milli",
+        )
+    )
+
+
+Q_DID_ORACLE = """
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'purchase')
+), bounds AS (
+  SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS mid FROM ev
+), cells AS (
+  SELECT event_type, CAST(ts_ms >= mid AS INT) AS post,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) * 1000 // COUNT(*)
+           AS mean_milli
+  FROM ev CROSS JOIN bounds GROUP BY 1, 2
+)
+SELECT
+  MAX(CASE WHEN event_type = 'purchase' AND post = 1 THEN mean_milli END)
+  - MAX(CASE WHEN event_type = 'purchase' AND post = 0 THEN mean_milli END)
+    AS treated_delta_milli,
+  MAX(CASE WHEN event_type = 'click' AND post = 1 THEN mean_milli END)
+  - MAX(CASE WHEN event_type = 'click' AND post = 0 THEN mean_milli END)
+    AS control_delta_milli,
+  (MAX(CASE WHEN event_type = 'purchase' AND post = 1 THEN mean_milli END)
+   - MAX(CASE WHEN event_type = 'purchase' AND post = 0 THEN mean_milli END))
+  - (MAX(CASE WHEN event_type = 'click' AND post = 1 THEN mean_milli END)
+     - MAX(CASE WHEN event_type = 'click' AND post = 0 THEN mean_milli END))
+    AS did_milli
+FROM cells
+"""
+
+
+# --- discrete-time survival hazard --------------------------------------------
+# Survival analysis WITHOUT the Kaplan-Meier float product (whose
+# cumulative multiplication is not portably roundable): the discrete
+# hazard table h(k) = churned-in-week-k / at-risk-in-week-k is pure
+# integer ratios per row. Lifetime = weeks between a user's first and
+# last event; users whose last event touches the final observed week
+# are CENSORED (still alive) and leave the risk set without a churn
+# event — the survival-analysis distinction that a naive lifetime
+# histogram gets wrong. at-risk(k) comes from a running sum over the
+# tiny lifetime histogram, never the user table.
+
+_WEEK_MS = 7 * 86_400_000
+
+
+def q_discrete_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms")
+    bounds = ev.agg(F.max("ts_ms").alias("obs_end"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts_ms").alias("first_ms"), F.max("ts_ms").alias("last_ms"))
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            f"(last_ms - first_ms) div {_WEEK_MS} AS lifetime_w",
+            f"CAST((obs_end - last_ms) div {_WEEK_MS} < 1 AS INT) AS censored",
+        )
+    )
+    hist = users.groupBy("lifetime_w").agg(
+        F.count("*").alias("n_ending"),
+        F.sum("censored").alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("lifetime_w")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (
+        hist.withColumn("at_risk", F.sum("n_ending").over(w))
+        .selectExpr(
+            "lifetime_w AS week",
+            "at_risk",
+            "n_ending - n_censored AS n_churned",
+            "n_censored",
+            "(n_ending - n_censored) * 1000000 div at_risk AS hazard_ppm",
+        )
+    )
+
+
+Q_HAZARD_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+), bounds AS (
+  SELECT MAX(ts_ms) AS obs_end FROM ev
+), users AS (
+  SELECT (MAX(ts_ms) - MIN(ts_ms)) // {_WEEK_MS} AS lifetime_w,
+         CAST((MAX(obs_end) - MAX(ts_ms)) // {_WEEK_MS} < 1 AS INT) AS censored
+  FROM ev CROSS JOIN bounds GROUP BY user_id
+), hist AS (
+  SELECT lifetime_w, COUNT(*) AS n_ending,
+         CAST(SUM(censored) AS BIGINT) AS n_censored
+  FROM users GROUP BY 1
+)
+SELECT lifetime_w AS week,
+       SUM(n_ending) OVER (ORDER BY lifetime_w DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk,
+       n_ending - n_censored AS n_churned,
+       n_censored,
+       (n_ending - n_censored) * 1000000
+         // SUM(n_ending) OVER (ORDER BY lifetime_w DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard_ppm
+FROM hist
+"""
+
+
+SPECS += [
+    QuerySpec("q_diff_in_diff", q_diff_in_diff, Q_DID_ORACLE,
+              "difference-in-differences over the time-range midpoint",
+              ("analytics", "stats", "causal")),
+    QuerySpec("q_discrete_hazard", q_discrete_hazard, Q_HAZARD_ORACLE,
+              "discrete-time survival hazard table with censoring",
+              ("analytics", "stats", "survival")),
+]

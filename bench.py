@@ -203,6 +203,8 @@ HEADLINE = [
     "q_aa_calibration",
     "text_langid_confusion",
     "q_backtest_horizon_mae",
+    "q_diff_in_diff",
+    "q_discrete_hazard",
 ]
 
 

@@ -401,6 +401,8 @@ def test_registry_wide_plan_hygiene(spark):
         "q_control_chart",              # chart-limits row (1 row)
         "q_theil_sen_trend",            # daily pair join (calendar-bounded) + m row
         "q_ab_bootstrap_uplift",        # point-estimate row (1 row)
+        "q_diff_in_diff",               # midpoint bound (1 row)
+        "q_discrete_hazard",            # observation-end bound (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
