@@ -732,3 +732,82 @@ SPECS += [
               "MinHash-estimated vs exact Jaccard per LSH candidate pair",
               ("dedup", "audit")),
 ]
+
+
+# --- LSH candidate-generation eval --------------------------------------------
+# Closes the dedup-audit loop that dedup_minhash_accuracy opens: not
+# "how good are the estimates" but "how good is the CANDIDATE SET".
+# Ground truth = source-blocked exact 3-gram Jaccard >= NJ_THRESHOLD
+# (dedup_ngram_jaccard — same shingle size as the MinHash path, so the
+# two pipelines measure the same similarity); prediction = the LSH
+# banding candidates restricted to same-source pairs (LSH also surfaces
+# cross-source pairs the blocked ground truth cannot see — excluded for
+# a fair confusion count). Output: the confusion counts + integer-ppm
+# precision/recall — the banding-parameter tuning readout.
+
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pred = dedup_minhash_lsh(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pred_ss = (
+        pred.join(F.broadcast(src.selectExpr("doc_id AS doc_a",
+                                             "source AS sa")), "doc_a")
+        .join(F.broadcast(src.selectExpr("doc_id AS doc_b", "source AS sb")),
+              "doc_b")
+        .where("sa = sb")
+        .select("doc_a", "doc_b")
+    )
+    joined = pred_ss.withColumn("p", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.sum(F.expr("CAST(p IS NOT NULL AND t IS NOT NULL AS BIGINT)"))
+        .alias("tp"),
+        F.sum(F.expr("CAST(p IS NOT NULL AND t IS NULL AS BIGINT)"))
+        .alias("fp"),
+        F.sum(F.expr("CAST(p IS NULL AND t IS NOT NULL AS BIGINT)"))
+        .alias("fn"),
+    ).selectExpr(
+        "tp", "fp", "fn",
+        "CASE WHEN tp + fp = 0 THEN 0"
+        " ELSE tp * 1000000 div (tp + fp) END AS precision_ppm",
+        "CASE WHEN tp + fn = 0 THEN 0"
+        " ELSE tp * 1000000 div (tp + fn) END AS recall_ppm",
+    )
+
+
+DEDUP_LSH_EVAL_ORACLE = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_ORACLE})
+), pred0 AS (
+  {DEDUP_MINHASH_ORACLE}
+), pred AS (
+  SELECT doc_a, doc_b
+  FROM pred0
+  JOIN documents da ON da.doc_id = doc_a
+  JOIN documents db ON db.doc_id = doc_b
+  WHERE da.source = db.source
+), joined AS (
+  SELECT COALESCE(p.doc_a, t.doc_a) AS doc_a,
+         p.doc_a IS NOT NULL AS in_p, t.doc_a IS NOT NULL AS in_t
+  FROM pred p FULL OUTER JOIN truth t
+    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+), agg AS (
+  SELECT CAST(SUM(CAST(in_p AND in_t AS BIGINT)) AS BIGINT) AS tp,
+         CAST(SUM(CAST(in_p AND NOT in_t AS BIGINT)) AS BIGINT) AS fp,
+         CAST(SUM(CAST(NOT in_p AND in_t AS BIGINT)) AS BIGINT) AS fn
+  FROM joined
+)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN 0
+            ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+       CASE WHEN tp + fn = 0 THEN 0
+            ELSE tp * 1000000 // (tp + fn) END AS recall_ppm
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_lsh_eval", dedup_lsh_eval, DEDUP_LSH_EVAL_ORACLE,
+              "LSH candidate precision/recall vs exact-Jaccard ground truth",
+              ("dedup", "audit", "eval")),
+]

@@ -205,6 +205,7 @@ HEADLINE = [
     "q_backtest_horizon_mae",
     "q_diff_in_diff",
     "q_discrete_hazard",
+    "dedup_lsh_eval",
 ]
 
 
