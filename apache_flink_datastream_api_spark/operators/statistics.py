@@ -1576,36 +1576,55 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day_ms")
         .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("x"))
+        # the ~2400-row daily series feeds FOUR scans (broadcast + stream
+        # side, twice); materializing it is ~free and saves three full
+        # orders-table aggregations (unlike the triangle edges, where the
+        # materialized set was huge and checkpointing LOST — size decides)
+        .localCheckpoint(eager=True)
     )
     a = daily.selectExpr("day_ms AS da", "x AS xa")
     b = daily.selectExpr("day_ms AS db", "x AS xb")
-    slopes = (
-        b.join(F.broadcast(a), F.col("da") < F.col("db"))
-        .selectExpr(
+
+    def slopes():
+        return b.join(F.broadcast(a), F.col("da") < F.col("db")).selectExpr(
             f"(xb - xa) * 1000000 div greatest(1, (db - da) div {DAY_MS})"
-            " AS slope_micro")
-    )
+            " AS slope_micro",
+        ).withColumn("shard", F.expr("slope_micro div 1000000000000"))
+
     # |days|^2/2 pair slopes is calendar-bounded but still millions of
-    # rows — the median comes from the value-sharded rank (9th user),
-    # never a single-partition ORDER BY over the pair set.
-    sharded = slopes.withColumn(
-        "shard", F.expr("slope_micro div 1000000000000"))
-    local = sharded.withColumn("lr", F.row_number().over(
-        Window.partitionBy("shard").orderBy("slope_micro")))
-    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    bases = (
-        sharded.groupBy("shard").agg(F.count("*").alias("c"))
-        .withColumn("base", F.coalesce(F.sum("c").over(w_sh), F.lit(0)))
-        .select("shard", "base")
+    # rows — two-pass driver-located median (the q_weighted_median
+    # machinery, 10th sharded user): pass 1 collects ~800 per-shard
+    # counts, the driver prefix-sums to locate the 1-2 shards holding
+    # the middle ranks, pass 2 re-derives only THOSE shards' slopes and
+    # ranks in-shard. Local wall-clock matches the rank-every-slope
+    # form (per-job fixed costs dominate at this size); the win is
+    # shuffle VOLUME — the full slope set crosses the wire zero times
+    # instead of twice, which is what survives a 100x day-range or a
+    # per-key trend fan-out.
+    shard_counts = sorted(
+        (r.shard, r.c)
+        for r in slopes().groupBy("shard").agg(F.count("*").alias("c"))
+        .collect()
     )
-    n_row = slopes.agg(F.count("*").alias("m"))
+    m = sum(c for _, c in shard_counts)
+    r1, r2 = (m + 1) // 2, m // 2 + 1
+    targets: dict[int, int] = {}
+    run = 0
+    for s, c in shard_counts:
+        if run < r1 <= run + c or run < r2 <= run + c:
+            targets[s] = run
+        run += c
+    tgt = list(targets)
+    in_shard = Window.partitionBy("shard").orderBy("slope_micro")
+    base_expr = "CASE " + " ".join(
+        f"WHEN shard = {s} THEN {b}" for s, b in targets.items()) + " END"
     return (
-        local.join(F.broadcast(bases), "shard")
-        .crossJoin(F.broadcast(n_row))
-        .selectExpr("slope_micro", "m", "base + lr AS rk")
-        .where("rk = (m + 1) div 2 OR rk = m div 2 + 1")
+        slopes().where(F.col("shard").isin(tgt))
+        .withColumn("lr", F.row_number().over(in_shard))
+        .selectExpr("slope_micro", f"{base_expr} + lr AS rk")
+        .where(f"rk = {r1} OR rk = {r2}")
         .agg(
-            F.max("m").alias("n_pairs"),
+            F.lit(m).alias("n_pairs"),
             F.expr("CAST(sum(slope_micro) div count(*) AS BIGINT)")
             .alias("theil_sen_slope_micro"),
         )
