@@ -941,3 +941,63 @@ SPECS += [
               "per-dim empirical-CDF feature normalization, tie-exact",
               ("similarity", "trainprep")),
 ]
+
+
+# --- centroid-distance outlier audit ------------------------------------------
+# The OOD screen before an embedding table is trusted: which vectors sit
+# farthest from the global centroid? Centroid = per-dimension FLOORED
+# mean of the int8-quantized values (exact integer sums -> one small
+# aggregate; floor division is portable because both engines truncate),
+# broadcast back as literals-by-join; distance^2 is an exact integer.
+# Top-20 with (dist2, vec_id) tie-breaks. At 100 TB the centroid pass
+# and the scoring pass are two scans, zero wide shuffles.
+
+_OUT_TOP = 20
+
+
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_Q8} AS q")
+    dims = emb.select(F.posexplode("q").alias("dim", "v"))
+    centroid = dims.groupBy("dim").agg(
+        F.sum(F.expr("CAST(v AS DECIMAL(28,0))")).cast("long").alias("s"),
+        F.count("*").alias("n"),
+    ).selectExpr("dim", "s div n AS c")
+    scored = (
+        emb.select("vec_id", F.posexplode("q").alias("dim", "v"))
+        .join(F.broadcast(centroid), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.expr("CAST((v - c) * (v - c) AS DECIMAL(28,0))"))
+             .cast("long").alias("dist2"))
+    )
+    return (
+        scored.orderBy(F.desc("dist2"), "vec_id")
+        .limit(_OUT_TOP)
+        .selectExpr("vec_id", "dist2")
+    )
+
+
+EMB_OUTLIERS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, {_Q8_D} AS q FROM embeddings
+), dims AS (
+  SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS v FROM q
+), centroid AS (
+  SELECT dim, CAST(SUM(CAST(v AS HUGEINT)) AS BIGINT) // COUNT(*) AS c
+  FROM dims GROUP BY 1
+)
+SELECT vec_id,
+       CAST(SUM(CAST((v - c) * (v - c) AS HUGEINT)) AS BIGINT) AS dist2
+FROM dims JOIN centroid USING (dim)
+GROUP BY vec_id
+ORDER BY dist2 DESC, vec_id
+LIMIT {_OUT_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("emb_centroid_outliers", emb_centroid_outliers,
+              EMB_OUTLIERS_ORACLE,
+              "top-20 farthest-from-centroid vectors, exact integer distances",
+              ("similarity", "diagnostics", "audit")),
+]

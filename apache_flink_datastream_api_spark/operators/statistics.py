@@ -2155,3 +2155,56 @@ SPECS += [
               "discrete-time survival hazard table with censoring",
               ("analytics", "stats", "survival")),
 ]
+
+
+# --- seasonal strength --------------------------------------------------------
+# One number for "does weekly seasonality matter here": strength =
+# 1 - SS(residual)/SS(detrended) over the decomposition that
+# q_seasonal_decompose materializes — both sums of squares are exact
+# integers, the ratio floors to micros. ~0 means the weekday component
+# explains nothing; ~1 means the series is pure weekly rhythm.
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = q_seasonal_decompose(spark, sf_dir).selectExpr(
+        "x - trend - seasonal AS resid", "x - trend AS detr").where(
+        "detr IS NOT NULL")
+    return parts.agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.expr("CAST(resid AS DECIMAL(38,0)) * resid")).alias("ss_res"),
+        F.sum(F.expr("CAST(detr AS DECIMAL(38,0)) * detr")).alias("ss_det"),
+    ).selectExpr(
+        "n_days",
+        # full sums of squares overflow BIGINT (~1e19 at sf0.01); report
+        # in millions, keep the exact DECIMALs for the ratio
+        "CAST(ss_res div 1000000 AS BIGINT) AS ss_residual_m",
+        "CAST(ss_det div 1000000 AS BIGINT) AS ss_detrended_m",
+        "CAST((ss_det - ss_res) * 1000000 div ss_det AS BIGINT)"
+        " AS strength_micro",
+    )
+
+
+Q_SEASONAL_STRENGTH_ORACLE = f"""
+WITH decomp AS (
+  {Q_SEASONAL_ORACLE}
+), parts AS (
+  SELECT x - trend - seasonal AS resid, x - trend AS detr
+  FROM decomp WHERE x - trend IS NOT NULL
+)
+SELECT COUNT(*) AS n_days,
+       CAST(SUM(CAST(resid AS HUGEINT) * resid) // 1000000 AS BIGINT)
+         AS ss_residual_m,
+       CAST(SUM(CAST(detr AS HUGEINT) * detr) // 1000000 AS BIGINT)
+         AS ss_detrended_m,
+       CAST((SUM(CAST(detr AS HUGEINT) * detr)
+             - SUM(CAST(resid AS HUGEINT) * resid)) * 1000000
+            // SUM(CAST(detr AS HUGEINT) * detr) AS BIGINT) AS strength_micro
+FROM parts
+"""
+
+
+SPECS += [
+    QuerySpec("q_seasonality_strength", q_seasonality_strength,
+              Q_SEASONAL_STRENGTH_ORACLE,
+              "1 - SS(resid)/SS(detrended): weekly-seasonality strength micro",
+              ("analytics", "timeseries")),
+]

@@ -206,6 +206,8 @@ HEADLINE = [
     "q_diff_in_diff",
     "q_discrete_hazard",
     "dedup_lsh_eval",
+    "emb_centroid_outliers",
+    "q_seasonality_strength",
 ]
 
 

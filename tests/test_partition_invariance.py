@@ -114,6 +114,12 @@ REPRESENTATIVES = [
     "q_ab_bootstrap_uplift",
     # hash-split pseudo-experiments (integer per-split means)
     "q_aa_calibration",
+    # composed chunk -> chunk-BM25 -> argmax windows (float score ordering)
+    "pipeline_rag_passages",
+    # full-outer confusion of two derived pair sets
+    "dedup_lsh_eval",
+    # broadcast centroid rejoin + exact distance top-k
+    "emb_centroid_outliers",
 ]
 
 
