@@ -1045,3 +1045,50 @@ SPECS += [
               "chunk -> chunk-BM25 -> best-passage-per-doc -> top-5 retrieval",
               ("text", "search", "pipeline")),
 ]
+
+
+# --- type-token ratio per source ----------------------------------------------
+# Vocabulary richness diagnostic: distinct token types / total tokens
+# per source (integer ppm), with the corpus-level row for reference.
+# Complements text_vocab_growth (growth CURVE) with the per-slice
+# scalar a datacard wants; repetitive machine-generated slices show up
+# as low TTR. One explode + two keyed aggregates.
+
+def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(TOKS_S)).alias("t"))
+    per_source = toks.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("t").alias("n_types"),
+    )
+    overall = toks.groupBy().agg(
+        F.lit("__all__").alias("source"),
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("t").alias("n_types"),
+    )
+    return per_source.unionByName(overall).selectExpr(
+        "source", "n_tokens", "n_types",
+        "n_types * 1000000 div n_tokens AS ttr_ppm",
+    )
+
+
+TEXT_TTR_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS_D}) AS t FROM documents
+), per_source AS (
+  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_types
+  FROM toks GROUP BY 1
+  UNION ALL
+  SELECT '__all__', COUNT(*), COUNT(DISTINCT t) FROM toks
+)
+SELECT source, n_tokens, n_types,
+       n_types * 1000000 // n_tokens AS ttr_ppm
+FROM per_source
+"""
+
+
+SPECS += [
+    QuerySpec("text_ttr_by_source", text_ttr_by_source, TEXT_TTR_ORACLE,
+              "type-token ratio per source + corpus row (vocab richness)",
+              ("text", "quality")),
+]

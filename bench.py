@@ -208,6 +208,7 @@ HEADLINE = [
     "dedup_lsh_eval",
     "emb_centroid_outliers",
     "q_seasonality_strength",
+    "text_ttr_by_source",
 ]
 
 
