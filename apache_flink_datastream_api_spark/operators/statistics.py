@@ -2208,3 +2208,124 @@ SPECS += [
               "1 - SS(resid)/SS(detrended): weekly-seasonality strength micro",
               ("analytics", "timeseries")),
 ]
+
+
+# --- co-purchase lift ---------------------------------------------------------
+# q_copurchase_pairs ranks by RAW pair count, which just surfaces
+# popular parts; lift = P(a,b) / (P(a)·P(b)) normalizes away item
+# popularity and surfaces genuine affinity. Exact integer milli-lift
+# (n_ab·N·1000 div (n_a·n_b)) over basket-distinct counts — the
+# text_collocations_lift recipe applied to the market-basket domain.
+# Support floor keeps the tiny-count noise out of the top-k.
+
+_CL_MIN_PAIRS = 3
+_CL_TOP = 20
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS pa, y AS pb))))")).alias("p")).select("p.pa", "p.pb")
+    pair_counts = pairs.groupBy("pa", "pb").agg(F.count("*").alias("n_ab"))
+    item_counts = (
+        li.distinct().groupBy("l_partkey").agg(F.count("*").alias("n_i")))
+    n_baskets = baskets.agg(F.count("*").alias("nb"))
+    return (
+        pair_counts.where(f"n_ab >= {_CL_MIN_PAIRS}")
+        .join(F.broadcast(item_counts.selectExpr("l_partkey AS pa",
+                                                 "n_i AS n_a")), "pa")
+        .join(F.broadcast(item_counts.selectExpr("l_partkey AS pb",
+                                                 "n_i AS n_b")), "pb")
+        .crossJoin(F.broadcast(n_baskets))
+        .selectExpr(
+            "pa", "pb", "n_ab",
+            "CAST(CAST(n_ab AS DECIMAL(38,0)) * nb * 1000"
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_milli",
+        )
+        .orderBy(F.desc("lift_milli"), "pa", "pb")
+        .limit(_CL_TOP)
+    )
+
+
+Q_COPURCHASE_LIFT_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair_counts AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2
+), item_counts AS (
+  SELECT l_partkey, COUNT(*) AS n_i FROM b GROUP BY 1
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS nb FROM b
+)
+SELECT pa, pb, n_ab,
+       CAST(CAST(n_ab AS HUGEINT) * nb.nb * 1000
+            // (CAST(x.n_i AS HUGEINT) * y.n_i) AS BIGINT) AS lift_milli
+FROM pair_counts
+JOIN item_counts x ON x.l_partkey = pa
+JOIN item_counts y ON y.l_partkey = pb
+CROSS JOIN nb
+WHERE n_ab >= {_CL_MIN_PAIRS}
+ORDER BY lift_milli DESC, pa, pb LIMIT {_CL_TOP}
+"""
+
+
+# --- inter-order gap quantiles ------------------------------------------------
+# How long until customers come back: p25/p50/p75 of the gap (days)
+# between consecutive orders per customer. Gaps from one per-customer
+# lag pass; the quartile boundaries come from the two-pass sharded
+# exact-quantile machinery (driver prefix sums, literals folded back —
+# no percentile sort buffer), floored to whole days.
+
+def q_repurchase_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytics import exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "unix_millis(o_orderdate) AS ts_ms")
+    w = Window.partitionBy("o_custkey").orderBy("ts_ms")
+    gaps = (
+        o.withColumn("prev", F.lag("ts_ms").over(w))
+        .where("prev IS NOT NULL")
+        .selectExpr(f"(ts_ms - prev) div {DAY_MS} AS gap_days")
+    )
+    qs = exact_quantiles(gaps, "gap_days", [0.25, 0.5, 0.75], 30)
+    p25, p50, p75 = (int(q) for q in qs)  # floored whole days
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.lit(p25).alias("p25_days"),
+        F.lit(p50).alias("p50_days"),
+        F.lit(p75).alias("p75_days"),
+    )
+
+
+Q_REPURCHASE_ORACLE = f"""
+WITH gaps AS (
+  SELECT (ts_ms - prev) // {DAY_MS} AS gap_days FROM (
+    SELECT epoch_ms(o_orderdate) AS ts_ms,
+           lag(epoch_ms(o_orderdate)) OVER (PARTITION BY o_custkey
+               ORDER BY epoch_ms(o_orderdate)) AS prev
+    FROM orders
+  ) WHERE prev IS NOT NULL
+)
+SELECT COUNT(*) AS n_gaps,
+       CAST(floor(quantile_cont(gap_days, 0.25)) AS BIGINT) AS p25_days,
+       CAST(floor(quantile_cont(gap_days, 0.5)) AS BIGINT) AS p50_days,
+       CAST(floor(quantile_cont(gap_days, 0.75)) AS BIGINT) AS p75_days
+FROM gaps
+"""
+
+
+SPECS += [
+    QuerySpec("q_copurchase_lift", q_copurchase_lift, Q_COPURCHASE_LIFT_ORACLE,
+              "popularity-normalized basket affinity: top-20 pairs by lift",
+              ("analytics", "basket")),
+    QuerySpec("q_repurchase_gap_quantiles", q_repurchase_gap_quantiles,
+              Q_REPURCHASE_ORACLE,
+              "p25/p50/p75 inter-order gap days via sharded exact quantiles",
+              ("analytics", "behavior")),
+]

@@ -209,6 +209,8 @@ HEADLINE = [
     "emb_centroid_outliers",
     "q_seasonality_strength",
     "text_ttr_by_source",
+    "q_copurchase_lift",
+    "q_repurchase_gap_quantiles",
 ]
 
 

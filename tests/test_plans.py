@@ -403,6 +403,7 @@ def test_registry_wide_plan_hygiene(spark):
         "q_ab_bootstrap_uplift",        # point-estimate row (1 row)
         "q_diff_in_diff",               # midpoint bound (1 row)
         "q_discrete_hazard",            # observation-end bound (1 row)
+        "q_copurchase_lift",            # basket-count row (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
