@@ -2329,3 +2329,86 @@ SPECS += [
               "p25/p50/p75 inter-order gap days via sharded exact quantiles",
               ("analytics", "behavior")),
 ]
+
+
+# --- minimum detectable effect ------------------------------------------------
+# q_aa_calibration's constructive counterpart: the empirical spread of
+# the 32 no-effect split uplifts IS the noise floor, so ~2x its standard
+# deviation is the smallest uplift this population/metric can credibly
+# detect. Exact integer uplift moments; the std is one deterministic
+# double expression (identical order both engines), floored to milli.
+
+def q_mde_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.pmod(portable_hash64(F.concat(F.lit("aa#"),
+               F.col("user_id").cast("string"))), F.lit(_AA_SPLITS * 2))
+        .alias("bucket"),
+    ).selectExpr(
+        "bucket div 2 AS split_id", "pmod(bucket, 2) AS arm", "cents")
+    per_arm = ev.groupBy("split_id", "arm").agg(
+        F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("s"),
+        F.count("*").alias("n"),
+    ).selectExpr("split_id", "arm", "s * 1000 div n AS mean_milli")
+    uplifts = (
+        per_arm.groupBy("split_id").pivot("arm", [0, 1])
+        .agg(F.first("mean_milli"))
+        .selectExpr("`1` - `0` AS u")
+    )
+    return uplifts.agg(
+        F.count("*").alias("n_splits"),
+        F.sum(F.expr("CAST(u AS DECIMAL(38,0))")).cast("long").alias("su"),
+        F.sum(F.expr("CAST(u AS DECIMAL(38,0)) * u")).cast("long").alias("suu"),
+    ).selectExpr(
+        "n_splits",
+        "CAST(floor(sqrt((CAST(n_splits AS DOUBLE) * suu"
+        " - CAST(su AS DOUBLE) * su)"
+        " / (CAST(n_splits AS DOUBLE) * (n_splits - 1)))) AS BIGINT)"
+        " AS uplift_std_milli",
+        "CAST(floor(2 * sqrt((CAST(n_splits AS DOUBLE) * suu"
+        " - CAST(su AS DOUBLE) * su)"
+        " / (CAST(n_splits AS DOUBLE) * (n_splits - 1)))) AS BIGINT)"
+        " AS mde_milli",
+    )
+
+
+Q_MDE_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         ({_AA_H}) % {_AA_SPLITS * 2} AS bucket
+  FROM events
+), per_arm AS (
+  SELECT bucket // 2 AS split_id, bucket % 2 AS arm,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) * 1000 // COUNT(*)
+           AS mean_milli
+  FROM ev GROUP BY 1, 2
+), uplifts AS (
+  SELECT MAX(CASE WHEN arm = 1 THEN mean_milli END)
+         - MAX(CASE WHEN arm = 0 THEN mean_milli END) AS u
+  FROM per_arm GROUP BY split_id
+), moms AS (
+  SELECT COUNT(*) AS n_splits,
+         CAST(SUM(CAST(u AS HUGEINT)) AS BIGINT) AS su,
+         CAST(SUM(CAST(u AS HUGEINT) * u) AS BIGINT) AS suu
+  FROM uplifts
+)
+SELECT n_splits,
+       CAST(floor(sqrt((CAST(n_splits AS DOUBLE) * suu
+        - CAST(su AS DOUBLE) * su)
+        / (CAST(n_splits AS DOUBLE) * (n_splits - 1)))) AS BIGINT)
+       AS uplift_std_milli,
+       CAST(floor(2 * sqrt((CAST(n_splits AS DOUBLE) * suu
+        - CAST(su AS DOUBLE) * su)
+        / (CAST(n_splits AS DOUBLE) * (n_splits - 1)))) AS BIGINT)
+       AS mde_milli
+FROM moms
+"""
+
+
+SPECS += [
+    QuerySpec("q_mde_estimate", q_mde_estimate, Q_MDE_ORACLE,
+              "empirical minimum detectable effect from A/A split spread",
+              ("analytics", "stats", "experimentation")),
+]

@@ -211,6 +211,7 @@ HEADLINE = [
     "text_ttr_by_source",
     "q_copurchase_lift",
     "q_repurchase_gap_quantiles",
+    "q_mde_estimate",
 ]
 
 
