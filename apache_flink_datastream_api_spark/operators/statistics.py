@@ -2412,3 +2412,183 @@ SPECS += [
               "empirical minimum detectable effect from A/A split spread",
               ("analytics", "stats", "experimentation")),
 ]
+
+
+# --- ABC class migration ------------------------------------------------------
+# Product-lifecycle readout: classify parts into revenue classes
+# SEPARATELY for the first and second half of the ship-date range, then
+# count the A/B/C -> A/B/C transition matrix (which parts are rising,
+# which are dying). Reuses the descending sharded cumulative-share
+# machinery per period; parts absent from a period class as '-'.
+
+def q_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "unix_millis(l_shipdate) AS ts_ms",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+    )
+    bounds = li.agg(F.expr("(min(ts_ms) + max(ts_ms)) div 2").alias("mid"))
+    stamped = li.crossJoin(F.broadcast(bounds)).selectExpr(
+        "l_partkey", "CAST(ts_ms >= mid AS INT) AS half", "cents")
+
+    def classify(half: int):
+        rev = (
+            stamped.where(F.col("half") == half)
+            .groupBy("l_partkey")
+            .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long")
+                 .alias("rev"))
+        )
+        tot = rev.agg(F.sum(F.expr("CAST(rev AS DECIMAL(38,0))"))
+                      .cast("long").alias("total"))
+        sharded = rev.withColumn("shard", F.expr("-(rev div 1000000)"))
+        w_in = Window.partitionBy("shard").orderBy(
+            F.desc("rev"), "l_partkey").rowsBetween(
+            Window.unboundedPreceding, 0)
+        local = sharded.withColumn("cum_in", F.sum("rev").over(w_in))
+        w_sh = Window.orderBy("shard").rowsBetween(
+            Window.unboundedPreceding, -1)
+        bases = (
+            sharded.groupBy("shard").agg(
+                F.sum(F.expr("CAST(rev AS DECIMAL(38,0))")).cast("long")
+                .alias("s"))
+            .withColumn("base", F.coalesce(F.sum("s").over(w_sh), F.lit(0)))
+            .select("shard", "base")
+        )
+        return (
+            local.join(F.broadcast(bases), "shard")
+            .crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "l_partkey",
+                "CASE WHEN (base + cum_in) * 100 <= total * 80 THEN 'A'"
+                " WHEN (base + cum_in) * 100 <= total * 95 THEN 'B'"
+                " ELSE 'C' END AS cls",
+            )
+        )
+
+    before = classify(0).selectExpr("l_partkey", "cls AS cls_before")
+    after = classify(1).selectExpr("l_partkey", "cls AS cls_after")
+    return (
+        before.join(after, "l_partkey", "full_outer")
+        .selectExpr("coalesce(cls_before, '-') AS cls_before",
+                    "coalesce(cls_after, '-') AS cls_after")
+        .groupBy("cls_before", "cls_after")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+Q_ABC_MIGRATION_ORACLE = """
+WITH li AS (
+  SELECT l_partkey, epoch_ms(l_shipdate) AS ts_ms,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), bounds AS (
+  SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS mid FROM li
+), stamped AS (
+  SELECT l_partkey, CAST(ts_ms >= mid AS INT) AS half, cents
+  FROM li CROSS JOIN bounds
+), rev AS (
+  SELECT half, l_partkey,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS rev
+  FROM stamped GROUP BY 1, 2
+), classed AS (
+  SELECT half, l_partkey,
+         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+              WHEN cum * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM (
+    SELECT half, l_partkey, rev,
+           SUM(rev) OVER (PARTITION BY half ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(rev) OVER (PARTITION BY half) AS total
+    FROM rev
+  )
+)
+SELECT COALESCE(b.cls, '-') AS cls_before, COALESCE(a.cls, '-') AS cls_after,
+       COUNT(*) AS n_parts
+FROM (SELECT l_partkey, cls FROM classed WHERE half = 0) b
+FULL OUTER JOIN (SELECT l_partkey, cls FROM classed WHERE half = 1) a
+  ON a.l_partkey = b.l_partkey
+GROUP BY 1, 2
+"""
+
+
+# --- hard-negative mining -----------------------------------------------------
+# Contrastive-training prep beyond pipeline_negative_pairs' RANDOM
+# negatives: for each deterministic anchor (vec_id ≡ 0 mod 157), the
+# HARDEST negative is its most-similar vector with a DIFFERENT label —
+# exact int8 cosine, broadcast anchors against one corpus scan, argmax
+# per anchor with (cos, vec_id) tie-breaks. ~n/157 anchors keep the
+# broadcast driver-scale; at 100 TB the anchor set is the training
+# batch and the scan is the ANN index instead.
+
+_HN_MOD = 157
+_Q8E = ("transform(embedding,"
+        " v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))")
+
+
+def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", f"{_Q8E} AS q",
+        f"aggregate({_Q8E}, 0L, (a, v) -> a + v * v) AS nrm")
+    anchors = emb.where(f"pmod(vec_id, {_HN_MOD}) = 0").selectExpr(
+        "vec_id AS aid", "label AS alabel", "q AS aq", "nrm AS anrm")
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where("label != alabel")
+        .selectExpr(
+            "aid", "vec_id",
+            "CAST(floor(CAST(aggregate(zip_with(aq, q, (x, y) -> x * y), 0L,"
+            " (acc, v) -> acc + v) AS DOUBLE)"
+            " / sqrt(CAST(anrm AS DOUBLE) * nrm) * 1000000) AS BIGINT)"
+            " AS cos_micro",
+        )
+    )
+    best = Window.partitionBy("aid").orderBy(
+        F.desc("cos_micro"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .where("rk = 1")
+        .selectExpr("aid AS anchor_id", "vec_id AS hard_negative_id",
+                    "cos_micro")
+    )
+
+
+_Q8E_D = ("list_transform(embedding,"
+          " v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))")
+
+PIPELINE_HARD_NEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label, {_Q8E_D} AS q,
+         list_sum(list_transform({_Q8E_D}, v -> v * v)) AS nrm
+  FROM embeddings
+), anchors AS (
+  SELECT vec_id AS aid, label AS alabel, q AS aq, nrm AS anrm
+  FROM q WHERE vec_id % {_HN_MOD} = 0
+), scored AS (
+  SELECT aid, vec_id,
+         CAST(floor(CAST(list_sum(list_transform(
+               generate_series(1, len(aq)), i -> aq[i] * q.q[i])) AS DOUBLE)
+              / sqrt(CAST(anrm AS DOUBLE) * nrm) * 1000000) AS BIGINT)
+           AS cos_micro
+  FROM q CROSS JOIN anchors
+  WHERE label <> alabel
+), ranked AS (
+  SELECT aid, vec_id, cos_micro,
+         row_number() OVER (PARTITION BY aid
+             ORDER BY cos_micro DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT aid AS anchor_id, vec_id AS hard_negative_id, cos_micro
+FROM ranked WHERE rk = 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_abc_migration", q_abc_migration, Q_ABC_MIGRATION_ORACLE,
+              "A/B/C class transition matrix between time halves",
+              ("analytics", "rank")),
+    QuerySpec("pipeline_hard_negatives", pipeline_hard_negatives,
+              PIPELINE_HARD_NEG_ORACLE,
+              "hardest different-label negative per anchor, exact int8 cosine",
+              ("pipeline", "similarity", "trainprep")),
+]

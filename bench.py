@@ -212,6 +212,8 @@ HEADLINE = [
     "q_copurchase_lift",
     "q_repurchase_gap_quantiles",
     "q_mde_estimate",
+    "q_abc_migration",
+    "pipeline_hard_negatives",
 ]
 
 

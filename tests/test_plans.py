@@ -404,6 +404,8 @@ def test_registry_wide_plan_hygiene(spark):
         "q_diff_in_diff",               # midpoint bound (1 row)
         "q_discrete_hazard",            # observation-end bound (1 row)
         "q_copurchase_lift",            # basket-count row (1 row)
+        "q_abc_migration",              # midpoint + per-half totals (1 row each)
+        "pipeline_hard_negatives",      # ~n/157 anchors, driver-scale BY MOD
     }
     violations = []
     for name, spec in all_queries().items():
