@@ -1001,3 +1001,120 @@ SPECS += [
               "top-20 farthest-from-centroid vectors, exact integer distances",
               ("similarity", "diagnostics", "audit")),
 ]
+
+
+# --- power iteration: dominant embedding direction ----------------------------
+# Iterative LINEAR ALGEBRA on the engine (the family emb_kmeans_lloyd
+# opened): the top eigenvector of the uncentered Gram matrix X^T X via
+# power iteration, integer-exact end-to-end. One iteration = two
+# distributed passes (s_r = <q_r, v> map-side; w_j = Σ_r s_r·q_rj one
+# (pos) rollup); the 64-long w vector is driver-scale, so intermediate
+# iterations rescale on the driver (like kmeans' centroids) with
+# TRUNCATING division (both engines' integer division truncates; the
+# Python helper mirrors it) and the FINAL iteration stays entirely in
+# the plan — rescaled against a broadcast max row. The oracle replays
+# every iteration in pure SQL.
+
+_PI_SCALE = 1024
+_PI_DIM = 64
+_PI_ITERS = 2  # driver-rescaled iterations before the in-plan final pass
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (SQL semantics, not Python floor)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_Q8} AS q").localCheckpoint(eager=True)
+
+    v = [_PI_SCALE] * _PI_DIM
+    for _ in range(_PI_ITERS):
+        varr = ", ".join(str(x) for x in v)
+        w_rows = (
+            qv.selectExpr(
+                "q",
+                f"aggregate(zip_with(q, array({varr}), (x, y) -> x * y), 0L,"
+                " (a, b) -> a + b) AS s")
+            .select(F.posexplode("q").alias("pos", "e"), "s")
+            .groupBy("pos")
+            .agg(F.sum(F.expr("CAST(e AS DECIMAL(38,0)) * s")).cast("long")
+                 .alias("w"))
+            .collect()
+        )
+        w = [r.w for r in sorted(w_rows, key=lambda r: r.pos)]
+        m = max(abs(x) for x in w)
+        v = [_tdiv(x * _PI_SCALE, m) for x in w]
+
+    varr = ", ".join(str(x) for x in v)
+    w_df = (
+        qv.selectExpr(
+            "q",
+            f"aggregate(zip_with(q, array({varr}), (x, y) -> x * y), 0L,"
+            " (a, b) -> a + b) AS s")
+        .select(F.posexplode("q").alias("pos", "e"), "s")
+        .groupBy("pos")
+        .agg(F.sum(F.expr("CAST(e AS DECIMAL(38,0)) * s")).cast("long")
+             .alias("w"))
+    )
+    mx = w_df.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    return (
+        w_df.crossJoin(F.broadcast(mx))
+        .selectExpr("pos", f"w * {_PI_SCALE} div m AS v_scaled")
+    )
+
+
+def _power_oracle() -> str:
+    qd = ("list_transform(embedding,"
+          " v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))")
+
+    def matvec(vtab: str, out: str) -> str:
+        # s_r = <q_r, v> via a (pos) join on the exploded element table
+        # (DuckDB forbids subqueries inside lambdas); w_j = sum_r s_r*q_rj
+        return f"""{out}_s AS (
+  SELECT vec_id, CAST(SUM(CAST(qe AS HUGEINT) * v.e) AS BIGINT) AS s
+  FROM ex JOIN {vtab} v USING (pos) GROUP BY vec_id
+), {out} AS (
+  SELECT ex.pos,
+         CAST(SUM(CAST(ex.qe AS HUGEINT) * s.s) AS BIGINT) AS w
+  FROM ex JOIN {out}_s s USING (vec_id)
+  GROUP BY 1
+)"""
+
+    def rescale(wsrc: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT pos, CAST(w * {_PI_SCALE} // (SELECT MAX(abs(w)) FROM {wsrc})
+              AS BIGINT) AS e
+  FROM {wsrc}
+)"""
+
+    parts = [f"""qv AS (
+  SELECT vec_id, {qd} AS q FROM embeddings
+), ex AS (
+  SELECT vec_id, u.i AS pos, q[u.i] AS qe
+  FROM qv, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) u
+), v0 AS (
+  SELECT unnest(generate_series(1, {_PI_DIM})) AS pos, {_PI_SCALE} AS e
+)"""]
+    cur = "v0"
+    for it in range(_PI_ITERS):
+        parts.append(matvec(cur, f"w{it}"))
+        parts.append(rescale(f"w{it}", f"v{it + 1}"))
+        cur = f"v{it + 1}"
+    parts.append(matvec(cur, "wf"))
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT pos - 1 AS pos,
+       w * {_PI_SCALE} // (SELECT MAX(abs(w)) FROM wf) AS v_scaled
+FROM wf"""
+
+
+EMB_POWER_ORACLE = _power_oracle()
+
+
+SPECS += [
+    QuerySpec("emb_power_iteration", emb_power_iteration, EMB_POWER_ORACLE,
+              "integer-exact power iteration: dominant Gram eigendirection",
+              ("similarity", "ml", "iterative")),
+]

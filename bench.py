@@ -214,6 +214,7 @@ HEADLINE = [
     "q_mde_estimate",
     "q_abc_migration",
     "pipeline_hard_negatives",
+    "emb_power_iteration",
 ]
 
 

@@ -120,6 +120,8 @@ REPRESENTATIVES = [
     "dedup_lsh_eval",
     # broadcast centroid rejoin + exact distance top-k
     "emb_centroid_outliers",
+    # iterative matvec with driver rescale + in-plan final pass
+    "emb_power_iteration",
 ]
 
 
