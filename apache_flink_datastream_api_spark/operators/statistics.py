@@ -2592,3 +2592,114 @@ SPECS += [
               "hardest different-label negative per anchor, exact int8 cosine",
               ("pipeline", "similarity", "trainprep")),
 ]
+
+
+# --- market concentration (HHI) -----------------------------------------------
+# Herfindahl-Hirschman index of supplier revenue concentration within
+# each nation — the antitrust/market-structure readout. HHI = Σ s_i²
+# over supplier shares, exact: Σ r_i² * 10000 div T² in basis points
+# (10000 = monopoly). Supplier revenue from one lineitem rollup +
+# broadcast supplier dim; the per-nation Σr² is map-side after one
+# (nation) shuffle of supplier subtotals.
+
+def q_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_suppkey", "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_supp = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long")
+             .alias("r"))
+    )
+    return (
+        per_supp.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.expr("CAST(r AS DECIMAL(38,0))")).alias("t"),
+            F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * r")).alias("rr"),
+        )
+        .join(F.broadcast(nat),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .selectExpr(
+            "n_name AS nation", "n_suppliers",
+            "CAST(t AS BIGINT) AS revenue_cents",
+            "CAST(rr * 10000 div (t * t) AS BIGINT) AS hhi_bps",
+        )
+    )
+
+
+Q_HHI_ORACLE = """
+WITH per_supp AS (
+  SELECT s_nationkey, l_suppkey,
+         CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+              AS HUGEINT)) AS BIGINT) AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), per_nation AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         SUM(CAST(r AS HUGEINT)) AS t,
+         SUM(CAST(r AS HUGEINT) * r) AS rr
+  FROM per_supp GROUP BY 1
+)
+SELECT n_name AS nation, n_suppliers,
+       CAST(t AS BIGINT) AS revenue_cents,
+       CAST(rr * 10000 // (t * t) AS BIGINT) AS hhi_bps
+FROM per_nation JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --- new-product adoption ramp ------------------------------------------------
+# Parts cohorted by their FIRST ship month; the ramp = revenue in
+# months 0/1/2 since introduction, per intro-month cohort. The
+# first-sale map is a per-part min (one shuffle); the month delta uses
+# portable epoch month arithmetic (year*12+month from date parts —
+# date_trunc month diffs are not integer-safe across engines).
+
+def q_adoption_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "year(l_shipdate) * 12 + month(l_shipdate) - 1 AS ym",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+    )
+    first = li.groupBy("l_partkey").agg(F.min("ym").alias("intro_ym"))
+    return (
+        li.join(first, "l_partkey")
+        .where("ym - intro_ym <= 2")
+        .groupBy("intro_ym", F.expr("ym - intro_ym").alias("months_since"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+Q_ADOPTION_ORACLE = """
+WITH li AS (
+  SELECT l_partkey,
+         year(l_shipdate) * 12 + month(l_shipdate) - 1 AS ym,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), first AS (
+  SELECT l_partkey, MIN(ym) AS intro_ym FROM li GROUP BY 1
+)
+SELECT intro_ym, ym - intro_ym AS months_since,
+       COUNT(DISTINCT li.l_partkey) AS n_parts,
+       CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS revenue_cents
+FROM li JOIN first ON li.l_partkey = first.l_partkey
+WHERE ym - intro_ym <= 2
+GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("q_hhi_by_nation", q_hhi_by_nation, Q_HHI_ORACLE,
+              "Herfindahl supplier-concentration index per nation, exact bps",
+              ("analytics", "finance")),
+    QuerySpec("q_adoption_ramp", q_adoption_ramp, Q_ADOPTION_ORACLE,
+              "new-part revenue ramp by intro-month cohort (months 0-2)",
+              ("analytics", "cohort")),
+]

@@ -215,6 +215,8 @@ HEADLINE = [
     "q_abc_migration",
     "pipeline_hard_negatives",
     "emb_power_iteration",
+    "q_hhi_by_nation",
+    "q_adoption_ramp",
 ]
 
 
