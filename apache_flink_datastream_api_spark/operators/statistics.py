@@ -2703,3 +2703,139 @@ SPECS += [
               "new-part revenue ramp by intro-month cohort (months 0-2)",
               ("analytics", "cohort")),
 ]
+
+
+# --- association-rule confidence ----------------------------------------------
+# Lift is symmetric; RULES are directional. For a -> b: confidence =
+# P(b|a) = n_ab/n_a, and conviction's log-free cousin "lift of the
+# rule" rides along. Both directions of every supported pair, top-20 by
+# confidence — the actual recommender-rule output. Exact milli ratios.
+
+_RULE_MIN_PAIRS = 3
+_RULE_TOP = 20
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS pa, y AS pb))))")).alias("p")).select("p.pa", "p.pb")
+    pc = pairs.groupBy("pa", "pb").agg(F.count("*").alias("n_ab")).where(
+        f"n_ab >= {_RULE_MIN_PAIRS}")
+    rules = pc.selectExpr("pa AS lhs", "pb AS rhs", "n_ab").unionByName(
+        pc.selectExpr("pb AS lhs", "pa AS rhs", "n_ab"))
+    item = li.distinct().groupBy("l_partkey").agg(F.count("*").alias("n_i"))
+    return (
+        rules.join(F.broadcast(item.selectExpr("l_partkey AS lhs",
+                                               "n_i AS n_lhs")), "lhs")
+        .selectExpr("lhs", "rhs", "n_ab",
+                    "n_ab * 1000 div n_lhs AS confidence_milli")
+        .orderBy(F.desc("confidence_milli"), "lhs", "rhs")
+        .limit(_RULE_TOP)
+    )
+
+
+Q_BASKET_RULES_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pc AS (
+  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_RULE_MIN_PAIRS}
+), rules AS (
+  SELECT pa AS lhs, pb AS rhs, n_ab FROM pc
+  UNION ALL
+  SELECT pb, pa, n_ab FROM pc
+), item AS (
+  SELECT l_partkey, COUNT(*) AS n_i FROM b GROUP BY 1
+)
+SELECT lhs, rhs, n_ab, n_ab * 1000 // n_i AS confidence_milli
+FROM rules JOIN item ON l_partkey = lhs
+ORDER BY confidence_milli DESC, lhs, rhs LIMIT {_RULE_TOP}
+"""
+
+
+# --- conversion-window sensitivity sweep --------------------------------------
+# The funnel family's tuning readout: view->purchase conversion counted
+# at THREE attribution windows (1h / 24h / 72h) in ONE pass — per
+# purchase, the time since the user's latest preceding view (an aligned
+# IGNORE-NULLS carry, the q_attribution_last_touch machinery), then a
+# map-side bucket into each window. How sensitive the reported
+# conversion rate is to the window IS the decision input.
+
+_CW_WINDOWS_MS = (3_600_000, 86_400_000, 259_200_000)
+
+
+def q_conversion_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")).selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms", "event_id")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.withColumn(
+        "last_view_ms",
+        F.last(F.expr("CASE WHEN event_type = 'view' THEN ts_ms END"),
+               ignorenulls=True).over(w))
+    purchases = carried.where("event_type = 'purchase'")
+    cases = ", ".join(
+        f"CAST(last_view_ms IS NOT NULL AND ts_ms - last_view_ms <= {ms}"
+        f" AS BIGINT) AS in_w{i}"
+        for i, ms in enumerate(_CW_WINDOWS_MS))
+    flags = purchases.selectExpr("ts_ms", cases.split(", ")[0],
+                                 *cases.split(", ")[1:])
+    agg = flags.agg(
+        F.count("*").alias("n_purchases"),
+        *[F.sum(f"in_w{i}").alias(f"c{i}") for i in range(len(_CW_WINDOWS_MS))],
+    )
+    stack = ", ".join(
+        f"'{ms // 3_600_000}h', c{i}, c{i} * 1000000 div n_purchases"
+        for i, ms in enumerate(_CW_WINDOWS_MS))
+    return agg.selectExpr(
+        f"stack({len(_CW_WINDOWS_MS)}, {stack})"
+        " AS (window_label, n_attributed, conversion_ppm)",
+        "n_purchases",
+    )
+
+
+_CW_CASES_D = ", ".join(
+    f"CAST(SUM(CAST(last_view_ms IS NOT NULL AND ts_ms - last_view_ms <= {ms}"
+    f" AS BIGINT)) AS BIGINT) AS c{i}"
+    for i, ms in enumerate(_CW_WINDOWS_MS))
+
+Q_CONVERSION_SWEEP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+  FROM events WHERE event_type IN ('view', 'purchase')
+), carried AS (
+  SELECT event_type, ts_ms,
+         last_value(CASE WHEN event_type = 'view' THEN ts_ms END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_ms
+  FROM ev
+), agg AS (
+  SELECT COUNT(*) AS n_purchases, {_CW_CASES_D}
+  FROM carried WHERE event_type = 'purchase'
+)
+{" UNION ALL ".join(
+    f"SELECT '{ms // 3_600_000}h' AS window_label, c{i} AS n_attributed,"
+    f" c{i} * 1000000 // n_purchases AS conversion_ppm,"
+    f" n_purchases FROM agg"
+    for i, ms in enumerate(_CW_WINDOWS_MS))}
+"""
+
+
+SPECS += [
+    QuerySpec("q_basket_rules", q_basket_rules, Q_BASKET_RULES_ORACLE,
+              "directional association rules: top-20 by exact confidence",
+              ("analytics", "basket")),
+    QuerySpec("q_conversion_window_sweep", q_conversion_window_sweep,
+              Q_CONVERSION_SWEEP_ORACLE,
+              "view->purchase conversion at 1h/24h/72h windows in one pass",
+              ("analytics", "funnel")),
+]

@@ -217,6 +217,8 @@ HEADLINE = [
     "emb_power_iteration",
     "q_hhi_by_nation",
     "q_adoption_ramp",
+    "q_basket_rules",
+    "q_conversion_window_sweep",
 ]
 
 

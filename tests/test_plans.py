@@ -406,6 +406,7 @@ def test_registry_wide_plan_hygiene(spark):
         "q_copurchase_lift",            # basket-count row (1 row)
         "q_abc_migration",              # midpoint + per-half totals (1 row each)
         "pipeline_hard_negatives",      # ~n/157 anchors, driver-scale BY MOD
+        "emb_power_iteration",          # max|w| rescale row (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
