@@ -2839,3 +2839,53 @@ SPECS += [
               "view->purchase conversion at 1h/24h/72h windows in one pass",
               ("analytics", "funnel")),
 ]
+
+
+# --- Durbin-Watson statistic --------------------------------------------------
+# Regression-diagnostics staple: DW = Σ(e_t - e_{t-1})² / Σe_t² over
+# the decomposition residuals — ~2 means no residual autocorrelation
+# (the decomposition captured the structure), <1 means the model left
+# serial correlation on the table. Exact integer sums of squares
+# (DECIMAL-held, they overflow BIGINT), one lag window over the
+# calendar-bounded residual series; DW itself floors to milli.
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resid = q_seasonal_decompose(spark, sf_dir).selectExpr(
+        "day_ms", "x - trend - seasonal AS e").where("e IS NOT NULL")
+    w = Window.orderBy("day_ms")
+    diffed = resid.withColumn("prev", F.lag("e").over(w))
+    return diffed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(
+            "CASE WHEN prev IS NOT NULL"
+            " THEN CAST(e - prev AS DECIMAL(38,0)) * (e - prev) END"
+        )).alias("ssd"),
+        F.sum(F.expr("CAST(e AS DECIMAL(38,0)) * e")).alias("sse"),
+    ).selectExpr(
+        "n",
+        "CAST(ssd * 1000 div sse AS BIGINT) AS dw_milli",
+    )
+
+
+Q_DW_ORACLE = f"""
+WITH decomp AS (
+  {Q_SEASONAL_ORACLE}
+), resid AS (
+  SELECT day_ms, x - trend - seasonal AS e
+  FROM decomp WHERE x - trend - seasonal IS NOT NULL
+), diffed AS (
+  SELECT e, lag(e) OVER (ORDER BY day_ms) AS prev FROM resid
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN prev IS NOT NULL
+            THEN CAST(e - prev AS HUGEINT) * (e - prev) END) * 1000
+            // SUM(CAST(e AS HUGEINT) * e) AS BIGINT) AS dw_milli
+FROM diffed
+"""
+
+
+SPECS += [
+    QuerySpec("q_durbin_watson", q_durbin_watson, Q_DW_ORACLE,
+              "Durbin-Watson residual autocorrelation diagnostic, exact",
+              ("analytics", "stats", "timeseries")),
+]

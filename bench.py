@@ -219,6 +219,7 @@ HEADLINE = [
     "q_adoption_ramp",
     "q_basket_rules",
     "q_conversion_window_sweep",
+    "q_durbin_watson",
 ]
 
 
