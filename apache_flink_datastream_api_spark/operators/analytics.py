@@ -609,12 +609,12 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
         )
-        .selectExpr(f"bucket * {HIST_WIDTH}.0 AS bucket_lo", "n", "lo", "hi")
+        .selectExpr(f"CAST(bucket * {HIST_WIDTH} AS DOUBLE) AS bucket_lo", "n", "lo", "hi")
     )
 
 
 Q_VALUE_HISTOGRAM_ORACLE = f"""
-SELECT bucket * {HIST_WIDTH}.0 AS bucket_lo, COUNT(*) AS n,
+SELECT CAST(bucket * {HIST_WIDTH} AS DOUBLE) AS bucket_lo, COUNT(*) AS n,
        MIN(value) AS lo, MAX(value) AS hi
 FROM (SELECT CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket, value FROM events)
 GROUP BY bucket
@@ -887,7 +887,7 @@ WITH base AS (
   FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT from_type, to_type, n_trans,
-       SUM(n_trans) OVER (PARTITION BY from_type) AS n_from_total
+       CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from_total
 FROM c
 """
 
@@ -1059,7 +1059,7 @@ Q_HOUR_HEATMAP_ORACLE = """
 SELECT CAST((floor(epoch_ms(ts) / 86400000) + 4) % 7 AS BIGINT) AS dow,
        CAST(floor(epoch_ms(ts) / 3600000) % 24 AS BIGINT) AS hour,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -1266,7 +1266,7 @@ lagged AS (
   SELECT m + 1 AS m, 'churned' AS cls, rev AS amt
   FROM lagged WHERE nm IS NULL OR nm > m + 1
 )
-SELECT m, cls, COUNT(*) AS n_customers, SUM(amt) AS amount_cents
+SELECT m, cls, COUNT(*) AS n_customers, CAST(SUM(amt) AS BIGINT) AS amount_cents
 FROM (SELECT * FROM inflow UNION ALL SELECT * FROM churn) GROUP BY 1, 2
 """
 
@@ -1416,7 +1416,7 @@ WITH ev AS (
          CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END AS clamped
   FROM ev JOIN b USING (event_type)
 )
-SELECT event_type, COUNT(*) AS n, SUM(clamped) AS n_clamped,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(clamped) AS BIGINT) AS n_clamped,
        round(CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) / COUNT(*) / 100.0, 6)
          AS winsorized_mean
 FROM c GROUP BY 1
@@ -1536,8 +1536,8 @@ WITH pu AS (
 ), a AS (
   SELECT *, ((({h}) % 2) + 2) % 2 AS variant FROM pu
 )
-SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted,
-       SUM(n_events) AS n_events,
+SELECT variant, COUNT(*) AS n_users, CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate,
        round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS events_per_user
 FROM a GROUP BY 1
@@ -1623,7 +1623,7 @@ def q_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_WEIGHTED_AVG_ORACLE = """
 SELECT p_brand, COUNT(*) AS n_lines,
-       SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
        round(CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
                       * CAST(l_quantity AS HUGEINT)) AS DOUBLE)
              / SUM(CAST(l_quantity AS BIGINT)) / 100.0, 6)

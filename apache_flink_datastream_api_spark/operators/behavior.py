@@ -171,8 +171,8 @@ WITH active AS (
   SELECT user_id, MIN(day_ms) AS first_day_ms FROM active GROUP BY user_id
 )
 SELECT day_ms,
-       SUM(CAST(day_ms = first_day_ms AS INT)) AS new_users,
-       SUM(CAST(day_ms <> first_day_ms AS INT)) AS returning_users
+       CAST(SUM(CAST(day_ms = first_day_ms AS INT)) AS BIGINT) AS new_users,
+       CAST(SUM(CAST(day_ms <> first_day_ms AS INT)) AS BIGINT) AS returning_users
 FROM active JOIN firsts USING (user_id)
 GROUP BY day_ms
 """
@@ -206,9 +206,9 @@ WITH firsts AS (
   SELECT first_day_ms AS day_ms, COUNT(*) AS new_users FROM firsts GROUP BY 1
 )
 SELECT day_ms, new_users,
-       SUM(new_users) OVER (ORDER BY day_ms
+       CAST(SUM(new_users) OVER (ORDER BY day_ms
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS cumulative_users
+            AS BIGINT) AS cumulative_users
 FROM daily
 """
 
@@ -762,10 +762,10 @@ WITH masks AS (
   FROM pairs p CROSS JOIN rollup r
 )
 SELECT type_a, type_b,
-       SUM(n * in_a * in_b) AS n_both,
-       SUM(n * CAST(in_a + in_b > 0 AS INT)) AS n_either,
-       SUM(n * in_a * in_b) * 1000 // SUM(n * CAST(in_a + in_b > 0 AS INT))
-         AS jaccard_milli
+       CAST(SUM(n * in_a * in_b) AS BIGINT) AS n_both,
+       CAST(SUM(n * CAST(in_a + in_b > 0 AS INT)) AS BIGINT) AS n_either,
+       CAST(SUM(n * in_a * in_b) * 1000 // SUM(n * CAST(in_a + in_b > 0 AS INT))
+            AS BIGINT) AS jaccard_milli
 FROM cells GROUP BY 1, 2
 """
 
@@ -835,8 +835,8 @@ WITH e AS (
          CAST(n_events = 1 AS INT) AS bounced
   FROM per_session
 )
-SELECT day_ms, COUNT(*) AS n_sessions, SUM(bounced) AS n_bounces,
-       SUM(bounced) * 1000 // COUNT(*) AS bounce_milli
+SELECT day_ms, COUNT(*) AS n_sessions, CAST(SUM(bounced) AS BIGINT) AS n_bounces,
+       CAST(SUM(bounced) * 1000 // COUNT(*) AS BIGINT) AS bounce_milli
 FROM daily GROUP BY day_ms
 """
 
@@ -911,10 +911,10 @@ WITH e AS (
   LEFT JOIN first_after f USING (user_id)
 )
 SELECT COUNT(*) AS n_signup_users,
-       SUM(CAST(delay_ms IS NOT NULL AS INT)) AS n_converted,
-       SUM(CAST(delay_ms <= {ACTIVATION_WINDOW_MS} AS INT)) AS n_converted_72h,
-       SUM(CAST(delay_ms <= {ACTIVATION_WINDOW_MS} AS INT)) * 1000 // COUNT(*)
-         AS conversion_72h_milli,
+       CAST(SUM(CAST(delay_ms IS NOT NULL AS INT)) AS BIGINT) AS n_converted,
+       CAST(SUM(CAST(delay_ms <= {ACTIVATION_WINDOW_MS} AS INT)) AS BIGINT) AS n_converted_72h,
+       CAST(SUM(CAST(delay_ms <= {ACTIVATION_WINDOW_MS} AS INT)) * 1000 // COUNT(*)
+            AS BIGINT) AS conversion_72h_milli,
        CAST(floor(quantile_cont(delay_ms, 0.5)) AS BIGINT) AS median_delay_ms,
        MIN(delay_ms) AS min_delay_ms
 FROM joined
@@ -1015,15 +1015,15 @@ WITH o AS (
          CAST(floor(epoch_ms(MAX(l_shipdate)) / 86400000) AS BIGINT) AS shipped_day
   FROM lineitem GROUP BY l_orderkey
 ), deltas AS (
-  SELECT day, SUM(d) AS delta FROM (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
     SELECT placed_day AS day, 1 AS d FROM o
     UNION ALL
     SELECT s.shipped_day, -1 FROM o JOIN shipped s ON o.o_orderkey = s.l_orderkey
   ) GROUP BY day
 )
 SELECT day * 86400000 AS day_ms, delta,
-       SUM(delta) OVER (ORDER BY day
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+       CAST(SUM(delta) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
 FROM deltas
 """
 
@@ -1172,15 +1172,15 @@ WITH ev AS (
          SUM(c_a) OVER w - c_a AS less_a, SUM(c_b) OVER w - c_b AS less_b
   FROM g WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), n AS (
-  SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM g
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b FROM g
 )
 SELECT n_a, n_b,
        CAST(SUM(CAST(c_a AS HUGEINT) * (2 * (less_a + less_b) + c_a + c_b + 1))
-            AS BIGINT) - n_a * (n_a + 1) AS u2_a,
+            AS BIGINT) - CAST(n_a * (n_a + 1) AS BIGINT) AS u2_a,
        CAST(MAX(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
             AS BIGINT) AS ks_num,
        CAST(MAX(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a))
-            AS BIGINT) * 1000 // (n_a * n_b) AS ks_milli
+            AS BIGINT) * 1000 // CAST(n_a * n_b AS BIGINT) AS ks_milli
 FROM cum, n
 GROUP BY n_a, n_b
 """
@@ -1312,8 +1312,8 @@ WITH g AS (
   FROM g
 )
 SELECT cents AS weighted_median_cents,
-       cum AS cum_weight_at_median,
-       total_w AS total_weight
+       CAST(cum AS BIGINT) AS cum_weight_at_median,
+       CAST(total_w AS BIGINT) AS total_weight
 FROM cum WHERE cum >= (total_w + 1) // 2
 ORDER BY cents LIMIT 1
 """

@@ -291,7 +291,7 @@ WITH base AS (
 )
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(o_totalprice) AS DOUBLE) AS total_price,
-       SUM(version) AS n_updated
+       CAST(SUM(version) AS BIGINT) AS n_updated
 FROM merged GROUP BY 1
 """
 
@@ -326,9 +326,9 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCHEMA_EVOLUTION_ORACLE = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_new_schema,
-       SUM(CASE WHEN o_orderkey % 2 = 1
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1
                 THEN CAST(o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%' AS INT)
-           END) AS n_priority
+           END) AS BIGINT) AS n_priority
 FROM orders GROUP BY 1
 """
 
@@ -461,7 +461,7 @@ def q_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILE_LINEAGE_ORACLE = f"""
 SELECT o_orderkey % {LINEAGE_SHARDS} AS shard_from_path,
        COUNT(*) AS n_rows,
-       SUM(o_orderkey) AS key_checksum
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
 FROM orders GROUP BY 1
 """
 
@@ -522,7 +522,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 XML_ROUNDTRIP_ORACLE = f"""
-SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        bit_xor(CAST(concat('0x', substr(md5(concat(source, '|', text)), 1, 15)) AS BIGINT)) AS payload_checksum
 FROM documents WHERE doc_id < {XML_LIMIT} GROUP BY 1
 """

@@ -220,7 +220,7 @@ WITH scored AS (
   SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
   FROM scored
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
 FROM kept WHERE rn = 1 AND bucket < {CLEAN_SAMPLE_PCT}
 GROUP BY lang

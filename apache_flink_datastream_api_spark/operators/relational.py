@@ -265,8 +265,8 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q12_ORACLE = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY l_returnflag
@@ -1099,7 +1099,7 @@ WITH facts AS (
   FROM (SELECT DISTINCT k FROM facts)
 )
 SELECT label, COUNT(*) AS n_rows, COUNT(v) AS n_nonnull_v,
-       SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null_v
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_v
 FROM facts LEFT JOIN dim ON k IS NOT DISTINCT FROM dk
 GROUP BY label
 """

@@ -410,11 +410,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_QUANTIZE_ORACLE = """
 SELECT vec_id, label,
-       list_sum(list_transform(embedding,
-           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))) AS q_sum,
-       list_sum(list_transform(embedding,
+       CAST(list_sum(list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(embedding,
            v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT)
-                * CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))) AS q_sumsq,
+                * CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))) AS BIGINT) AS q_sumsq,
        len(list_filter(list_transform(embedding,
            v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT)),
            v -> v < -128 OR v > 127)) AS n_clipped
@@ -455,9 +455,9 @@ def emb_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_POOL_ORACLE = """
 SELECT label, u.i - 1 AS pos,
-       SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)) AS q_sum,
-       SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)
-           * CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)) AS q_sumsq,
+       CAST(SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)) AS BIGINT) AS q_sum,
+       CAST(SUM(CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)
+           * CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 127.0) AS BIGINT)) AS BIGINT) AS q_sumsq,
        COUNT(*) AS n_vecs
 FROM embeddings e, LATERAL (
   SELECT unnest(generate_series(1, len(e.embedding))) AS i
@@ -507,7 +507,7 @@ EMB_PROJECT_ORACLE = (
     "generate_subscripts(embedding, 1) - 1 AS j FROM embeddings)\n"
     "SELECT vec_id, "
     + ", ".join(
-        f"SUM(qv * ((j * 31 + {k} * 17) % 7 - 3)) AS out{k}"
+        f"CAST(SUM(qv * ((j * 31 + {k} * 17) % 7 - 3)) AS BIGINT) AS out{k}"
         for k in range(PROJ_DIMS)
     )
     + " FROM flat GROUP BY vec_id"
@@ -649,8 +649,8 @@ WITH qv AS (
 {assign('qv', 'c1', 'a2')}, {update('a2', 'c1', 'c2')},
 {assign('qv', 'c2', 'a3')}
 SELECT a.cid, COUNT(*) AS n_vecs,
-       SUM({dist('a.q', 'c.q')}) AS inertia,
-       MIN(list_sum(c.q)) AS c_sum
+       CAST(SUM({dist('a.q', 'c.q')}) AS BIGINT) AS inertia,
+       CAST(MIN(list_sum(c.q)) AS BIGINT) AS c_sum
 FROM a3 a JOIN c2 c ON c.cid = a.cid
 GROUP BY a.cid
 """
@@ -688,15 +688,22 @@ PQ_KS = 16      # codewords per subspace
 PQ_ITERS = 5    # per-subspace Lloyd iterations (driver-side, numpy)
 PQ_CAND = 50    # re-rank budget per query
 
+PQ_TRAIN_N = 4096  # codebook training sample size (driver-side cap)
+
 _PQ_CODEBOOK_CACHE: dict[str, "np.ndarray"] = {}
 
 
 def _pq_train(emb: DataFrame) -> "np.ndarray":
     """(PQ_M, PQ_KS, PQ_SUBDIM) codebooks from normalized vectors; seeds
-    picked in md5(vec_id) order (same deterministic device as IVF)."""
+    picked in md5(vec_id) order (same deterministic device as IVF).
+
+    Training collects a BOUNDED deterministic sample (first PQ_TRAIN_N rows
+    in md5 order — a uniform pseudo-random draw, stable across partitionings),
+    never the full table: at 100 TB the codebook is still learned from a few
+    thousand vectors, which is all k-means on PQ_KS=16 centroids needs."""
     rows = emb.selectExpr(
         "vec_id", "md5(CAST(vec_id AS STRING)) AS h", "embedding"
-    ).orderBy("h", "vec_id").collect()
+    ).orderBy("h", "vec_id").limit(PQ_TRAIN_N).collect()
     X = np.array([r.embedding for r in rows], dtype="float64")
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     books = []
@@ -930,7 +937,7 @@ WITH dims AS (
 ), tot AS (
   SELECT dim, COUNT(*) AS n FROM dims GROUP BY 1
 )
-SELECT vec_id, dim, (r2 - 1) * 500000 // n AS cdf_micro
+SELECT vec_id, dim, CAST((r2 - 1) * 500000 // n AS BIGINT) AS cdf_micro
 FROM dims JOIN ranked USING (dim, qv) JOIN tot USING (dim)
 """
 

@@ -95,9 +95,8 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yv")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.expr("CAST(r2x AS DECIMAL(38,0))")).cast("long").alias("sxg"),
-            F.sum(F.expr("CAST(r2x AS DECIMAL(38,0)) * r2x")).cast("long")
-            .alias("sxxg"),
+            F.sum(F.expr("CAST(r2x AS DECIMAL(38,0))")).alias("sxg"),
+            F.sum(F.expr("CAST(r2x AS DECIMAL(38,0)) * r2x")).alias("sxxg"),
         )
         .withColumn("shard", F.expr(f"yv div {_P_SHARD}"))
     )
@@ -114,12 +113,11 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt", "sxg", "sxxg", "2 * (base + less_in) + cnt + 1 AS r2y")
     sums = ranked.agg(
         F.sum("cnt").alias("n"),
-        F.sum(F.expr("CAST(sxg AS DECIMAL(38,0))")).cast("long").alias("sx"),
-        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * cnt")).cast("long").alias("sy"),
-        F.sum(F.expr("CAST(sxxg AS DECIMAL(38,0))")).cast("long").alias("sxx"),
-        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * r2y * cnt")).cast("long")
-        .alias("syy"),
-        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * sxg")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(sxg AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * cnt")).alias("sy"),
+        F.sum(F.expr("CAST(sxxg AS DECIMAL(38,0))")).alias("sxx"),
+        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * r2y * cnt")).alias("syy"),
+        F.sum(F.expr("CAST(r2y AS DECIMAL(38,0)) * sxg")).alias("sxy"),
     )
     return sums.selectExpr(
         "n",
@@ -153,11 +151,11 @@ WITH rows_ AS (
   SELECT r2x, r2y FROM rows_ JOIN rx USING (xv) JOIN ry USING (yv)
 ), sums AS (
   SELECT COUNT(*) AS n,
-         CAST(SUM(CAST(r2x AS HUGEINT)) AS BIGINT) AS sx,
-         CAST(SUM(CAST(r2y AS HUGEINT)) AS BIGINT) AS sy,
-         CAST(SUM(CAST(r2x AS HUGEINT) * r2x) AS BIGINT) AS sxx,
-         CAST(SUM(CAST(r2y AS HUGEINT) * r2y) AS BIGINT) AS syy,
-         CAST(SUM(CAST(r2x AS HUGEINT) * r2y) AS BIGINT) AS sxy
+         SUM(CAST(r2x AS HUGEINT)) AS sx,
+         SUM(CAST(r2y AS HUGEINT)) AS sy,
+         SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+         SUM(CAST(r2y AS HUGEINT) * r2y) AS syy,
+         SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy
   FROM joined
 )
 SELECT n,
@@ -922,17 +920,17 @@ WITH daily AS (
   FROM orders GROUP BY 1
 ), trended AS (
   SELECT day_ms, x,
-         CASE WHEN COUNT(x) OVER w = 7 THEN SUM(x) OVER w END // 7 AS trend,
+         CAST(CASE WHEN COUNT(x) OVER w = 7 THEN SUM(x) OVER w END // 7 AS BIGINT) AS trend,
          (day_ms // {DAY_MS} + 4) % 7 AS dow
   FROM daily
   WINDOW w AS (ORDER BY day_ms ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ), detrended AS (
   SELECT day_ms, x, trend, dow, x - trend AS detr FROM trended
 ), seasonal AS (
-  SELECT dow, SUM(detr) // COUNT(*) AS seasonal
+  SELECT dow, CAST(SUM(detr) // COUNT(*) AS BIGINT) AS seasonal
   FROM detrended WHERE detr IS NOT NULL GROUP BY 1
 )
-SELECT day_ms, x, trend, s.seasonal, detr - s.seasonal AS residual
+SELECT day_ms, x, trend, s.seasonal, CAST(detr - s.seasonal AS BIGINT) AS residual
 FROM detrended d JOIN seasonal s ON d.dow = s.dow
 """
 
@@ -1055,9 +1053,15 @@ def q_event_study_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "peak_day_ms", "n_window_days", "n_baseline_days",
             "ws div n_window_days AS window_mean_cents",
-            "bs div n_baseline_days AS baseline_mean_cents",
-            "CAST(CAST(ws div n_window_days AS DECIMAL(38,0)) * 1000000"
-            " div (bs div n_baseline_days) AS BIGINT) AS lift_micro",
+            # degenerate calendar (event span <= window width -> zero baseline
+            # days): guard explicitly so both engines emit NULL instead of
+            # Spark-NULL-vs-DuckDB-error divergence.
+            "CASE WHEN n_baseline_days = 0 THEN NULL"
+            " ELSE bs div n_baseline_days END AS baseline_mean_cents",
+            "CASE WHEN n_baseline_days = 0 OR bs div n_baseline_days = 0"
+            " THEN NULL"
+            " ELSE CAST(CAST(ws div n_window_days AS DECIMAL(38,0)) * 1000000"
+            " div (bs div n_baseline_days) AS BIGINT) END AS lift_micro",
         )
     )
 
@@ -1085,9 +1089,11 @@ WITH daily AS (
 )
 SELECT peak_day_ms, n_window_days, n_baseline_days,
        ws // n_window_days AS window_mean_cents,
-       bs // n_baseline_days AS baseline_mean_cents,
-       CAST(CAST(ws // n_window_days AS HUGEINT) * 1000000
-            // (bs // n_baseline_days) AS BIGINT) AS lift_micro
+       CASE WHEN n_baseline_days = 0 THEN NULL
+            ELSE bs // n_baseline_days END AS baseline_mean_cents,
+       CASE WHEN n_baseline_days = 0 OR bs // n_baseline_days = 0 THEN NULL
+            ELSE CAST(CAST(ws // n_window_days AS HUGEINT) * 1000000
+                      // (bs // n_baseline_days) AS BIGINT) END AS lift_micro
 FROM agg
 """
 
@@ -1181,8 +1187,8 @@ WITH rev AS (
 )
 SELECT abc, COUNT(*) AS n_parts,
        CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS revenue_cents,
-       CAST(CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS HUGEINT) * 1000000
-         // MAX(total) AS share_micro
+       CAST(CAST(CAST(SUM(CAST(rev AS HUGEINT)) AS BIGINT) AS HUGEINT) * 1000000
+         // MAX(total) AS BIGINT) AS share_micro
 FROM classed GROUP BY 1
 """
 
@@ -1607,6 +1613,14 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     m = sum(c for _, c in shard_counts)
+    if m == 0:
+        # degenerate calendar (<2 distinct days → zero slope pairs): the
+        # oracle's global aggregate over an empty WHERE yields one all-NULL
+        # row; match it instead of building an empty CASE expression.
+        return daily.sparkSession.range(1).selectExpr(
+            "CAST(NULL AS BIGINT) AS n_pairs",
+            "CAST(NULL AS BIGINT) AS theil_sen_slope_micro",
+        )
     r1, r2 = (m + 1) // 2, m // 2 + 1
     targets: dict[int, int] = {}
     run = 0
@@ -1808,10 +1822,10 @@ WITH ev AS (
   FROM events WHERE event_type IN ('view', 'purchase')
 ), counted AS (
   SELECT user_id, event_type, ts_ms,
-         SUM(CAST(event_type = 'view' AS BIGINT)) OVER (
+         CAST(SUM(CAST(event_type = 'view' AS BIGINT)) OVER (
            PARTITION BY user_id ORDER BY ts_ms
            RANGE BETWEEN {_CEP_TIMES_WINDOW_MS} PRECEDING AND 1 PRECEDING)
-           AS n_views_1h
+           AS BIGINT) AS n_views_1h
   FROM ev
 )
 SELECT user_id, ts_ms AS purchase_ts_ms, n_views_1h
@@ -2136,13 +2150,13 @@ WITH ev AS (
   FROM users GROUP BY 1
 )
 SELECT lifetime_w AS week,
-       SUM(n_ending) OVER (ORDER BY lifetime_w DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk,
+       CAST(SUM(n_ending) OVER (ORDER BY lifetime_w DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk,
        n_ending - n_censored AS n_churned,
        n_censored,
-       (n_ending - n_censored) * 1000000
+       CAST((n_ending - n_censored) * 1000000
          // SUM(n_ending) OVER (ORDER BY lifetime_w DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard_ppm
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hazard_ppm
 FROM hist
 """
 

@@ -298,8 +298,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 ), sessions AS (
   SELECT user_id, ts_ms,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -340,8 +340,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 ), sessions AS (
   SELECT user_id, ts_ms,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
@@ -646,7 +646,7 @@ WITH base AS (
                                 INTERVAL 1 DAY)) AS day
   FROM ranges
 )
-SELECT epoch_ms(day) AS day_ms, COUNT(*) AS n_users, SUM(cents) AS total_cents
+SELECT epoch_ms(day) AS day_ms, COUNT(*) AS n_users, CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM filled GROUP BY 1
 """
 
@@ -706,9 +706,9 @@ WITH base AS (
                ROWS BETWEEN {ANOMALY_FRAME} PRECEDING AND 1 PRECEDING)
 )
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CASE WHEN tcnt >= {ANOMALY_MIN_PRIOR}
+       CAST(SUM(CASE WHEN tcnt >= {ANOMALY_MIN_PRIOR}
                  AND cents * tcnt > {ANOMALY_FACTOR} * tsum
-            THEN 1 ELSE 0 END) AS n_anomalies
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM t GROUP BY 1
 """
 
@@ -822,7 +822,7 @@ flagged AS (
          SUM(delta) OVER (ORDER BY ts, delta, user_id ROWS UNBOUNDED PRECEDING) AS run
   FROM bounds
 )
-SELECT day * {CONC_DAY_MS} AS day_ms, MAX(run) AS max_concurrent,
+SELECT day * {CONC_DAY_MS} AS day_ms, CAST(MAX(run) AS BIGINT) AS max_concurrent,
        COUNT(*) AS n_boundaries
 FROM run GROUP BY 1
 """
@@ -963,7 +963,7 @@ WITH e AS (
               THEN 1 ELSE 0 END AS keep
   FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_ms, event_id)
 )
-SELECT event_type, COUNT(*) AS n_raw, SUM(keep) AS n_after_debounce
+SELECT event_type, COUNT(*) AS n_raw, CAST(SUM(keep) AS BIGINT) AS n_after_debounce
 FROM f GROUP BY 1
 """
 
@@ -1136,7 +1136,7 @@ WITH e AS (
 ), daily AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
 anchors AS (SELECT DISTINCT day AS anchor_day FROM daily),
 rolled AS (
-  SELECT anchor_day, event_type, SUM(n) AS n7
+  SELECT anchor_day, event_type, CAST(SUM(n) AS BIGINT) AS n7
   FROM daily JOIN anchors ON day <= anchor_day AND day > anchor_day - 7
   GROUP BY 1, 2
 ), ranked AS (
@@ -1366,7 +1366,7 @@ WITH e AS (
          CAST(next_p_ts IS NULL OR next_p_ts - ts_ms > {ABANDON_WINDOW_MS} AS INT) AS abandoned
   FROM t WHERE event_type = 'view'
 )
-SELECT day_ms, COUNT(*) AS n_views, SUM(abandoned) AS n_abandoned
+SELECT day_ms, COUNT(*) AS n_views, CAST(SUM(abandoned) AS BIGINT) AS n_abandoned
 FROM v GROUP BY day_ms
 """
 
@@ -1505,9 +1505,9 @@ WITH e AS (
   SELECT cohort_week, COUNT(*) AS cohort_users FROM firsts GROUP BY 1
 )
 SELECT cohort_week, age_weeks, cohort_users, week_revenue_cents,
-       SUM(week_revenue_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+       CAST(SUM(week_revenue_cents) OVER (PARTITION BY cohort_week ORDER BY age_weeks
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS cum_revenue_cents
+            AS BIGINT) AS cum_revenue_cents
 FROM rev JOIN sized USING (cohort_week)
 """
 

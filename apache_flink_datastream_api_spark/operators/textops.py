@@ -77,8 +77,8 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_BPE_ORACLE = f"""
 SELECT doc_id,
        len(regexp_extract_all(lower(text), '{BPE_PATTERN_DUCK}')) AS n_pieces,
-       list_sum(list_transform(regexp_extract_all(lower(text), '{BPE_PATTERN_DUCK}'),
-                x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT))) AS n_subtokens,
+       CAST(list_sum(list_transform(regexp_extract_all(lower(text), '{BPE_PATTERN_DUCK}'),
+                x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens,
        CAST(n_chars AS DOUBLE)
          / list_sum(list_transform(regexp_extract_all(lower(text), '{BPE_PATTERN_DUCK}'),
                     x -> CAST(ceil(length(trim(x)) / 4.0) AS BIGINT))) AS chars_per_token
@@ -617,7 +617,7 @@ WITH sh AS (
   FROM first GROUP BY 1
 )
 SELECT batch, n_new_shingles,
-       SUM(n_new_shingles) OVER (ORDER BY batch ROWS UNBOUNDED PRECEDING) AS vocab_size
+       CAST(SUM(n_new_shingles) OVER (ORDER BY batch ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
 FROM per_batch
 """
 
@@ -667,8 +667,8 @@ CORPUS_DATACARD_ORACLE = f"""
 WITH t AS (SELECT COUNT(*) AS total_docs FROM documents),
 g AS (
   SELECT source, lang, COUNT(*) AS n_docs,
-         SUM(len({X.tokens_duck("text")})) AS n_tokens,
-         SUM(n_chars) AS n_chars,
+         CAST(SUM(len({X.tokens_duck("text")})) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
          MIN(len({X.tokens_duck("text")})) AS min_tokens,
          MAX(len({X.tokens_duck("text")})) AS max_tokens
   FROM documents GROUP BY 1, 2
@@ -940,8 +940,15 @@ def pipeline_rag_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .pipeline import chunk_documents
 
+    from uuid import uuid4
+
     chunks = chunk_documents(spark, sf_dir)
-    chunks.createOrReplaceTempView("rag_chunks")
+    # session-global temp views are shared state: a fixed name would collide
+    # with user views / concurrent invocations on the same SparkSession, so
+    # register under a unique name and drop it once the plan is resolved
+    # (spark.sql analyzes eagerly; the returned DataFrame no longer needs it).
+    view = f"rag_chunks_{uuid4().hex}"
+    chunks.createOrReplaceTempView(view)
     df_terms = ", ".join(
         "COUNT(DISTINCT CASE WHEN token = '{t}' THEN struct(doc_id, chunk_id)"
         " END) AS df_{t}".format(t=t)
@@ -960,22 +967,23 @@ def pipeline_rag_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT COUNT(*) AS n_chunks,
                  CAST(SUM(CAST(n_chunk_tokens AS DECIMAL(28,0))) AS DOUBLE)
                    / COUNT(*) AS avgdl
-          FROM rag_chunks
+          FROM {view}
         ), dfs AS (
           SELECT {df_terms} FROM (
             SELECT doc_id, chunk_id, explode(split(chunk_text, ' ')) AS token
-            FROM rag_chunks
+            FROM {view}
           )
         )
         SELECT doc_id, chunk_id, n_chunk_tokens,
                CAST(n_chunk_tokens AS DOUBLE) AS dl,
                chunk_text, n_chunks, avgdl,
                {', '.join(f'df_{t}' for t in SEARCH_TERMS)}
-        FROM rag_chunks CROSS JOIN stats CROSS JOIN dfs
+        FROM {view} CROSS JOIN stats CROSS JOIN dfs
     """).selectExpr(
         "doc_id", "chunk_id", "n_chunk_tokens",
         " + ".join(term(t) for t in SEARCH_TERMS) + " AS score",
     )
+    spark.catalog.dropTempView(view)
     best = W.partitionBy("doc_id").orderBy(F.desc("score"), "chunk_id")
     per_doc = scored.withColumn("brk", F.row_number().over(best)).where("brk = 1")
     top = W.orderBy(F.desc("score"), "doc_id", "chunk_id")

@@ -78,7 +78,7 @@ WITH assigned AS (
   SELECT lang, len({TOKS_D}) AS n_tokens, {GATE_D} AS bucket FROM documents
 )
 SELECT {SPLIT_CASE.replace("bucket", "bucket")} AS split, lang,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM assigned
 GROUP BY 1, 2
 """
@@ -246,9 +246,9 @@ WITH base AS (
   SELECT doc_id, len({TOKS_D}) AS n_tokens FROM documents
 ), offs AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS start_offset
+         ), 0) AS BIGINT) AS start_offset
   FROM base
 )
 SELECT doc_id, n_tokens, start_offset,
@@ -323,10 +323,10 @@ QUOTA_ORACLE = f"""
 SELECT doc_id, source, n_chars, cum_chars
 FROM (
   SELECT doc_id, source, n_chars,
-         SUM(n_chars) OVER (
+         CAST(SUM(n_chars) OVER (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum_chars
+         ) AS BIGINT) AS cum_chars
   FROM documents
 )
 WHERE cum_chars <= {QUOTA_BUDGET}
@@ -584,7 +584,7 @@ factors AS (
   FROM embeddings e JOIN factors f USING (label),
        UNNEST(generate_series(1, f.rep)) AS g(copy_i)
 )
-SELECT r.label, COUNT(*) AS n_after, SUM(vec_id) AS id_checksum,
+SELECT r.label, COUNT(*) AS n_after, CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
        ANY_VALUE(f.n) AS n_before, ANY_VALUE(f.rep) AS rep
 FROM rebal r JOIN factors f USING (label)
 GROUP BY r.label
@@ -756,7 +756,7 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHARD_MANIFEST_ORACLE = f"""
 SELECT {portable_hash64_sql("CAST(doc_id AS VARCHAR)")} % {MANIFEST_SHARDS} AS shard,
-       COUNT(*) AS n_docs, SUM(length(text)) AS total_chars,
+       COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
        bit_xor({portable_hash64_sql("text")}) AS content_checksum
 FROM documents GROUP BY 1
@@ -962,7 +962,7 @@ WITH ev AS (
          COALESCE(ev.cents, med.median_cents) AS filled_cents
   FROM ev JOIN med USING (event_type)
 )
-SELECT event_type, COUNT(*) AS n, SUM(imputed) AS n_imputed,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(imputed) AS BIGINT) AS n_imputed,
        CAST(SUM(CAST(filled_cents AS HUGEINT)) AS BIGINT) AS sum_cents,
        MIN(filled_cents) AS min_cents
 FROM filled GROUP BY event_type

@@ -243,14 +243,27 @@ def main() -> None:
         times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures a bounded stdout tail: keep the contract line SHORT
+    # (no inline per-query map — round 1's 6 KB line was truncated mid-JSON and
+    # recorded as "parsed": null). Full per-query timings go to a side file.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(times.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {},  # per-query map in BENCH_DETAIL.json (kept off stdout)
+                "sf": sf_val,
             }
         )
     )

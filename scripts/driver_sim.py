@@ -31,6 +31,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_kinds(df: pd.DataFrame) -> list[str]:
+    """Pandas dtype *kind* per column ('i' int, 'f' float, 'O' object, 'b' bool, ...).
+
+    The driver's value-hash is dtype-sensitive (1175 != 1175.0), so int-vs-float
+    between the Spark result and the DuckDB oracle is a real failure even when
+    values match exactly. Round 1 masked 47 such cases with check_dtype=False.
+    """
+    return [df[c].dtype.kind for c in df.columns]
+
+
 def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
@@ -61,6 +71,8 @@ def main() -> int:
             g, w = norm(got), norm(want)
             assert list(g.columns) == list(w.columns), f"cols {list(g.columns)} != {list(w.columns)}"
             assert len(g) == len(w), f"rows {len(g)} != {len(w)}"
+            gk, wk = dtype_kinds(g), dtype_kinds(w)
+            assert gk == wk, f"DTYPE kinds spark={gk} != oracle={wk} for cols {list(g.columns)}"
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
             n_pass += 1
             print(f"  [match] {name}: {len(g)} rows ({time.time()-t0:.1f}s)")

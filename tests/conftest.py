@@ -45,6 +45,15 @@ def assert_matches_oracle(spark_df, oracle_con, sql: str, check_exact: bool = Tr
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+    # The driver's value-hash is dtype-sensitive (1175 != 1175.0): a dtype
+    # KIND mismatch (int vs float vs object) is a real failure even when the
+    # values compare equal. check_dtype=False below only tolerates width
+    # differences (int32 vs int64), which the hash does not distinguish.
+    gk = [got[c].dtype.kind for c in got.columns]
+    wk = [want[c].dtype.kind for c in want.columns]
+    assert gk == wk, (
+        f"dtype-kind mismatch: spark={gk} oracle={wk} cols={list(got.columns)}"
+    )
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=check_exact, atol=0, rtol=0
     )

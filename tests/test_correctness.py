@@ -33,3 +33,24 @@ def test_bench_headline_queries_registered():
     missing = [n for n in bench.HEADLINE if n not in specs]
     assert not missing, missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
+
+
+def test_oracle_result_types_canonical(oracle_con):
+    """Round-1 regression: every oracle's DuckDB result types must be plain
+    (BIGINT/DOUBLE/VARCHAR/BOOLEAN/...), never HUGEINT or DECIMAL. DuckDB
+    returns HUGEINT sums as pandas float64 and DECIMAL as Decimal objects,
+    which break the driver's dtype-sensitive value hash against Spark's
+    int64/float64 even when values are identical (47 queries lost in r1)."""
+    bad: dict[str, list[str]] = {}
+    for spec in SPECS:
+        if not spec.oracle:
+            continue
+        rel = oracle_con.sql(spec.oracle)
+        offending = [
+            f"{col}:{typ}"
+            for col, typ in zip(rel.columns, rel.types)
+            if str(typ).upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+        ]
+        if offending:
+            bad[spec.name] = offending
+    assert not bad, f"non-canonical oracle result types: {bad}"

@@ -696,3 +696,108 @@ def test_checkpoint_resume_processes_only_new_files(spark):
     second = run_once()
     # the cross-restart pair (events 1+2) fires exactly once, nothing else
     assert second == [(100, 1_004_000, 4_000)], second
+
+
+def test_t2_stalled_watermark_divergence(spark):
+    """Pin the ONE place Spark's watermark semantics observably diverge from
+    the reference's punctuated assigner (chapter4/EventTimeOperations.java:
+    98-120): the reference emits watermark = WALL CLOCK - 2 s refreshed every
+    10 s, so an IDLE source still closes windows; Spark's watermark is
+    max(event_ts) - delay, derived from data only, so it STALLS when no new
+    max arrives. This asserts the stalled behavior instead of narrating it:
+
+    1. run 1 (events up to t=5 s): window [0,10 s) open, nothing emitted;
+    2. run 2 (one LATE row, max unchanged — 'idle'): still nothing emitted
+       (the reference's wall-clock assigner would have closed the window by
+       now), and the late row is absorbed into the still-open window state;
+    3. run 3 (row at t=25 s): watermark jumps to 23 s, window [0,10 s)
+       finalizes and emits WITH the late row counted.
+    """
+    d = tempfile.mkdtemp(prefix="t2src_")
+    ckpt = tempfile.mkdtemp(prefix="t2ckpt_")
+    emitted: list[tuple[int, int]] = []
+
+    def write_chunk(i, rows):
+        path = os.path.join(d, f"c{i}.csv")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(",".join(map(str, r)) + "\n")
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    def run_once():
+        agg = (
+            _chunk_stream(spark, d)
+            .withColumn("event_ts", F.timestamp_millis("ts_ms"))
+            .withWatermark("event_ts", "2 seconds")
+            .groupBy(F.window("event_ts", "10 seconds"))
+            .agg(F.count("*").alias("n"))
+            .selectExpr("unix_millis(window.start) AS win_start_ms", "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _id: emitted.extend(
+                    (r.win_start_ms, r.n) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_chunk(0, [(1, 1, "view", 1000), (2, 1, "view", 2000), (3, 1, "view", 5000)])
+    run_once()
+    assert emitted == []  # watermark = 3 s; [0,10 s) open and withheld
+
+    write_chunk(1, [(4, 1, "view", 2500)])  # late vs wm, max event time unchanged
+    run_once()
+    assert emitted == []  # STALLED: Flink's wall-clock assigner would emit here
+
+    write_chunk(2, [(5, 1, "view", 25_000)])
+    run_once()
+    assert emitted == [(0, 4)]  # closed by data, late row included
+
+
+KAFKA_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
+
+
+@pytest.mark.skipif(
+    not KAFKA_BOOTSTRAP,
+    reason="S2/K2 need a broker: set KAFKA_BOOTSTRAP=host:port to run",
+)
+def test_kafka_roundtrip_s2_k2(spark, chunked_events_dir):
+    """S2 + K2 end-to-end where a broker exists (none in this sandbox):
+    stream the chunked events INTO a topic via to_kafka, read them back with
+    kafka_lines, and compare payload sets."""
+    import uuid
+
+    from apache_flink_datastream_api_spark.streaming.sources import kafka_lines
+    from apache_flink_datastream_api_spark.streaming.sinks import to_kafka
+
+    topic = f"sparkgraft_{uuid.uuid4().hex[:12]}"
+    payload = _chunk_stream(spark, chunked_events_dir).selectExpr(
+        "CAST(event_id AS STRING) AS key",
+        "concat_ws(',', event_id, user_id, event_type, ts_ms) AS value",
+    )
+    wq = to_kafka(
+        payload, topic, KAFKA_BOOTSTRAP, tempfile.mkdtemp(prefix="kckpt_")
+    )
+    wq.awaitTermination(300)
+
+    got = (
+        kafka_lines(spark, topic, KAFKA_BOOTSTRAP, starting_offsets="earliest")
+        .writeStream.format("memory")
+        .queryName(f"kafka_rt_{topic}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    got.awaitTermination(300)
+    read_back = {
+        r.value for r in spark.sql(f"SELECT value FROM kafka_rt_{topic}").collect()
+    }
+    want = {
+        f"{r.event_id},{r.user_id},{r.event_type},{r.ts_ms}"
+        for r in spark.read.schema(CHUNK_SCHEMA).csv(chunked_events_dir).collect()
+    }
+    assert read_back == want
