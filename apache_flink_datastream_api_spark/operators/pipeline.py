@@ -390,3 +390,72 @@ SPECS += [
               "full pretrain prep: quality→redact→dedup→decontaminate→split, stage audit",
               ("pipeline", "trainprep", "dedup")),
 ]
+
+
+# --- right-to-be-forgotten erasure audit --------------------------------------
+# The governance op every data platform runs on a schedule: given a set of
+# erasure requests (here: the deterministic c_custkey % 97 = 0 cohort),
+# purge the subject's rows from every table that carries the key and emit
+# the audit the DPO actually reads — per table, how many rows were erased
+# and how many remain. One scan per fact table with the request set
+# BROADCAST (the request list is always driver-scale relative to the
+# facts); purged/remaining come from one conditional aggregate over the
+# left join, not separate semi + anti passes.
+
+ERASE_MOD = 97
+
+
+def pipeline_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    requests = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.expr(f"c_custkey % {ERASE_MOD} = 0"))
+        .select(F.col("c_custkey").alias("erase_key"))
+    )
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(requests), F.col(key) == F.col("erase_key"), "left")
+            .agg(
+                F.sum(F.expr("CASE WHEN erase_key IS NOT NULL THEN 1 ELSE 0 END"))
+                .cast("long").alias("n_purged"),
+                F.sum(F.expr("CASE WHEN erase_key IS NULL THEN 1 ELSE 0 END"))
+                .cast("long").alias("n_remaining"),
+            )
+            .selectExpr(f"'{name}' AS table_name", "n_purged", "n_remaining")
+        )
+
+    return (
+        audit(load_table(spark, sf_dir, "customer"), "c_custkey", "customer")
+        .unionAll(audit(load_table(spark, sf_dir, "orders"), "o_custkey", "orders"))
+        .unionAll(audit(load_table(spark, sf_dir, "events"), "user_id", "events"))
+    )
+
+
+USER_ERASURE_ORACLE = f"""
+WITH req AS (
+  SELECT c_custkey AS erase_key FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+)
+SELECT 'customer' AS table_name,
+       CAST(SUM(CASE WHEN erase_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purged,
+       CAST(SUM(CASE WHEN erase_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_remaining
+FROM customer LEFT JOIN req ON c_custkey = erase_key
+UNION ALL
+SELECT 'orders',
+       CAST(SUM(CASE WHEN erase_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN erase_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders LEFT JOIN req ON o_custkey = erase_key
+UNION ALL
+SELECT 'events',
+       CAST(SUM(CASE WHEN erase_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN erase_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events LEFT JOIN req ON user_id = erase_key
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_user_erasure", pipeline_user_erasure, USER_ERASURE_ORACLE,
+              "GDPR erasure audit: purged/remaining per table, broadcast requests",
+              ("pipeline", "governance")),
+]

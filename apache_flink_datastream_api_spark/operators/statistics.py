@@ -2903,3 +2903,102 @@ SPECS += [
               "Durbin-Watson residual autocorrelation diagnostic, exact",
               ("analytics", "stats", "timeseries")),
 ]
+
+
+# --- Kendall tau-b rank correlation -------------------------------------------
+# Completes the rank-correlation family (Spearman above, Mann-Kendall's S on
+# the time axis): concordant/discordant PAIR counting with full tie
+# correction. The fact table never self-joins — quantity is integral and
+# price is banded, so the data collapses to a ~50 x ~25 CELL GRID first
+# (one shuffle, map-side partial agg); C and D are then cell-pair products
+# over the tiny grid (a broadcast inequality join whose size is
+# data-volume-INDEPENDENT, like Mann-Kendall's calendar-bounded sign join).
+# Pair counts ride as DECIMAL(38,0)/HUGEINT (C ~ n^2/2 exceeds BIGINT near
+# n ~ 4e9 — the Spearman lesson); only n and the floored tau_b micro ratio
+# are emitted. Denominator identity used: sqrt(n0-Tx)*sqrt(n0-Ty) with
+# n0 = n(n-1)/2 equals sqrt(2n0-2Tx)*sqrt(2n0-2Ty)/2, so we track the
+# always-even doubled tie terms TX2 = sum t(t-1), TY2 and avoid /2 floors.
+
+_KT_BAND = 5000
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(round(l_quantity) AS BIGINT) AS x",
+            f"CAST(floor(l_extendedprice / {_KT_BAND}) AS BIGINT) AS y",
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c"))
+    )
+    a = cells.selectExpr("x AS xa", "y AS ya", "c AS ca")
+    b = cells.selectExpr("x AS xb", "y AS yb", "c AS cb")
+    cd = a.join(F.broadcast(b), F.col("xb") < F.col("xa")).agg(
+        F.sum(F.expr(
+            "CASE WHEN yb < ya THEN CAST(ca AS DECIMAL(38,0)) * cb ELSE 0 END"
+        )).alias("conc"),
+        F.sum(F.expr(
+            "CASE WHEN yb > ya THEN CAST(ca AS DECIMAL(38,0)) * cb ELSE 0 END"
+        )).alias("disc"),
+    )
+    n_row = cells.agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_cells")
+    )
+    tx_row = (
+        cells.groupBy("x").agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1)")).alias("tx2"))
+    )
+    ty_row = (
+        cells.groupBy("y").agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1)")).alias("ty2"))
+    )
+    return (
+        cd.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(tx_row))
+        .crossJoin(F.broadcast(ty_row))
+        .selectExpr(
+            "n", "n_cells",
+            "CAST(floor(2.0 * CAST(conc - disc AS DOUBLE) * 1000000.0"
+            " / (sqrt(CAST(n AS DOUBLE) * (n - 1) - CAST(tx2 AS DOUBLE))"
+            " * sqrt(CAST(n AS DOUBLE) * (n - 1) - CAST(ty2 AS DOUBLE))))"
+            " AS BIGINT) AS tau_b_micro",
+        )
+    )
+
+
+Q_KENDALL_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice / {_KT_BAND}) AS BIGINT) AS y,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cd AS (
+  SELECT SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+           AS conc,
+         SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+           AS disc
+  FROM cells a JOIN cells b ON b.x < a.x
+), n_row AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_cells FROM cells
+), tx_row AS (
+  SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS tx2
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY x)
+), ty_row AS (
+  SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS ty2
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY y)
+)
+SELECT n, n_cells,
+       CAST(floor(2.0 * CAST(conc - disc AS DOUBLE) * 1000000.0
+        / (sqrt(CAST(n AS DOUBLE) * (n - 1) - CAST(tx2 AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE) * (n - 1) - CAST(ty2 AS DOUBLE))))
+        AS BIGINT) AS tau_b_micro
+FROM cd, n_row, tx_row, ty_row
+"""
+
+
+SPECS += [
+    QuerySpec("q_kendall_tau", q_kendall_tau, Q_KENDALL_ORACLE,
+              "Kendall tau-b with tie correction over the quantity/price grid",
+              ("analytics", "stats")),
+]

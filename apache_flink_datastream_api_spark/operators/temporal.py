@@ -1523,3 +1523,93 @@ SPECS += [
               "cumulative revenue LTV per first-seen epoch-week cohort",
               ("analytics", "cohort")),
 ]
+
+
+# --- position-based (U-shaped) multi-touch attribution -----------------------
+# The multi-touch complement of q_attribution_last_touch: each conversion's
+# credit is split 40% / 20% / 40% across first / middle / last touches in
+# the 7-day lookback. One pass, no as-of join blow-up: every non-purchase
+# event finds its NEXT purchase via the forward aligned IGNORE-NULLS probe
+# (the q_cep_not_followed_by machinery), then position within the
+# (user, conversion) touch group comes from one more window over the same
+# user_id exchange. Credits are exact integer MILLIs that provably sum to
+# 1000 per conversion: middles get 200 div (n-2) each and the first touch
+# absorbs the remainder (n=1 -> 1000, n=2 -> 500/500).
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms", "event_id"
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    p_ts = F.expr("CASE WHEN event_type = 'purchase' THEN ts_ms END")
+    p_id = F.expr("CASE WHEN event_type = 'purchase' THEN event_id END")
+    touches = (
+        ev.withColumn("np_ts", F.first(p_ts, ignorenulls=True).over(wf))
+        .withColumn("np_id", F.first(p_id, ignorenulls=True).over(wf))
+        .where("event_type <> 'purchase'")
+        .where(f"np_ts IS NOT NULL AND np_ts - ts_ms <= {ATTR_LOOKBACK_MS}")
+    )
+    g = Window.partitionBy("user_id", "np_id")
+    go = g.orderBy("ts_ms", "event_id")
+    credited = (
+        touches.withColumn("rn", F.row_number().over(go))
+        .withColumn("n", F.count("*").over(g))
+        .selectExpr(
+            "event_type AS channel", "user_id", "np_id",
+            "CASE WHEN n = 1 THEN 1000"
+            "     WHEN n = 2 THEN 500"
+            "     WHEN rn = n THEN 400"
+            "     WHEN rn = 1 THEN 600 - (n - 2) * (200 div (n - 2))"
+            "     ELSE 200 div (n - 2) END AS credit_milli",
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("user_id", "np_id").alias("n_conversions"),
+        F.sum("credit_milli").cast("long").alias("credit_milli_total"),
+    )
+
+
+Q_ATTR_POSITION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+), probe AS (
+  SELECT user_id, event_type, ts_ms, event_id,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts_ms END
+                     IGNORE NULLS) OVER wf AS np_ts,
+         first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                     IGNORE NULLS) OVER wf AS np_id
+  FROM e
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), t AS (
+  SELECT * FROM probe
+  WHERE event_type <> 'purchase' AND np_ts IS NOT NULL
+    AND np_ts - ts_ms <= {ATTR_LOOKBACK_MS}
+), pos AS (
+  SELECT event_type AS channel, user_id, np_id,
+         row_number() OVER (PARTITION BY user_id, np_id
+                            ORDER BY ts_ms, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, np_id) AS n
+  FROM t
+)
+SELECT channel, COUNT(*) AS n_touches,
+       COUNT(DISTINCT (user_id, np_id)) AS n_conversions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
+                     WHEN rn = n THEN 400
+                     WHEN rn = 1 THEN 600 - (n - 2) * (200 // (n - 2))
+                     ELSE 200 // (n - 2) END) AS BIGINT) AS credit_milli_total
+FROM pos GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_attribution_position", q_attribution_position,
+              Q_ATTR_POSITION_ORACLE,
+              "U-shaped 40/20/40 multi-touch attribution, exact integer millis",
+              ("temporal", "attribution")),
+]

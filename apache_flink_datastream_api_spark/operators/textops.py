@@ -1100,3 +1100,114 @@ SPECS += [
               "type-token ratio per source + corpus row (vocab richness)",
               ("text", "quality")),
 ]
+
+
+# --- boilerplate shingle detection ------------------------------------------
+# Sub-document dedup signal (the CCNet/RefinedWeb pre-step the whole-doc
+# dedup families can't see): word 5-grams shared across MANY documents are
+# template text — headers, footers, navigation, license blurbs. The rollup
+# is (shingle -> distinct-doc frequency); a production pipeline then strips
+# spans whose shingles exceed the df threshold. Plan: explode -> ONE
+# shuffle on shingle with map-side partial agg -> aggregate-then-rank
+# top-20 via TakeOrdered (never a global sort of the shingle table).
+# At 100 TB this is the same shape as the MinHash shingle table
+# (dedup.py:228) — scan-speed explode plus a hash aggregation.
+
+BOILER_K = 5
+BOILER_MIN_DF = 3
+BOILER_TOP = 20
+
+
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        spark,
+    )
+    sh = docs.selectExpr(
+        "doc_id", "source",
+        f"explode({X.shingles_spark(TOKS_S, BOILER_K)}) AS shingle",
+    )
+    agg = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    top = (
+        agg.where(f"df >= {BOILER_MIN_DF}")
+        .orderBy(F.desc("df"), F.desc("n_occurrences"), "shingle")
+        .limit(BOILER_TOP)
+    )
+    w = Window.orderBy(F.desc("df"), F.desc("n_occurrences"), "shingle")
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+TEXT_BOILERPLATE_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         unnest({X.shingles_duck(TOKS_D, BOILER_K)}) AS shingle
+  FROM documents
+), agg AS (
+  SELECT shingle, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT source) AS n_sources
+  FROM sh GROUP BY 1
+)
+SELECT shingle, df, n_occurrences, n_sources,
+       row_number() OVER (ORDER BY df DESC, n_occurrences DESC, shingle)
+         AS rnk
+FROM agg WHERE df >= {BOILER_MIN_DF}
+ORDER BY rnk LIMIT {BOILER_TOP}
+"""
+
+
+# --- feature hashing (the hashing trick) ------------------------------------
+# The classic unbounded-vocabulary featurizer: token -> fixed bucket via the
+# portable hash, so the feature space is 64-wide regardless of corpus size
+# — no vocabulary build pass, no dictionary broadcast, works identically on
+# the first and the trillionth document. Bucketing is MAP-SIDE (hash of the
+# token string); the only shuffle is the final (lang, bucket) rollup, whose
+# cardinality is bounded by 4 langs x 64 buckets whatever the data volume.
+
+HASH_BUCKETS = 64
+
+
+def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        spark,
+    )
+    toks = docs.selectExpr("doc_id", "lang", f"explode({TOKS_S}) AS tok")
+    return (
+        toks.withColumn(
+            "bucket", F.pmod(portable_hash64("tok"), F.lit(HASH_BUCKETS))
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("tok").alias("n_terms"),
+        )
+    )
+
+
+TEXT_HASHING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({TOKS_D}) AS tok FROM documents
+)
+SELECT lang, {portable_hash64_sql('tok')} % {HASH_BUCKETS} AS bucket,
+       COUNT(*) AS n_tokens, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT tok) AS n_terms
+FROM toks GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("text_boilerplate_shingles", text_boilerplate_shingles,
+              TEXT_BOILERPLATE_ORACLE,
+              "template-text detector: top word-5-grams by distinct-doc df",
+              ("text", "dedup", "quality")),
+    QuerySpec("text_hashing_trick", text_hashing_trick, TEXT_HASHING_ORACLE,
+              "feature hashing: unbounded vocab -> 64 buckets, map-side",
+              ("text", "features")),
+]

@@ -1041,3 +1041,79 @@ SPECS += [
               "state+delta merge equals full recompute (mergeable distincts)",
               ("pipeline", "scale", "incremental")),
 ]
+
+
+# --- exact-proportion stratified split ----------------------------------------
+# pipeline_train_eval_split's hash-threshold split gives ~90/10 only in
+# EXPECTATION — small strata can land 80/20. This is the exact-count
+# variant: within every source stratum, rank docs in md5(doc_id) order (a
+# deterministic uniform draw) and cut at floor(0.9 * n_stratum), so each
+# stratum's train share is exactly right regardless of its size. The rank
+# is the value-sharded two-pass machinery (shard = first md5 hex digit,
+# per-(stratum, shard) counts prefix-summed driver-side, in-shard
+# row_number + broadcast base) — no per-stratum global sort, so a stratum
+# 1000x larger than the rest never serializes one partition.
+
+SPLIT_TRAIN_PCT = 90
+
+
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "source", "md5(CAST(doc_id AS STRING)) AS h")
+        .withColumn("shard", F.expr("CAST(conv(substr(h, 1, 1), 16, 10) AS INT)"))
+    )
+    counts = sorted(
+        (r.source, r.shard, r.c)
+        for r in docs.groupBy("source", "shard").agg(F.count("*").alias("c")).collect()
+    )  # |sources| x 16 rows — driver-scale metadata, like every sharded-rank user
+    totals: dict[str, int] = {}
+    bases: list[tuple[str, int, int]] = []
+    for src, sh, c in counts:
+        bases.append((src, sh, totals.get(src, 0)))
+        totals[src] = totals.get(src, 0) + c
+    base_df = spark.createDataFrame(
+        [(s, sh, b, totals[s]) for s, sh, b in bases],
+        "source string, shard int, base long, n_src long",
+    )
+    w = Window.partitionBy("source", "shard").orderBy("h", "doc_id")
+    ranked = (
+        docs.join(F.broadcast(base_df), ["source", "shard"])
+        .withColumn("rk", F.row_number().over(w) + F.col("base"))
+    )
+    return (
+        ranked.selectExpr(
+            "source", "doc_id",
+            f"CASE WHEN rk <= n_src * {SPLIT_TRAIN_PCT} div 100"
+            " THEN 'train' ELSE 'eval' END AS split",
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+STRATIFIED_SPLIT_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+)
+SELECT source,
+       CASE WHEN rk <= n_src * {SPLIT_TRAIN_PCT} // 100
+            THEN 'train' ELSE 'eval' END AS split,
+       COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM r GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_stratified_split", pipeline_stratified_split,
+              STRATIFIED_SPLIT_ORACLE,
+              "exact-count 90/10 split per source stratum via sharded rank",
+              ("trainprep", "sampling")),
+]

@@ -220,6 +220,13 @@ HEADLINE = [
     "q_basket_rules",
     "q_conversion_window_sweep",
     "q_durbin_watson",
+    # round 2: boilerplate/featurization, governance, splits, rank stats
+    "text_boilerplate_shingles",
+    "text_hashing_trick",
+    "pipeline_stratified_split",
+    "pipeline_user_erasure",
+    "q_attribution_position",
+    "q_kendall_tau",
 ]
 
 
