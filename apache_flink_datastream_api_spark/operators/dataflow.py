@@ -540,3 +540,69 @@ SPECS += [
               "per-key tumbling COUNT windows of 10 events, full windows only",
               ("window", "count")),
 ]
+
+
+# --- U2/X: control-stream-configured filtering (broadcast-state family) ------
+# Flink's remaining connect() idiom: a CONTROL stream updates per-key rules
+# that a data stream is evaluated against (KeyedBroadcastProcessFunction /
+# CoProcessFunction-with-state — the dynamic-fraud-rules shape). Control
+# rows ride the same source here (every RULE_MOD-th event re-arms its
+# event_type's alert threshold to that event's cents); data rows alert
+# when cents >= the threshold current AT THEIR POSITION in (ts, event_id)
+# order. Batch form: the rule carry is one aligned IGNORE-NULLS window —
+# a single event_type exchange, no join. The streaming twin
+# (x6_dynamic_rules_stream) holds the threshold in per-key ValueState so
+# rule updates late in batch N bind data rows early in batch N+1.
+
+RULE_MOD = 50
+RULE_DEFAULT_CENTS = 9000
+
+
+def q_dynamic_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "unix_millis(ts) AS ts_ms", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        f"event_id % {RULE_MOD} = 0 AS is_rule",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rule_c = F.expr("CASE WHEN is_rule THEN cents END")
+    thr = F.coalesce(
+        F.last(rule_c, ignorenulls=True).over(w),
+        F.lit(RULE_DEFAULT_CENTS).cast("long"),
+    )
+    return (
+        ev.withColumn("threshold_cents", thr)
+        .where("NOT is_rule")
+        .where(F.col("cents") >= F.col("threshold_cents"))
+        .select("event_type", "ts_ms", "event_id", "cents", "threshold_cents")
+    )
+
+
+Q_DYNAMIC_RULES_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id % {RULE_MOD} = 0 AS is_rule
+  FROM events
+), c AS (
+  SELECT event_type, ts_ms, event_id, cents, is_rule,
+         coalesce(last_value(CASE WHEN is_rule THEN cents END IGNORE NULLS)
+                    OVER (PARTITION BY event_type ORDER BY ts_ms, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  {RULE_DEFAULT_CENTS}) AS threshold_cents
+  FROM e
+)
+SELECT event_type, ts_ms, event_id, cents, threshold_cents
+FROM c WHERE NOT is_rule AND cents >= threshold_cents
+"""
+
+
+SPECS += [
+    QuerySpec("q_dynamic_rules", q_dynamic_rules, Q_DYNAMIC_RULES_ORACLE,
+              "control-stream rule updates filtering a keyed data stream",
+              ("dataflow", "connect", "stateful")),
+]

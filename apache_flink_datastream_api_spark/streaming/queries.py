@@ -1137,3 +1137,36 @@ SPECS += [
               "countWindow(10) ValueState machine (streaming twin of w8_count_window)",
               ("streaming", "stateful", "count")),
 ]
+
+
+# --- X6 streaming: dynamic rule thresholds across micro-batches --------------
+
+from ..operators.dataflow import (  # noqa: E402
+    Q_DYNAMIC_RULES_ORACLE,
+    RULE_DEFAULT_CENTS,
+    RULE_MOD,
+)
+from .state import rule_filtered_events  # noqa: E402
+
+
+def x6_dynamic_rules_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_dynamic_rules: the per-event_type threshold
+    lives in ValueState, so a rule row late in batch N governs data rows
+    early in batch N+1 — Flink's broadcast/control-state pattern on
+    Spark's keyed state store. Same window-carry oracle as the batch form."""
+    stream = _events_stream(spark, sf_dir).selectExpr(
+        "event_type", "unix_millis(ts) AS ts_ms", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        f"event_id % {RULE_MOD} = 0 AS is_rule",
+    )
+    return run_available_now(
+        rule_filtered_events(stream, RULE_DEFAULT_CENTS), spark, mode="update"
+    )
+
+
+SPECS += [
+    QuerySpec("x6_dynamic_rules_stream", x6_dynamic_rules_stream,
+              Q_DYNAMIC_RULES_ORACLE,
+              "control-stream rule ValueState across micro-batches (x6 twin)",
+              ("streaming", "stateful", "connect")),
+]

@@ -448,3 +448,60 @@ def count_windows(df: DataFrame, n: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- X6: control-stream rule state (broadcast-state family) ------------------
+# The KeyedBroadcastProcessFunction shape: control rows (is_rule) update a
+# per-event_type threshold held in ValueState; data rows are emitted when
+# their cents clear the threshold current at their position. One long per
+# key regardless of history — rules crossing micro-batch boundaries bind
+# later data rows, which is the whole point of the pattern.
+
+RULES_STATE = StructType([StructField("thr", LongType())])
+
+
+def make_rule_filter(default_cents: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = _sorted(pdfs)
+        thr = int(state.get[0]) if state.exists else default_cents
+        out: list[tuple[Any, int, int, int, int]] = []
+        for ts, eid, cents, is_rule in zip(
+            rows["ts_ms"], rows["event_id"], rows["cents"], rows["is_rule"]
+        ):
+            if bool(is_rule):
+                thr = int(cents)
+            elif int(cents) >= thr:
+                out.append((key[0], int(ts), int(eid), int(cents), thr))
+        state.update((thr,))
+        yield pd.DataFrame(
+            out,
+            columns=["event_type", "ts_ms", "event_id", "cents",
+                     "threshold_cents"],
+        )
+
+    return fn
+
+
+def rule_filtered_events(df: DataFrame, default_cents: int) -> DataFrame:
+    """X6 streaming operator: df must contain (event_type, ts_ms, event_id,
+    cents, is_rule). Output: the alerting data rows with the threshold
+    that admitted them."""
+    sel = df.selectExpr("event_type", "ts_ms", "event_id", "cents", "is_rule")
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("event_id", LongType()),
+            StructField("cents", LongType()),
+            StructField("threshold_cents", LongType()),
+        ]
+    )
+    return sel.groupBy("event_type").applyInPandasWithState(
+        make_rule_filter(default_cents),
+        outputStructType=out_schema,
+        stateStructType=RULES_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

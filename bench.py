@@ -227,6 +227,8 @@ HEADLINE = [
     "pipeline_user_erasure",
     "q_attribution_position",
     "q_kendall_tau",
+    "q_dynamic_rules",
+    "x6_dynamic_rules_stream",
 ]
 
 

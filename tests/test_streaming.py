@@ -801,3 +801,51 @@ def test_kafka_roundtrip_s2_k2(spark, chunked_events_dir):
         for r in spark.read.schema(CHUNK_SCHEMA).csv(chunked_events_dir).collect()
     }
     assert read_back == want
+
+
+def test_x6_rule_state_survives_micro_batches(spark, chunked_events_dir):
+    """Broadcast-state parity: a rule row late in chunk N must govern data
+    rows early in chunk N+1, so the per-type threshold ValueState has to
+    persist across micro-batches; the 3-batch replay must equal the batch
+    IGNORE-NULLS window carry on the same subset."""
+    from apache_flink_datastream_api_spark.streaming.state import rule_filtered_events
+
+    default_cents = 5000
+    # cents derived from event_id so both sides compute identical payloads
+    derive = [
+        "event_type", "ts_ms", "event_id",
+        "event_id * 37 % 10000 AS cents",
+        "event_id % 10 = 0 AS is_rule",
+    ]
+    stream = _chunk_stream(spark, chunked_events_dir).selectExpr(*derive)
+    got = run_available_now(
+        rule_filtered_events(stream, default_cents), spark, mode="update"
+    )
+    e = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") < 3000)
+        .selectExpr("event_type", "unix_millis(ts) AS ts_ms", "event_id")
+        .selectExpr(*derive)
+    )
+    from pyspark.sql import Window
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rule_c = F.expr("CASE WHEN is_rule THEN cents END")
+    want = (
+        e.withColumn(
+            "threshold_cents",
+            F.coalesce(F.last(rule_c, ignorenulls=True).over(w),
+                       F.lit(default_cents).cast("long")),
+        )
+        .where("NOT is_rule")
+        .where(F.col("cents") >= F.col("threshold_cents"))
+        .select("event_type", "ts_ms", "event_id", "cents", "threshold_cents")
+    )
+    cols = ["event_type", "ts_ms", "event_id", "cents", "threshold_cents"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+    # the fixture must actually exercise BOTH paths: some alerts, some not
+    n_alerts, n_data = got.count(), e.where("NOT is_rule").count()
+    assert 0 < n_alerts < n_data
