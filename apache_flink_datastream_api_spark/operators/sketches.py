@@ -169,3 +169,144 @@ SPECS = [
               "— estimates hash-checked exactly against the oracle",
               ("sketch", "approx")),
 ]
+
+
+# --- Bloom filter membership sketch ------------------------------------------
+# The remaining classic mergeable sketch (HLL cardinality, KLL quantiles,
+# count-min frequency are above): an m-bit Bloom filter over the seen-user
+# set, probed by the customer dimension. Bits pack 63 per BIGINT word
+# aggregated with bit_or — REAGGREGATABLE by construction (word-wise OR
+# merges shards/days exactly, like the HLL rollup), and the whole filter
+# is driver-scale (m/8 bytes) however large the build side is. Build and
+# probe are both equi-joins on the word index; the k probe bits per key
+# come from a map-side explode of the salted portable-hash family, never
+# a per-key loop. Output is the full confusion readout: the observed
+# false-positive rate against exact membership (the filter has no false
+# negatives — asserted by n_missed = 0) next to the bit load factor that
+# predicts it.
+
+BLOOM_M = 4096   # bits
+BLOOM_K = 4      # hash functions (salted portable family)
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("k"))
+        .distinct()
+    )
+    salts = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+
+    def positions(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("salt", F.explode(salts))
+            .withColumn(
+                "pos",
+                F.pmod(salted_hash64(F.concat(F.col("k"), F.lit("#"),
+                                              F.col("salt")), 0),
+                       F.lit(BLOOM_M)),
+            )
+            # 63 usable bits per word: 1 << 63 overflows the signed BIGINT
+            # sign bit (DuckDB raises, Spark wraps) — keep positions 0..62.
+            .selectExpr("k", "salt", "pos div 63 AS word",
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+                        " AS mask")
+        )
+
+    bitmap = positions(members).groupBy("word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )  # <= 66 rows (ceil(m/63)): the whole filter
+    probe = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").cast("string").alias("k"))
+    )
+    probed = (
+        positions(probe)
+        .join(F.broadcast(bitmap), "word", "left")
+        .selectExpr(
+            "k",
+            "CASE WHEN bits IS NOT NULL AND (bits & mask) = mask"
+            " THEN 1 ELSE 0 END AS hit",
+        )
+        .groupBy("k")
+        .agg(F.sum("hit").cast("long").alias("n_hits"))
+        .selectExpr("k", f"CAST(n_hits = {BLOOM_K} AS INT) AS bloom_positive")
+    )
+    truth = members.selectExpr("k", "1 AS is_member")
+    joined = probed.join(truth, "k", "left").selectExpr(
+        "bloom_positive", "coalesce(is_member, 0) AS is_member"
+    )
+    load = bitmap.agg(
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_bits_set")
+    )
+    return joined.agg(
+        F.count("*").alias("n_probes"),
+        F.sum("is_member").cast("long").alias("n_members_probed"),
+        F.sum(F.expr("bloom_positive * is_member")).cast("long")
+        .alias("n_true_pos"),
+        F.sum(F.expr("bloom_positive * (1 - is_member)")).cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.expr("(1 - bloom_positive) * is_member")).cast("long")
+        .alias("n_missed"),
+    ).crossJoin(F.broadcast(load)).selectExpr(
+        "n_probes", "n_members_probed", "n_true_pos", "n_false_pos",
+        "n_missed", "n_bits_set",
+        "CASE WHEN n_probes - n_members_probed = 0 THEN 0"
+        " ELSE n_false_pos * 1000000 div (n_probes - n_members_probed)"
+        " END AS fpr_ppm",
+    )
+
+
+def _bloom_positions_duck(src_sql: str) -> str:
+    h = salted_hash64_sql("concat(k, '#', salt)", "0")
+    return f"""
+  SELECT k, salt, {h} % {BLOOM_M} AS pos,
+         ({h} % {BLOOM_M}) // 63 AS word,
+         (CAST(1 AS BIGINT) << CAST(({h} % {BLOOM_M}) % 63 AS INT)) AS mask
+  FROM ({src_sql}) CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS salt)
+"""
+
+
+SKETCH_BLOOM_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+), mpos AS ({_bloom_positions_duck('SELECT k FROM members')}
+), bitmap AS (
+  SELECT word, bit_or(mask) AS bits FROM mpos GROUP BY 1
+), probe AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+), ppos AS ({_bloom_positions_duck('SELECT k FROM probe')}
+), hits AS (
+  SELECT p.k,
+         CAST(SUM(CASE WHEN b.bits IS NOT NULL AND (b.bits & p.mask) = p.mask
+                       THEN 1 ELSE 0 END) = {BLOOM_K} AS INT) AS bloom_positive
+  FROM ppos p LEFT JOIN bitmap b ON p.word = b.word
+  GROUP BY 1
+), joined AS (
+  SELECT h.bloom_positive,
+         CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM hits h LEFT JOIN members m ON h.k = m.k
+), load AS (
+  SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bits_set FROM bitmap
+)
+SELECT COUNT(*) AS n_probes,
+       CAST(SUM(is_member) AS BIGINT) AS n_members_probed,
+       CAST(SUM(bloom_positive * is_member) AS BIGINT) AS n_true_pos,
+       CAST(SUM(bloom_positive * (1 - is_member)) AS BIGINT) AS n_false_pos,
+       CAST(SUM((1 - bloom_positive) * is_member) AS BIGINT) AS n_missed,
+       n_bits_set,
+       CASE WHEN COUNT(*) - SUM(is_member) = 0 THEN 0
+            ELSE CAST(SUM(bloom_positive * (1 - is_member)) * 1000000
+                      // (COUNT(*) - SUM(is_member)) AS BIGINT)
+       END AS fpr_ppm
+FROM joined, load
+GROUP BY n_bits_set
+"""
+
+
+SPECS += [
+    QuerySpec("sketch_bloom_membership", sketch_bloom_membership,
+              SKETCH_BLOOM_ORACLE,
+              "mergeable m-bit Bloom filter: build via bit_or words, probe, FPR",
+              ("sketch", "membership")),
+]

@@ -3002,3 +3002,83 @@ SPECS += [
               "Kendall tau-b with tie correction over the quantity/price grid",
               ("analytics", "stats")),
 ]
+
+
+# --- integer-exact EWMA of the daily revenue series ---------------------------
+# Exponential smoothing is the one classic time-series operator float
+# recursion makes non-portable (s_t = a*x_t + (1-a)*s_{t-1} accumulates
+# rounding in arrival order). This is the order-independent form: a
+# 21-day truncated kernel with RATIONAL decay 9/10 per day, each weight
+# the exact integer 9^d * 10^(20-d), products and sums ridden as
+# DECIMAL(38,0)/HUGEINT, one floored division at the end. The kernel
+# join is an equi-join: each anchor day explodes its 21 (day - d) keys
+# MAP-SIDE and hash-joins the daily aggregate — no range predicate, no
+# BNLJ, and the whole computation after the first rollup touches only
+# calendar-bounded rows. Truncation error vs the infinite kernel is
+# (9/10)^21 < 11% of total weight, constant and engine-identical.
+
+EWMA_SPAN = 21          # kernel length in days
+EWMA_NUM, EWMA_DEN = 9, 10  # per-day decay 9/10
+_EWMA_W = [EWMA_NUM ** d * EWMA_DEN ** (EWMA_SPAN - 1 - d)
+           for d in range(EWMA_SPAN)]
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            f"unix_millis(o_orderdate) - pmod(unix_millis(o_orderdate), {DAY_MS})"
+            " AS day_ms",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day_ms")
+        .agg(F.sum(F.expr("CAST(cents AS DECIMAL(28,0))")).cast("long").alias("x"))
+    )
+    w_case = " ".join(
+        f"WHEN {d} THEN CAST({w} AS DECIMAL(38,0))"
+        for d, w in enumerate(_EWMA_W)
+    )
+    probes = daily.selectExpr(
+        "day_ms AS anchor_ms", f"explode(sequence(0, {EWMA_SPAN - 1})) AS d"
+    ).selectExpr("anchor_ms", "d", f"anchor_ms - d * {DAY_MS} AS day_ms")
+    return (
+        probes.join(daily, "day_ms")
+        .selectExpr("anchor_ms", f"CASE d {w_case} END AS w", "x")
+        .groupBy("anchor_ms")
+        .agg(
+            F.count("*").alias("n_days_in_kernel"),
+            F.expr("CAST(sum(w * x) * 1000 div sum(w) AS BIGINT)")
+            .alias("ewma_cents_milli"),
+        )
+        .selectExpr("anchor_ms AS day_ms", "n_days_in_kernel",
+                    "ewma_cents_milli")
+    )
+
+
+_EWMA_W_CASE_D = " ".join(
+    f"WHEN {d} THEN CAST({w} AS HUGEINT)" for d, w in enumerate(_EWMA_W)
+)
+Q_EWMA_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_ms(o_orderdate) - epoch_ms(o_orderdate) % {DAY_MS} AS day_ms,
+         CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), probes AS (
+  SELECT day_ms AS anchor_ms, d, day_ms - d * {DAY_MS} AS day_ms_probe
+  FROM daily CROSS JOIN (SELECT unnest(range({EWMA_SPAN})) AS d)
+), joined AS (
+  SELECT p.anchor_ms, CASE p.d {_EWMA_W_CASE_D} END AS w, daily.x
+  FROM probes p JOIN daily ON daily.day_ms = p.day_ms_probe
+)
+SELECT anchor_ms AS day_ms, COUNT(*) AS n_days_in_kernel,
+       CAST(SUM(w * x) * 1000 // SUM(w) AS BIGINT) AS ewma_cents_milli
+FROM joined GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_ewma_daily", q_ewma_daily, Q_EWMA_ORACLE,
+              "order-independent EWMA: rational 21-day kernel, exact integers",
+              ("analytics", "timeseries")),
+]

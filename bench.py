@@ -229,6 +229,8 @@ HEADLINE = [
     "q_kendall_tau",
     "q_dynamic_rules",
     "x6_dynamic_rules_stream",
+    "sketch_bloom_membership",
+    "q_ewma_daily",
 ]
 
 
