@@ -811,3 +811,112 @@ SPECS += [
               "LSH candidate precision/recall vs exact-Jaccard ground truth",
               ("dedup", "audit", "eval")),
 ]
+
+
+# --- prefix-filter set-similarity join (PPJoin family) -----------------------
+# The exact-threshold similarity join that needs NO blocking key and NO
+# probabilistic banding: for Jaccard >= t, any two qualifying sets must
+# share at least one token in their length-(n - ceil(t*n) + 1) PREFIX
+# when every set is ordered by GLOBAL token rarity (ascending df) — so
+# candidates come from an equi-join on prefix tokens only, and rare
+# tokens make tiny buckets. This is the standard SSJoin/PPJoin
+# candidate-generation bound; MinHash banding (above) trades exactness
+# for speed, this trades a df-ranking pass for a guarantee: zero false
+# negatives at the threshold, verified here by EXACT intersection counts
+# (3c >= na+nb <=> J >= 1/2 in pure integers). Plan: every join is keyed
+# (shingle hash or doc id); the only per-doc sort is the doc-bounded
+# rarity rank. At 100 TB the df table is the same rollup the boilerplate
+# detector builds, and candidate volume is governed by the df of PREFIX
+# tokens — the rarest per doc — not corpus size.
+
+PF_NUM, PF_DEN = 1, 2  # Jaccard threshold 1/2 as an exact rational
+
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = (
+        ngram_shingle_table(spark, sf_dir)
+        .select("doc_id", "sh_h")
+        .localCheckpoint(eager=True)  # feeds df, counts, prefix AND verify
+    )
+    df_tbl = shingled.groupBy("sh_h").agg(F.count("*").alias("df"))
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rarity = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    prefix = (
+        shingled.join(df_tbl, "sh_h")
+        .withColumn("rk", F.row_number().over(rarity))
+        .join(counts, "doc_id")
+        .where(
+            f"rk <= n - (n * {PF_NUM} + {PF_DEN} - 1) div {PF_DEN} + 1"
+        )
+        .select("doc_id", "sh_h")
+    )
+    cand = (
+        prefix.select("sh_h", F.col("doc_id").alias("doc_a"))
+        .join(prefix.select("sh_h", F.col("doc_id").alias("doc_b")), "sh_h")
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    sb = shingled.select(F.col("doc_id").alias("doc_b_s"),
+                         F.col("sh_h").alias("sh_h_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("doc_b_s"))
+              & (F.col("sh_h") == F.col("sh_h_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .where(f"{PF_DEN + 1} * c >= na + nb")  # J >= 1/2, exact integers
+        .selectExpr("doc_a", "doc_b", "c AS n_common", "na", "nb",
+                    "CAST(c AS DOUBLE) / (na + nb - c) AS jaccard")
+    )
+
+
+DEDUP_PREFIX_FILTER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), shs AS (
+  SELECT DISTINCT doc_id, unnest({X.shingles_duck('toks', NJ_K)}) AS shingle
+  FROM toks
+), sh AS (
+  SELECT doc_id, {portable_hash64_sql('shingle')} AS sh_h FROM shs
+), dfs AS (
+  SELECT sh_h, COUNT(*) AS df FROM sh GROUP BY 1
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+), prefix AS (
+  SELECT doc_id, sh_h FROM (
+    SELECT s.doc_id, s.sh_h, c.n,
+           row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh_h)
+             AS rk
+    FROM sh s JOIN dfs d USING (sh_h) JOIN counts c USING (doc_id)
+  ) WHERE rk <= n - (n * {PF_NUM} + {PF_DEN} - 1) // {PF_DEN} + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT cd.doc_a, cd.doc_b, COUNT(*) AS c
+  FROM cand cd
+  JOIN sh sa ON sa.doc_id = cd.doc_a
+  JOIN sh sb ON sb.doc_id = cd.doc_b AND sb.sh_h = sa.sh_h
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, c AS n_common, na.n AS na, nb.n AS nb,
+       CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+FROM inter JOIN counts na ON na.doc_id = doc_a
+           JOIN counts nb ON nb.doc_id = doc_b
+WHERE {PF_DEN + 1} * c >= na.n + nb.n
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_prefix_filter_join", dedup_prefix_filter_join,
+              DEDUP_PREFIX_FILTER_ORACLE,
+              "exact-threshold set-similarity join via df-ordered prefix filter",
+              ("dedup", "similarity")),
+]

@@ -231,6 +231,7 @@ HEADLINE = [
     "x6_dynamic_rules_stream",
     "sketch_bloom_membership",
     "q_ewma_daily",
+    "dedup_prefix_filter_join",
 ]
 
 

@@ -54,3 +54,46 @@ def test_oracle_result_types_canonical(oracle_con):
         if offending:
             bad[spec.name] = offending
     assert not bad, f"non-canonical oracle result types: {bad}"
+
+
+def test_prefix_filter_join_has_no_false_negatives(oracle_con):
+    """The PPJoin guarantee the driver hash can't see (the oracle replays
+    the same filter): prefix-filter candidates must recover EVERY pair
+    with Jaccard >= 1/2, compared against the unfiltered O(n^2) join."""
+    from apache_flink_datastream_api_spark.operators.dedup import (
+        DEDUP_PREFIX_FILTER_ORACLE,
+        NJ_K,
+        PF_DEN,
+        PF_NUM,
+    )
+    from apache_flink_datastream_api_spark.functions import text as X
+    from apache_flink_datastream_api_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+
+    toks_d = X.tokens_duck("text")
+    brute = f"""
+    WITH toks AS (SELECT doc_id, {toks_d} AS toks FROM documents),
+    shs AS (SELECT DISTINCT doc_id,
+                   unnest({X.shingles_duck('toks', NJ_K)}) AS shingle
+            FROM toks),
+    sh AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS sh_h FROM shs),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM inter
+    JOIN counts na ON na.doc_id = doc_a JOIN counts nb ON nb.doc_id = doc_b
+    WHERE {PF_DEN + PF_NUM} * c >= PF_scale
+    """.replace("PF_scale", "na.n + nb.n")
+    want = {
+        tuple(r) for r in oracle_con.sql(brute).fetchall()
+    }
+    got = {
+        (r[0], r[1])
+        for r in oracle_con.sql(DEDUP_PREFIX_FILTER_ORACLE).fetchall()
+    }
+    assert got == want
+    assert want, "fixture has no qualifying near-dup pairs — test is vacuous"
