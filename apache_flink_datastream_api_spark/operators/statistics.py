@@ -3082,3 +3082,94 @@ SPECS += [
               "order-independent EWMA: rational 21-day kernel, exact integers",
               ("analytics", "timeseries")),
 ]
+
+
+# --- degree assortativity of the co-purchase graph ----------------------------
+# Do hub products co-occur with hubs (r > 0) or with the long tail
+# (r < 0)? Pearson correlation of endpoint degrees over every DIRECTED
+# edge — the standard network-mixing diagnostic that, with triangle
+# count above, characterizes the graph the recommender families
+# (co-purchase pairs/lift) operate on. Same basket-bounded edge builder
+# as graph_triangle_count; degree moments ride DECIMAL(38,0)/HUGEINT
+# (sums of d^2 over edges grow like the second degree moment — BIGINT
+# dies on power-law graphs long before 100 TB). Both orientations are
+# folded symmetrically (x-sums = y-sums), so one undirected edge row
+# contributes both directions without materializing the reversed list.
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    edges = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS pa, y AS pb))))")).alias("p"))
+        .select("p.pa", "p.pb").distinct()
+    )
+    deg = (
+        edges.selectExpr("pa AS v").unionAll(edges.selectExpr("pb AS v"))
+        .groupBy("v").agg(F.count("*").alias("d"))
+    )
+    de = (
+        edges
+        .join(F.broadcast(deg.selectExpr("v AS pa", "d AS da")), "pa")
+        .join(F.broadcast(deg.selectExpr("v AS pb", "d AS db")), "pb")
+    )
+    sums = de.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.expr("CAST(da AS DECIMAL(38,0)) + db")).alias("sx"),
+        F.sum(F.expr("CAST(da AS DECIMAL(38,0)) * da"
+                     " + CAST(db AS DECIMAL(38,0)) * db")).alias("sxx"),
+        F.sum(F.expr("2 * CAST(da AS DECIMAL(38,0)) * db")).alias("sxy"),
+    )
+    return sums.selectExpr(
+        "n_edges",
+        "CASE WHEN 2.0 * n_edges * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL"
+        " ELSE CAST(floor((2.0 * n_edges * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0"
+        " / (2.0 * n_edges * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)"
+        " END AS assortativity_micro",
+    )
+
+
+GRAPH_ASSORT_ORACLE = """
+WITH bp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS pa, b.p AS pb
+  FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges)
+  GROUP BY 1
+), de AS (
+  SELECT da.d AS da, db.d AS db
+  FROM edges JOIN deg da ON da.v = pa JOIN deg db ON db.v = pb
+), s AS (
+  SELECT COUNT(*) AS n_edges,
+         SUM(CAST(da AS HUGEINT) + db) AS sx,
+         SUM(CAST(da AS HUGEINT) * da + CAST(db AS HUGEINT) * db) AS sxx,
+         SUM(2 * CAST(da AS HUGEINT) * db) AS sxy
+  FROM de
+)
+SELECT n_edges,
+       CASE WHEN 2.0 * n_edges * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+            ELSE CAST(floor((2.0 * n_edges * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0
+                 / (2.0 * n_edges * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+       END AS assortativity_micro
+FROM s
+"""
+
+
+SPECS += [
+    QuerySpec("graph_degree_assortativity", graph_degree_assortativity,
+              GRAPH_ASSORT_ORACLE,
+              "degree-degree Pearson mixing over co-purchase edges, exact moments",
+              ("analytics", "graph")),
+]

@@ -232,6 +232,7 @@ HEADLINE = [
     "sketch_bloom_membership",
     "q_ewma_daily",
     "dedup_prefix_filter_join",
+    "graph_degree_assortativity",
 ]
 
 
