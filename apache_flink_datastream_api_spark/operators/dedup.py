@@ -833,11 +833,11 @@ PF_NUM, PF_DEN = 1, 2  # Jaccard threshold 1/2 as an exact rational
 
 
 def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingled = (
-        ngram_shingle_table(spark, sf_dir)
-        .select("doc_id", "sh_h")
-        .localCheckpoint(eager=True)  # feeds df, counts, prefix AND verify
-    )
+    # shingled feeds five consumers (df, counts, prefix, both verify sides);
+    # measured at sf0.1, RECOMPUTING the explode per consumer beats
+    # localCheckpoint materialization (5.1s vs 6.0s) — AQE loses runtime
+    # stats behind a checkpoint, the graph_triangle_count lesson again.
+    shingled = ngram_shingle_table(spark, sf_dir).select("doc_id", "sh_h")
     df_tbl = shingled.groupBy("sh_h").agg(F.count("*").alias("df"))
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     rarity = Window.partitionBy("doc_id").orderBy("df", "sh_h")
