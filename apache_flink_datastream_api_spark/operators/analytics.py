@@ -1767,3 +1767,71 @@ SPECS += [
               "nation-within-region revenue shares from one aggregated rollup",
               ("analytics", "rollup")),
 ]
+
+
+# --- market-basket 3-itemsets (apriori level 3) ------------------------------
+# The next apriori level over q_copurchase_pairs: top part TRIPLES by
+# distinct-order support. Same generator-not-self-join discipline — the
+# sorted basket array explodes its own i<j<k triples map-side, so triple
+# volume is bounded by B^3 of the basket SIZE (TPC-H <= 7 lines -> <= 35
+# triples), never by a three-way fact join. Mega-baskets above
+# TRIPLE_MAX_BASKET are excluded identically on both engines — the
+# standard frequent-itemset guard: a 10k-line institutional order would
+# contribute 1.6e11 triples and zero retail signal.
+
+TRIPLE_MAX_BASKET = 25
+TRIPLE_TOP = 10
+
+
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(f"size(parts) BETWEEN 3 AND {TRIPLE_MAX_BASKET}")
+    )
+    triples = baskets.select(
+        F.explode(F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "flatten(transform(slice(parts, i + 2, size(parts)), (y, j) -> "
+            "transform(slice(parts, i + j + 3, size(parts)), "
+            "z -> struct(x AS pa, y AS pb, z AS pc))))))"
+        )).alias("t")
+    ).select("t.pa", "t.pb", "t.pc")
+    top = (
+        triples.groupBy("pa", "pb", "pc")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "pa", "pb", "pc")
+        .limit(TRIPLE_TOP)
+    )
+    w = Window.orderBy(F.desc("support"), "pa", "pb", "pc")
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+Q_BASKET_TRIPLES_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sized AS (
+  SELECT l_orderkey FROM b GROUP BY 1
+  HAVING COUNT(*) BETWEEN 3 AND {TRIPLE_MAX_BASKET}
+), bs AS (
+  SELECT b.l_orderkey, l_partkey FROM b JOIN sized USING (l_orderkey)
+), t AS (
+  SELECT x.l_partkey AS pa, y.l_partkey AS pb, z.l_partkey AS pc
+  FROM bs x
+  JOIN bs y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  JOIN bs z ON y.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey
+), agg AS (
+  SELECT pa, pb, pc, COUNT(*) AS support FROM t GROUP BY 1, 2, 3
+)
+SELECT pa, pb, pc, support,
+       row_number() OVER (ORDER BY support DESC, pa, pb, pc) AS rnk
+FROM agg
+ORDER BY rnk LIMIT {TRIPLE_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("q_basket_triples", q_basket_triples, Q_BASKET_TRIPLES_ORACLE,
+              "top 3-itemsets by support, basket-bounded map-side generation",
+              ("analytics", "basket")),
+]

@@ -1167,3 +1167,62 @@ SPECS += [
               "catalog SQL scalar UDF + parameterized SQL table function, inlined by Catalyst",
               ("relational", "spark4", "udf")),
 ]
+
+
+# --- Arrow-batched grouped-aggregate UDAF ------------------------------------
+# The last leg of the Spark user-function triad (scalar SQL UDF + SQL TVF
+# above, the gap-sessionize Python UDTF in functions/udtfs.py): a
+# pandas_udf GROUPED_AGG — the Arrow-batched custom aggregate. Built-ins
+# stay the house rule (every other median here rides the exact sharded-
+# quantile machinery, JVM-side); this query exists to PIN the UDAF
+# engine contract: whole-group Series in, scalar out, Arrow transfer,
+# mixable with built-in aggregates in one agg(). Values are doubled
+# cents so the even-count median interpolation (x.5) stays an exact
+# integer on both engines — np.median's float64 is exact below 2^53.
+
+def q_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd  # noqa: F401  (pandas_udf signature)
+
+    # Explicit functionType: the module's `from __future__ import
+    # annotations` stringizes type hints, which pandas_udf can't infer
+    # from. All three aggregates are pandas UDAFs — Spark disallows mixing
+    # GROUPED_AGG with JVM aggregates in one agg() (INVALID_PANDAS_UDF_
+    # PLACEMENT), itself part of the contract this query pins.
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def median2(v):
+        return int(np.median(v))
+
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def min_v(v):
+        return int(v.min())
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "2 * CAST(round(value * 100) AS BIGINT) AS cents2"
+    )
+    return ev.groupBy("event_type").agg(
+        n_rows("cents2").alias("n"),
+        median2("cents2").alias("median_2cents"),
+        min_v("cents2").alias("min_2cents"),
+    )
+
+
+Q_PANDAS_UDAF_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(median(cents2) AS BIGINT) AS median_2cents,
+       MIN(cents2) AS min_2cents
+FROM (SELECT event_type, 2 * CAST(round(value * 100) AS BIGINT) AS cents2
+      FROM events)
+GROUP BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec("q_pandas_udaf_median", q_pandas_udaf_median, Q_PANDAS_UDAF_ORACLE,
+              "Arrow GROUPED_AGG pandas UDAF mixed with built-in aggregates",
+              ("relational", "udf", "arrow")),
+]

@@ -233,6 +233,8 @@ HEADLINE = [
     "q_ewma_daily",
     "dedup_prefix_filter_join",
     "graph_degree_assortativity",
+    "q_basket_triples",
+    "q_pandas_udaf_median",
 ]
 
 
