@@ -920,3 +920,99 @@ SPECS += [
               "exact-threshold set-similarity join via df-ordered prefix filter",
               ("dedup", "similarity")),
 ]
+
+
+# --- incremental dedup against a historical fingerprint index ----------------
+# How dedup actually runs at 100 TB: the corpus is NOT rescanned per
+# ingest — yesterday's fingerprint INDEX (fingerprint -> first doc_id, a
+# tiny table relative to the corpus) is joined against today's DELTA
+# only. The fingerprint is the min portable-hash over word 5-gram
+# shingles (the text_fingerprint device: for J-similar docs the min
+# shingle hash collides with probability J, so 0.95+ near-dups are
+# caught by an EQUALITY join — no pair enumeration at ingest time; the
+# banded families above are the deeper offline sweep). Split is
+# deterministic here (first INCR_HISTORY_PCT% of doc_ids = history; in
+# production, the ingest date); each delta doc is classified
+# dup_of_history / dup_within_delta / new. The only scans are one over
+# history (index build — in production a stored table, amortized) and
+# one over the delta; classification is a broadcast-scale hash join
+# plus one delta-bounded window.
+
+INCR_HISTORY_PCT = 80
+_FP_K = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    toked = docs.select("doc_id", "text", F.expr(TOKS_S).alias("toks"))
+    sh = X.shingles_spark("toks", _FP_K)
+    fb = "cast(conv(substr(md5(lower(text)), 1, 15), 16, 10) as bigint)"
+    fp = toked.selectExpr(
+        "doc_id",
+        "coalesce(array_min(transform(" + sh + ", s ->"
+        " cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))), "
+        + fb + ") AS f",
+    )
+    mx = fp.agg(F.max("doc_id").alias("m"))
+    hist_cut = F.broadcast(mx.selectExpr(
+        f"CAST(floor(m * {INCR_HISTORY_PCT} / 100.0) AS BIGINT) AS cut"))
+    tagged = fp.crossJoin(hist_cut)
+    index = (
+        tagged.where("doc_id <= cut")
+        .groupBy("f").agg(F.min("doc_id").alias("hist_doc_id"))
+    )
+    delta = tagged.where("doc_id > cut")
+    w = Window.partitionBy("f").orderBy("doc_id")
+    classified = (
+        delta.join(F.broadcast(index), "f", "left")
+        .withColumn("rk_in_delta", F.row_number().over(w))
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN hist_doc_id IS NOT NULL THEN 'dup_of_history'"
+            "     WHEN rk_in_delta > 1 THEN 'dup_within_delta'"
+            "     ELSE 'new' END AS status",
+        )
+    )
+    return classified.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
+
+
+_FP_SH_D = X.shingles_duck(TOKS_D, _FP_K)
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         coalesce(list_min(list_transform({_FP_SH_D},
+                    s -> {portable_hash64_sql('s')})),
+                  {portable_hash64_sql('lower(text)')}) AS f
+  FROM documents
+), cut AS (
+  SELECT CAST(floor(MAX(doc_id) * {INCR_HISTORY_PCT} / 100.0) AS BIGINT) AS c
+  FROM fp
+), index_ AS (
+  SELECT f, MIN(doc_id) AS hist_doc_id
+  FROM fp, cut WHERE doc_id <= c GROUP BY f
+), delta AS (
+  SELECT doc_id, f FROM fp, cut WHERE doc_id > c
+), classified AS (
+  SELECT d.doc_id,
+         CASE WHEN i.hist_doc_id IS NOT NULL THEN 'dup_of_history'
+              WHEN row_number() OVER (PARTITION BY d.f ORDER BY d.doc_id) > 1
+                THEN 'dup_within_delta'
+              ELSE 'new' END AS status
+  FROM delta d LEFT JOIN index_ i ON d.f = i.f
+)
+SELECT status, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM classified GROUP BY status
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_ORACLE,
+              "delta-vs-fingerprint-index incremental near-dedup, history never rescanned",
+              ("dedup", "incremental")),
+]

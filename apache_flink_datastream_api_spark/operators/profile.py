@@ -231,3 +231,73 @@ SPECS += [
               "one-scan declarative expectation suite with per-rule counts",
               ("profile", "quality")),
 ]
+
+
+# --- functional-dependency audit ----------------------------------------------
+# Schema-discovery profiling (the Metanome/Deequ FD check): for each
+# candidate A -> B, does every A-group hold exactly one B? Violations are
+# how denormalization drift, bad backfills, and broken natural keys
+# surface in a lake. Each candidate is one groupBy(lhs) with a distinct
+# count — map-side partial agg, one shuffle per FD on its own lhs key —
+# then a one-row summary; candidates union into the audit table. At
+# 100 TB you run exactly this shape, one pass per lhs (or share a pass
+# per lhs via multiple countDistincts when lhs coincide).
+
+def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fd(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        return (
+            df.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("ndv"))
+            .agg(
+                F.count("*").alias("n_groups"),
+                F.sum(F.expr("CASE WHEN ndv > 1 THEN 1 ELSE 0 END"))
+                .cast("long").alias("n_violating_groups"),
+                F.max("ndv").alias("max_rhs_distinct"),
+            )
+            .selectExpr(
+                f"'{lhs}->{rhs}' AS fd", "n_groups", "n_violating_groups",
+                "max_rhs_distinct",
+            )
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        fd(o, "o_orderkey", "o_custkey")          # true key FD: 0 violations
+        .unionAll(fd(li, "l_orderkey", "l_returnflag"))   # drifts per line
+        .unionAll(fd(li, "l_partkey", "l_extendedprice"))  # price varies w/ qty
+        .unionAll(fd(o, "o_custkey", "o_orderpriority"))   # never functional
+    )
+
+
+DQ_FUNCTIONAL_DEPS_ORACLE = """
+SELECT 'o_orderkey->o_custkey' AS fd, COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       MAX(ndv) AS max_rhs_distinct
+FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS ndv
+      FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'l_orderkey->l_returnflag', COUNT(*),
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(ndv)
+FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS ndv
+      FROM lineitem GROUP BY 1)
+UNION ALL
+SELECT 'l_partkey->l_extendedprice', COUNT(*),
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(ndv)
+FROM (SELECT l_partkey, COUNT(DISTINCT l_extendedprice) AS ndv
+      FROM lineitem GROUP BY 1)
+UNION ALL
+SELECT 'o_custkey->o_orderpriority', COUNT(*),
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(ndv)
+FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS ndv
+      FROM orders GROUP BY 1)
+"""
+
+
+SPECS += [
+    QuerySpec("dq_functional_deps", dq_functional_deps,
+              DQ_FUNCTIONAL_DEPS_ORACLE,
+              "FD discovery audit: violations per candidate A->B dependency",
+              ("profile", "quality")),
+]

@@ -235,6 +235,8 @@ HEADLINE = [
     "graph_degree_assortativity",
     "q_basket_triples",
     "q_pandas_udaf_median",
+    "dedup_incremental",
+    "dq_functional_deps",
 ]
 
 

@@ -849,3 +849,50 @@ def test_x6_rule_state_survives_micro_batches(spark, chunked_events_dir):
     # the fixture must actually exercise BOTH paths: some alerts, some not
     n_alerts, n_data = got.count(), e.where("NOT is_rule").count()
     assert 0 < n_alerts < n_data
+
+
+def test_lambda_backfill_plus_stream_tail_equals_batch(spark, chunked_events_dir):
+    """The lambda-architecture seam: a batch BACKFILL over history plus a
+    streaming TAIL whose window overlaps the backfill boundary (the
+    standard at-least-once handoff) must reconcile to exactly the batch
+    truth after event_id dedup — no loss at the seam, no double count."""
+    import shutil
+
+    files = sorted(
+        f for f in os.listdir(chunked_events_dir) if f.endswith(".csv")
+    )
+    assert len(files) == 3
+    tail_dir = tempfile.mkdtemp(prefix="lambda_tail_")
+    for i, f in enumerate(files[1:]):  # chunks 1+2: overlaps history's chunk 1
+        dst = os.path.join(tail_dir, f)
+        shutil.copy(os.path.join(chunked_events_dir, f), dst)
+        os.utime(dst, (2_000_000 + i, 2_000_000 + i))
+
+    history = spark.read.schema(CHUNK_SCHEMA).csv(
+        [os.path.join(chunked_events_dir, f) for f in files[:2]]
+    )
+    streamed_rows = []
+    q = (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1).csv(tail_dir)
+        .writeStream.foreachBatch(
+            lambda df, _id: streamed_rows.extend(
+                (r.event_id, r.user_id, r.event_type, r.ts_ms)
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    tail_df = spark.createDataFrame(streamed_rows, CHUNK_SCHEMA)
+    merged = history.unionAll(tail_df).dropDuplicates(["event_id"])
+    full = spark.read.schema(CHUNK_SCHEMA).csv(chunked_events_dir)
+
+    hist_ids = {r.event_id for r in history.select("event_id").collect()}
+    tail_ids = {t[0] for t in streamed_rows}
+    assert hist_ids & tail_ids, "no overlap at the seam — test is vacuous"
+    cols = ["event_id", "user_id", "event_type", "ts_ms"]
+    assert _sorted_rows(merged, cols) == _sorted_rows(full, cols)
