@@ -122,6 +122,22 @@ REPRESENTATIVES = [
     "emb_centroid_outliers",
     # iterative matvec with driver rescale + in-plan final pass
     "emb_power_iteration",
+    # round 2: sharded-rank stratified cut (10th user) + checksum rollup
+    "pipeline_stratified_split",
+    # grid cell-pair inequality join + DECIMAL pair moments
+    "q_kendall_tau",
+    # df-ordered prefix rank + candidate equi-join + exact verify
+    "dedup_prefix_filter_join",
+    # bit_or word bitmap build + broadcast probe (merge law under layout)
+    "sketch_bloom_membership",
+    # offset-explode kernel equi-join + DECIMAL weight sums
+    "q_ewma_daily",
+    # control-stream ValueState twin through the real engine
+    "x6_dynamic_rules_stream",
+    # fingerprint index vs delta classification window
+    "dedup_incremental",
+    # whole-group Arrow UDAF (group order must not matter)
+    "q_pandas_udaf_median",
 ]
 
 

@@ -408,6 +408,7 @@ def test_registry_wide_plan_hygiene(spark):
         "pipeline_hard_negatives",      # ~n/157 anchors, driver-scale BY MOD
         "emb_power_iteration",          # max|w| rescale row (1 row)
         "q_kendall_tau",                # grid cell-pair join (~1k rows, data-size-independent)
+        "dedup_incremental",            # history-cut scalar bound (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
