@@ -1226,3 +1226,88 @@ SPECS += [
               "Arrow GROUPED_AGG pandas UDAF mixed with built-in aggregates",
               ("relational", "udf", "arrow")),
 ]
+
+
+# --- Spark 4 SQL-language surfaces: scripting, parameters, GROUP BY ALL ------
+# Two pins for the SQL-language features a reference user migrating real
+# workbooks hits first:
+# - q_parameterized_sql: spark.sql(query, args={...}) named parameters
+#   (injection-safe literals, the JDBC-prepared-statement analog) plus
+#   GROUP BY ALL resolution.
+# - q_sql_scripting: BEGIN/DECLARE/WHILE/SET procedural scripting
+#   (SQL/PSM, Spark 4.0+) — a loop of scalar-subquery accumulations whose
+#   final value the oracle reproduces in one set-based statement, proving
+#   the script's control flow equals the declarative form.
+
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uuid import uuid4
+
+    view = f"orders_psql_{uuid4().hex}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM {view}
+        WHERE o_orderdate >= :cutoff AND o_orderpriority LIKE :prio
+        GROUP BY ALL
+        """,
+        args={"cutoff": "1997-01-01", "prio": "1-%"},
+    )
+    spark.catalog.dropTempView(view)  # plan already resolved (eager analysis)
+    return out
+
+
+Q_PARAMETERIZED_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderpriority LIKE '1-%'
+GROUP BY o_orderstatus
+"""
+
+
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uuid import uuid4
+
+    view = f"orders_script_{uuid4().hex}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    result = spark.sql(f"""
+    BEGIN
+      DECLARE total BIGINT DEFAULT 0;
+      DECLARE i INT DEFAULT 1;
+      WHILE i <= 5 DO
+        SET total = total + (
+          SELECT coalesce(
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT), 0)
+          FROM {view} WHERE o_orderpriority LIKE i || '-%');
+        SET i = i + 1;
+      END WHILE;
+      SELECT 5 AS n_iterations, total AS revenue_cents;
+    END
+    """)
+    # the script has already executed its loop; pin the one-row result so
+    # dropping the temp view can't invalidate a lazy re-read
+    rows = result.collect()
+    spark.catalog.dropTempView(view)
+    return spark.createDataFrame(rows, result.schema)
+
+
+Q_SQL_SCRIPTING_ORACLE = """
+SELECT 5 AS n_iterations,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+"""
+
+
+SPECS += [
+    QuerySpec("q_parameterized_sql", q_parameterized_sql, Q_PARAMETERIZED_ORACLE,
+              "named-parameter spark.sql(args=...) + GROUP BY ALL",
+              ("relational", "spark4", "sql-surface")),
+    QuerySpec("q_sql_scripting", q_sql_scripting, Q_SQL_SCRIPTING_ORACLE,
+              "SQL/PSM scripting: DECLARE/WHILE/SET loop equals set-based oracle",
+              ("relational", "spark4", "sql-surface")),
+]

@@ -237,6 +237,8 @@ HEADLINE = [
     "q_pandas_udaf_median",
     "dedup_incremental",
     "dq_functional_deps",
+    "q_parameterized_sql",
+    "q_sql_scripting",
 ]
 
 
