@@ -1170,3 +1170,85 @@ SPECS += [
               "control-stream rule ValueState across micro-batches (x6 twin)",
               ("streaming", "stateful", "connect")),
 ]
+
+
+# --- J3: three-way watermarked stream-stream join ----------------------------
+
+def j3_threeway_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three watermarked streams chained through TWO stream-stream join
+    state stores: view -> click within 10 min -> purchase within 10 min
+    of the click (the funnel as a join chain rather than an aggregation).
+    Each inner interval join bounds both sides' state by the watermark,
+    and the intermediate (view, click) stream carries its own event-time
+    column so the second join evicts correctly — the engine contract this
+    query pins beyond j2 (join-then-window) is that a JOIN OUTPUT can
+    feed another join's state store. Inner joins with bounded intervals
+    match the batch truth exactly, so the oracle is one 3-way SQL join.
+    Hops are 24 h with 25 h watermarks (event density at test scale makes
+    10-minute chains vanish; the state bound scales with the interval)."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .selectExpr("user_id AS v_user", "ts AS v_ts")
+        .withWatermark("v_ts", "25 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .selectExpr("user_id AS c_user", "ts AS c_ts")
+        .withWatermark("c_ts", "25 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id AS p_user", "ts AS p_ts")
+        .withWatermark("p_ts", "25 hours")
+    )
+    vc = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        # demote v_ts to plain millis: a stream may carry at most ONE event
+        # time column into the next stateful operator, and the second join
+        # must evict on the CLICK time (the side still accepting matches)
+        "c_user", "c_ts", F.unix_millis("v_ts").alias("view_ts_ms"),
+    )
+    vcp = vc.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "view_ts_ms",
+        F.unix_millis("c_ts").alias("click_ts_ms"),
+        F.unix_millis("p_ts").alias("purchase_ts_ms"),
+    )
+    return run_available_now(vcp, spark, mode="append")
+
+
+J3_THREEWAY_ORACLE = """
+SELECT v.user_id,
+       epoch_ms(v.ts) AS view_ts_ms,
+       epoch_ms(c.ts) AS click_ts_ms,
+       epoch_ms(p.ts) AS purchase_ts_ms
+FROM events v
+JOIN events c
+  ON v.event_type = 'view' AND c.event_type = 'click'
+ AND c.user_id = v.user_id
+ AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 24 HOURS
+JOIN events p
+  ON p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 24 HOURS
+"""
+
+
+SPECS += [
+    QuerySpec("j3_threeway_stream_join", j3_threeway_stream_join,
+              J3_THREEWAY_ORACLE,
+              "three-way watermarked interval join through two state stores",
+              ("streaming", "join")),
+]

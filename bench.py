@@ -239,6 +239,7 @@ HEADLINE = [
     "dq_functional_deps",
     "q_parameterized_sql",
     "q_sql_scripting",
+    "j3_threeway_stream_join",
 ]
 
 
