@@ -823,7 +823,8 @@ SPECS += [
 # candidate-generation bound; MinHash banding (above) trades exactness
 # for speed, this trades a df-ranking pass for a guarantee: zero false
 # negatives at the threshold, verified here by EXACT intersection counts
-# (3c >= na+nb <=> J >= 1/2 in pure integers). Plan: every join is keyed
+# ((DEN+NUM)c >= NUM(na+nb) <=> J >= NUM/DEN in pure integers). Plan:
+# every join is keyed
 # (shingle hash or doc id); the only per-doc sort is the doc-bounded
 # rarity rank. At 100 TB the df table is the same rollup the boilerplate
 # detector builds, and candidate volume is governed by the df of PREFIX
@@ -871,7 +872,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
         inter.join(na, "doc_a").join(nb, "doc_b")
-        .where(f"{PF_DEN + 1} * c >= na + nb")  # J >= 1/2, exact integers
+        # J >= t  <=>  c/(na+nb-c) >= NUM/DEN  <=>  (DEN+NUM)c >= NUM(na+nb)
+        .where(f"{PF_DEN + PF_NUM} * c >= {PF_NUM} * (na + nb)")
         .selectExpr("doc_a", "doc_b", "c AS n_common", "na", "nb",
                     "CAST(c AS DOUBLE) / (na + nb - c) AS jaccard")
     )
@@ -910,7 +912,7 @@ SELECT doc_a, doc_b, c AS n_common, na.n AS na, nb.n AS nb,
        CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
 FROM inter JOIN counts na ON na.doc_id = doc_a
            JOIN counts nb ON nb.doc_id = doc_b
-WHERE {PF_DEN + 1} * c >= na.n + nb.n
+WHERE {PF_DEN + PF_NUM} * c >= {PF_NUM} * (na.n + nb.n)
 """
 
 

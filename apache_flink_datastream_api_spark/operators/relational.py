@@ -1240,23 +1240,20 @@ SPECS += [
 #   the script's control flow equals the declarative form.
 
 def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from uuid import uuid4
+    from ..sources.tables import temp_view
 
-    view = f"orders_psql_{uuid4().hex}"
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
-    out = spark.sql(
-        f"""
-        SELECT o_orderstatus, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                 AS revenue_cents
-        FROM {view}
-        WHERE o_orderdate >= :cutoff AND o_orderpriority LIKE :prio
-        GROUP BY ALL
-        """,
-        args={"cutoff": "1997-01-01", "prio": "1-%"},
-    )
-    spark.catalog.dropTempView(view)  # plan already resolved (eager analysis)
-    return out
+    with temp_view(load_table(spark, sf_dir, "orders"), "orders_psql") as view:
+        return spark.sql(
+            f"""
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents
+            FROM {view}
+            WHERE o_orderdate >= :cutoff AND o_orderpriority LIKE :prio
+            GROUP BY ALL
+            """,
+            args={"cutoff": "1997-01-01", "prio": "1-%"},
+        )
 
 
 Q_PARAMETERIZED_ORACLE = """
@@ -1270,28 +1267,26 @@ GROUP BY o_orderstatus
 
 
 def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from uuid import uuid4
+    from ..sources.tables import temp_view
 
-    view = f"orders_script_{uuid4().hex}"
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
-    result = spark.sql(f"""
-    BEGIN
-      DECLARE total BIGINT DEFAULT 0;
-      DECLARE i INT DEFAULT 1;
-      WHILE i <= 5 DO
-        SET total = total + (
-          SELECT coalesce(
-            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT), 0)
-          FROM {view} WHERE o_orderpriority LIKE i || '-%');
-        SET i = i + 1;
-      END WHILE;
-      SELECT 5 AS n_iterations, total AS revenue_cents;
-    END
-    """)
-    # the script has already executed its loop; pin the one-row result so
-    # dropping the temp view can't invalidate a lazy re-read
-    rows = result.collect()
-    spark.catalog.dropTempView(view)
+    with temp_view(load_table(spark, sf_dir, "orders"), "orders_script") as view:
+        result = spark.sql(f"""
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 1;
+          WHILE i <= 5 DO
+            SET total = total + (
+              SELECT coalesce(
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT), 0)
+              FROM {view} WHERE o_orderpriority LIKE i || '-%');
+            SET i = i + 1;
+          END WHILE;
+          SELECT 5 AS n_iterations, total AS revenue_cents;
+        END
+        """)
+        # the script has already executed its loop; pin the one-row result so
+        # dropping the temp view can't invalidate a lazy re-read
+        rows = result.collect()
     return spark.createDataFrame(rows, result.schema)
 
 

@@ -940,15 +940,9 @@ def pipeline_rag_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .pipeline import chunk_documents
 
-    from uuid import uuid4
+    from ..sources.tables import temp_view
 
     chunks = chunk_documents(spark, sf_dir)
-    # session-global temp views are shared state: a fixed name would collide
-    # with user views / concurrent invocations on the same SparkSession, so
-    # register under a unique name and drop it once the plan is resolved
-    # (spark.sql analyzes eagerly; the returned DataFrame no longer needs it).
-    view = f"rag_chunks_{uuid4().hex}"
-    chunks.createOrReplaceTempView(view)
     df_terms = ", ".join(
         "COUNT(DISTINCT CASE WHEN token = '{t}' THEN struct(doc_id, chunk_id)"
         " END) AS df_{t}".format(t=t)
@@ -962,7 +956,8 @@ def pipeline_rag_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
                f" + ({BM25_B} * (dl / avgdl)))))")
         return f"({idf}) * ({sat})"
 
-    scored = spark.sql(f"""
+    with temp_view(chunks, "rag_chunks") as view:
+        scored = spark.sql(f"""
         WITH stats AS (
           SELECT COUNT(*) AS n_chunks,
                  CAST(SUM(CAST(n_chunk_tokens AS DECIMAL(28,0))) AS DOUBLE)
@@ -980,10 +975,9 @@ def pipeline_rag_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
                {', '.join(f'df_{t}' for t in SEARCH_TERMS)}
         FROM {view} CROSS JOIN stats CROSS JOIN dfs
     """).selectExpr(
-        "doc_id", "chunk_id", "n_chunk_tokens",
-        " + ".join(term(t) for t in SEARCH_TERMS) + " AS score",
-    )
-    spark.catalog.dropTempView(view)
+            "doc_id", "chunk_id", "n_chunk_tokens",
+            " + ".join(term(t) for t in SEARCH_TERMS) + " AS score",
+        )
     best = W.partitionBy("doc_id").orderBy(F.desc("score"), "chunk_id")
     per_doc = scored.withColumn("brk", F.row_number().over(best)).where("brk = 1")
     top = W.orderBy(F.desc("score"), "doc_id", "chunk_id")

@@ -8,6 +8,9 @@ predicate pushdown reach the parquet reader — verify with
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from uuid import uuid4
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -78,3 +81,19 @@ def register_tables(spark: SparkSession, sf_dir: str, names=ALL_TABLES) -> None:
     """Register testdata tables as temp views so queries can use spark.sql."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@contextmanager
+def temp_view(df: DataFrame, prefix: str):
+    """Register ``df`` under a unique temp-view name, yield the name, drop
+    it on exit. Session-global temp views are shared state: a fixed name
+    collides with user views or concurrent invocations on the same
+    SparkSession. Safe to drop immediately after ``spark.sql(...)`` over
+    the view returns — Spark ANALYZES eagerly, so the resolved plan no
+    longer references the catalog entry."""
+    name = f"{prefix}_{uuid4().hex}"
+    df.createOrReplaceTempView(name)
+    try:
+        yield name
+    finally:
+        df.sparkSession.catalog.dropTempView(name)

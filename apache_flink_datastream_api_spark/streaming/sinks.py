@@ -45,15 +45,27 @@ def to_csv_files(
     return writer.start()
 
 
-def to_kafka(df: DataFrame, topic: str, bootstrap_servers: str, checkpoint: str):
-    """K2: Kafka sink (at-least-once; see module docstring)."""
-    return (
+def to_kafka(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint: str,
+    available_now: bool = False,
+):
+    """K2: Kafka sink (at-least-once; see module docstring).
+
+    ``available_now=True`` runs a bounded drain of everything currently
+    available and terminates — the replay/backfill mode; the default is
+    the continuous processing-time trigger."""
+    writer = (
         df.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def _ephemeral_checkpoint() -> str:

@@ -17,9 +17,9 @@ import duckdb
 
 sys.path.insert(0, ".")
 import __spark_entry__ as e  # noqa: E402
+from apache_flink_datastream_api_spark.schemas import ALL_TABLES as TABLES  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 BAD_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 

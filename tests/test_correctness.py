@@ -86,8 +86,8 @@ def test_prefix_filter_join_has_no_false_negatives(oracle_con):
     )
     SELECT doc_a, doc_b FROM inter
     JOIN counts na ON na.doc_id = doc_a JOIN counts nb ON nb.doc_id = doc_b
-    WHERE {PF_DEN + PF_NUM} * c >= PF_scale
-    """.replace("PF_scale", "na.n + nb.n")
+    WHERE {PF_DEN + PF_NUM} * c >= {PF_NUM} * (na.n + nb.n)
+    """
     want = {
         tuple(r) for r in oracle_con.sql(brute).fetchall()
     }

@@ -781,9 +781,10 @@ def test_kafka_roundtrip_s2_k2(spark, chunked_events_dir):
         "concat_ws(',', event_id, user_id, event_type, ts_ms) AS value",
     )
     wq = to_kafka(
-        payload, topic, KAFKA_BOOTSTRAP, tempfile.mkdtemp(prefix="kckpt_")
+        payload, topic, KAFKA_BOOTSTRAP, tempfile.mkdtemp(prefix="kckpt_"),
+        available_now=True,
     )
-    wq.awaitTermination(300)
+    assert wq.awaitTermination(300), "kafka writer did not finish in 300s"
 
     got = (
         kafka_lines(spark, topic, KAFKA_BOOTSTRAP, starting_offsets="earliest")
@@ -792,10 +793,11 @@ def test_kafka_roundtrip_s2_k2(spark, chunked_events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    got.awaitTermination(300)
+    assert got.awaitTermination(300), "kafka reader did not finish in 300s"
     read_back = {
         r.value for r in spark.sql(f"SELECT value FROM kafka_rt_{topic}").collect()
     }
+    spark.catalog.dropTempView(f"kafka_rt_{topic}")
     want = {
         f"{r.event_id},{r.user_id},{r.event_type},{r.ts_ms}"
         for r in spark.read.schema(CHUNK_SCHEMA).csv(chunked_events_dir).collect()
