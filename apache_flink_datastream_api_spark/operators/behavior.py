@@ -1327,3 +1327,71 @@ SPECS += [
               "quantity-weighted median price via sharded weight prefix sums",
               ("analytics", "rank")),
 ]
+
+
+# --- any-order funnel via windowed bitmasks -----------------------------------
+# The ordered funnel (q_funnel_3step) misses users who purchase FIRST and
+# click later; "did all three within the window, any order" is set
+# containment, not a sequence. The scalable form is the bitmask rollup
+# (the weekday-bitmap device): one bit per step OR-ed into a per-(user,
+# day) mask, then a trailing 7-day RANGE bit_or per user — the window
+# carries ONE long per row however many events fed it, and completion is
+# mask == 7. Cost: one fact shuffle to the (user, day) rollup, one
+# calendar-bounded window on the same user exchange.
+
+FUNNEL_ANY_WINDOW_DAYS = 7
+
+
+def q_funnel_any_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .selectExpr(
+            "user_id",
+            f"unix_millis(ts) - pmod(unix_millis(ts), {DAY_MS}) AS day_ms",
+            "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2"
+            " ELSE 4 END AS bit",
+        )
+    )
+    daily = ev.groupBy("user_id", "day_ms").agg(F.expr("bit_or(bit)").alias("mask"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_ms")
+        .rangeBetween(-(FUNNEL_ANY_WINDOW_DAYS - 1) * DAY_MS, 0)
+    )
+    rolled = daily.withColumn("mask7", F.expr("bit_or(mask)").over(w))
+    return rolled.groupBy("day_ms").agg(
+        F.count("*").alias("n_active_users"),
+        F.sum(F.expr("CASE WHEN mask7 = 7 THEN 1 ELSE 0 END")).cast("long")
+        .alias("n_complete_users"),
+    )
+
+
+Q_FUNNEL_ANY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              ELSE 4 END AS bit
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), daily AS (
+  SELECT user_id, day_ms, bit_or(bit) AS mask FROM ev GROUP BY 1, 2
+), rolled AS (
+  SELECT day_ms,
+         bit_or(mask) OVER (PARTITION BY user_id ORDER BY day_ms
+           RANGE BETWEEN {(FUNNEL_ANY_WINDOW_DAYS - 1) * DAY_MS} PRECEDING
+           AND CURRENT ROW) AS mask7
+  FROM daily
+)
+SELECT day_ms, COUNT(*) AS n_active_users,
+       CAST(SUM(CASE WHEN mask7 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_complete_users
+FROM rolled GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_funnel_any_order", q_funnel_any_order, Q_FUNNEL_ANY_ORACLE,
+              "any-order 3-step funnel: trailing-window bitmask containment",
+              ("behavior", "funnel")),
+]

@@ -3,8 +3,10 @@
 Images / audio / video ride through the engine as opaque ``binary`` columns
 with a typed metadata struct. The Spark-side plumbing — schemas, Arrow
 batch shapes, ``mapInPandas`` signatures, partition sizing — is real and
-tested; the actual codec work is stubbed deterministically because no
-image/audio libraries exist in this container (clearly marked below).
+tested; external-library codec work (JPEG/PNG/ffmpeg) is stubbed
+deterministically because no image/audio libraries exist in this
+container (clearly marked below) — EXCEPT the PPM P6 path at the bottom,
+which is a real dependency-free codec, oracle-checked end-to-end.
 
 Scale design: binary payloads inflate row size, so multimodal transforms
 
@@ -21,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -399,4 +402,112 @@ SPECS += [
     QuerySpec("mm_phash_dedup", mm_phash_dedup, MM_PHASH_ORACLE,
               "banded SimHash near-dup over binary payload chunks, Hamming-verified",
               ("multimodal", "dedup")),
+]
+
+
+# --- REAL codec path: PPM (P6) synthesize -> parse -> stats -> resize --------
+# The stubs above stand in for PIL/ffmpeg; this is the one codec that
+# needs NO library, so the decode step is genuinely real: payloads are
+# valid binary PPM P6 images (any image viewer opens them), and the
+# decoder is an actual parser — magic check, whitespace-tokenized header,
+# maxval validation, frombuffer + reshape to (H, W, 3). Pixels follow an
+# arithmetic rule, pixel[k] = (doc_id*31 + k) % 256, so the DuckDB oracle
+# recomputes the EXACT channel sums and the strided nearest-neighbor
+# resize sums from pure SQL arithmetic — the decode path is hash-checked
+# end-to-end, not rows-only. Plan shape matches the stub family: one
+# mapInPandas, payload bytes never cross a shuffle.
+
+PPM_SCHEMA = (
+    "doc_id bigint, width int, height int, r_sum bigint, g_sum bigint, "
+    "b_sum bigint, resized_w int, resized_h int, resized_sum bigint"
+)
+
+
+def _ppm_synthesize(doc_id: int) -> bytes:
+    w = 1 + (doc_id * 7) % 32
+    h = 1 + (doc_id * 13) % 24
+    header = f"P6\n{w} {h}\n255\n".encode()
+    n = w * h * 3
+    pix = (doc_id * 31 + np.arange(n, dtype=np.int64)) % 256
+    return header + pix.astype(np.uint8).tobytes()
+
+
+def _ppm_parse(payload: bytes) -> "np.ndarray":
+    """A real PPM P6 parser: magic, w/h/maxval tokens, raster bytes."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        tokens.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def mm_ppm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = _ppm_parse(_ppm_synthesize(int(doc_id)))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                small = img[::2, ::2, :]  # real nearest-neighbor 2x downsample
+                rows.append((
+                    int(doc_id), w, h,
+                    int(sums[0]), int(sums[1]), int(sums[2]),
+                    small.shape[1], small.shape[0],
+                    int(small.sum(dtype=np.int64)),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                "resized_w", "resized_h", "resized_sum",
+            ])
+
+    return docs.mapInPandas(run, PPM_SCHEMA)
+
+
+MM_PPM_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         1 + (doc_id * 7) % 32 AS w,
+         1 + (doc_id * 13) % 24 AS h
+  FROM documents
+), pix AS (
+  SELECT doc_id, w, h, k,
+         (doc_id * 31 + k) % 256 AS v,
+         (k // 3) // w AS y, (k // 3) % w AS x, k % 3 AS c
+  FROM dims, LATERAL (SELECT unnest(range(w * h * 3)) AS k)
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+       CAST((MAX(w) + 1) // 2 AS INT) AS resized_w,
+       CAST((MAX(h) + 1) // 2 AS INT) AS resized_h,
+       CAST(SUM(CASE WHEN y % 2 = 0 AND x % 2 = 0 THEN v END) AS BIGINT)
+         AS resized_sum
+FROM pix GROUP BY doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("mm_ppm_codec_roundtrip", mm_ppm_codec_roundtrip, MM_PPM_ORACLE,
+              "REAL PPM P6 codec: synthesize, parse, channel stats, NN resize",
+              ("multimodal", "codec")),
 ]

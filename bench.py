@@ -240,6 +240,8 @@ HEADLINE = [
     "q_parameterized_sql",
     "q_sql_scripting",
     "j3_threeway_stream_join",
+    "q_funnel_any_order",
+    "mm_ppm_codec_roundtrip",
 ]
 
 
