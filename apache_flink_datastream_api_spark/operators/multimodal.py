@@ -511,3 +511,94 @@ SPECS += [
               "REAL PPM P6 codec: synthesize, parse, channel stats, NN resize",
               ("multimodal", "codec")),
 ]
+
+
+# --- REAL codec path: WAV (RIFF PCM) synthesize -> parse -> stats ------------
+# The audio twin of the PPM path: payloads are valid 16-bit mono PCM WAV
+# files written by the stdlib ``wave`` encoder and read back by the
+# stdlib ``wave`` decoder — a genuine container-format roundtrip with no
+# external dependency. Samples follow an arithmetic rule, so the oracle
+# recomputes the exact sample sum / extrema / 20 ms-chunk count in SQL.
+
+WAV_RATE = 16_000
+WAV_CHUNK_SAMPLES = 320  # 20 ms at 16 kHz
+WAV_SCHEMA = (
+    "doc_id bigint, n_samples int, framerate int, sample_sum bigint, "
+    "sample_min int, sample_max int, n_chunks int"
+)
+
+
+def _wav_synthesize(doc_id: int) -> bytes:
+    import io
+    import wave
+
+    n = 160 + (doc_id % 160)
+    samples = (((doc_id * 17 + np.arange(n, dtype=np.int64) * 7) % 65536)
+               - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(WAV_RATE)
+        wv.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _wav_parse(payload: bytes) -> tuple[int, "np.ndarray"]:
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getnchannels() != 1 or wv.getsampwidth() != 2:
+            raise ValueError("expected 16-bit mono PCM")
+        rate = wv.getframerate()
+        raw = wv.readframes(wv.getnframes())
+    return rate, np.frombuffer(raw, dtype="<i2")
+
+
+def mm_wav_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rate, samples = _wav_parse(_wav_synthesize(int(doc_id)))
+                n = len(samples)
+                rows.append((
+                    int(doc_id), n, rate,
+                    int(samples.sum(dtype=np.int64)),
+                    int(samples.min()), int(samples.max()),
+                    -(-n // WAV_CHUNK_SAMPLES),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "framerate", "sample_sum",
+                "sample_min", "sample_max", "n_chunks",
+            ])
+
+    return docs.mapInPandas(run, WAV_SCHEMA)
+
+
+MM_WAV_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 160 + doc_id % 160 AS n FROM documents
+), samp AS (
+  SELECT doc_id, n, ((doc_id * 17 + i * 7) % 65536) - 32768 AS v
+  FROM dims, LATERAL (SELECT unnest(range(n)) AS i)
+)
+SELECT doc_id, CAST(MAX(n) AS INT) AS n_samples,
+       {WAV_RATE} AS framerate,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INT) AS sample_min,
+       CAST(MAX(v) AS INT) AS sample_max,
+       CAST((MAX(n) + {WAV_CHUNK_SAMPLES} - 1) // {WAV_CHUNK_SAMPLES} AS INT)
+         AS n_chunks
+FROM samp GROUP BY doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("mm_wav_codec_roundtrip", mm_wav_codec_roundtrip, MM_WAV_ORACLE,
+              "REAL WAV PCM codec via stdlib wave: encode, decode, exact stats",
+              ("multimodal", "codec", "audio")),
+]

@@ -242,6 +242,7 @@ HEADLINE = [
     "j3_threeway_stream_join",
     "q_funnel_any_order",
     "mm_ppm_codec_roundtrip",
+    "mm_wav_codec_roundtrip",
 ]
 
 
