@@ -602,3 +602,94 @@ SPECS += [
               "REAL WAV PCM codec via stdlib wave: encode, decode, exact stats",
               ("multimodal", "codec", "audio")),
 ]
+
+
+# --- capstone: multimodal -> embedding -> similarity search ------------------
+# The full path a multimodal corpus takes through the engine, composed
+# from REAL parts and oracle-checked end-to-end: PPM payload -> actual
+# decode -> integer feature vector (channel sums + scaled dims; integers
+# so the cosine arithmetic is bit-reproducible) -> brute-force cosine
+# top-3 per query doc. Every stage is the verified machinery above; the
+# oracle rebuilds the same features from the pixel rule and replays the
+# same fixed-order cosine expression, so even the float similarity
+# ranking hash-matches (dot products stay < 2^53 — exact in doubles).
+
+MM_ANN_QUERIES = 5
+MM_ANN_TOP = 3
+_MM_COS = (
+    "CAST(r_sum * CAST(q_r AS DOUBLE) + g_sum * CAST(q_g AS DOUBLE)"
+    " + b_sum * CAST(q_b AS DOUBLE) + ws * CAST(q_ws AS DOUBLE)"
+    " + hs * CAST(q_hs AS DOUBLE) AS DOUBLE)"
+    " / (sqrt(CAST(r_sum * r_sum + g_sum * g_sum + b_sum * b_sum"
+    " + ws * ws + hs * hs AS DOUBLE))"
+    " * sqrt(CAST(q_r * q_r + q_g * q_g + q_b * q_b"
+    " + q_ws * q_ws + q_hs * q_hs AS DOUBLE)))"
+)
+
+
+def mm_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    feats = (
+        mm_ppm_codec_roundtrip(spark, sf_dir)
+        .selectExpr(
+            "doc_id", "r_sum", "g_sum", "b_sum",
+            "CAST(width AS BIGINT) * 1000 AS ws",
+            "CAST(height AS BIGINT) * 1000 AS hs",
+        )
+    )
+    q = feats.where(f"doc_id < {MM_ANN_QUERIES}").selectExpr(
+        "doc_id AS qid", "r_sum AS q_r", "g_sum AS q_g", "b_sum AS q_b",
+        "ws AS q_ws", "hs AS q_hs",
+    )
+    pairs = feats.join(F.broadcast(q), F.expr("doc_id <> qid")).withColumn(
+        "cos_sim", F.expr(_MM_COS)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "doc_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(f"rank <= {MM_ANN_TOP}")
+        .select("qid", F.col("doc_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
+MM_ANN_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         1 + (doc_id * 7) % 32 AS w,
+         1 + (doc_id * 13) % 24 AS h
+  FROM documents
+), pix AS (
+  SELECT doc_id, w, h, (doc_id * 31 + k) % 256 AS v, k % 3 AS c
+  FROM dims, LATERAL (SELECT unnest(range(w * h * 3)) AS k)
+), feats AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+         CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+         CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum,
+         CAST(MAX(w) * 1000 AS BIGINT) AS ws,
+         CAST(MAX(h) * 1000 AS BIGINT) AS hs
+  FROM pix GROUP BY doc_id
+), q AS (
+  SELECT doc_id AS qid, r_sum AS q_r, g_sum AS q_g, b_sum AS q_b,
+         ws AS q_ws, hs AS q_hs
+  FROM feats WHERE doc_id < {MM_ANN_QUERIES}
+), pairs AS (
+  SELECT f.doc_id, q.qid, {_MM_COS} AS cos_sim
+  FROM feats f JOIN q ON f.doc_id <> q.qid
+), ranked AS (
+  SELECT qid, doc_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, doc_id) AS rank
+  FROM pairs
+)
+SELECT qid, doc_id AS neighbor_id, rank, cos_sim
+FROM ranked WHERE rank <= {MM_ANN_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("mm_ann_pipeline", mm_ann_pipeline, MM_ANN_ORACLE,
+              "capstone: real decode -> integer features -> exact cosine top-k",
+              ("multimodal", "similarity", "capstone")),
+]

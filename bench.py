@@ -243,6 +243,7 @@ HEADLINE = [
     "q_funnel_any_order",
     "mm_ppm_codec_roundtrip",
     "mm_wav_codec_roundtrip",
+    "mm_ann_pipeline",
 ]
 
 
