@@ -138,6 +138,14 @@ REPRESENTATIVES = [
     "dedup_incremental",
     # whole-group Arrow UDAF (group order must not matter)
     "q_pandas_udaf_median",
+    # trailing-window bitmask OR (bit_or merge under any layout)
+    "q_funnel_any_order",
+    # real codec parse in mapInPandas (batch boundaries must not matter)
+    "mm_ppm_codec_roundtrip",
+    # two chained stream-stream state stores through the real engine
+    "j3_threeway_stream_join",
+    # decode -> integer features -> float cosine rank (exact doubles)
+    "mm_ann_pipeline",
 ]
 
 
