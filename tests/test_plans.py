@@ -3,12 +3,15 @@ that keep these queries viable at 100 TB."""
 
 from __future__ import annotations
 
+import pytest
+
 from apache_flink_datastream_api_spark.operators import dataflow, dedup, relational, temporal
 from apache_flink_datastream_api_spark.plans.inspect import (
     assert_broadcast_join,
     assert_no_cartesian,
     assert_pushed_filter,
     assert_read_schema_excludes,
+    explain_string,
 )
 
 from .conftest import SF_DIR
@@ -431,3 +434,43 @@ def test_decile_binning_has_no_percentile_buffer(spark):
 
     plan = explain_string(q_decile_binning(spark, SF_DIR), "simple")
     assert "percentile" not in plan.lower(), plan
+
+
+# --- shuffle budgets ---------------------------------------------------------
+# Exchange-count ceilings for flagship plans: adding an accidental shuffle
+# (a lost broadcast hint, a re-partition snuck into a refactor, a window
+# that no longer shares its exchange) is the regression class that turns
+# a 100 TB job from hours into days. Budgets are ceilings, not exact
+# counts — AQE may insert coalesce reads but not new wide exchanges.
+
+SHUFFLE_BUDGETS = {
+    # scan -> ONE wide agg exchange
+    "tpch_q1_pricing_summary": 1,
+    "dedup_exact": 1,
+    # map-side only: projection/codec work, ZERO exchanges
+    "emb_project_int8": 0,
+    "mm_ppm_codec_roundtrip": 0,
+    "mm_wav_codec_roundtrip": 0,
+    # map-side hashing, then Spark's multi-distinct profile: Expand +
+    # partial/distinct/final stages = 3 exchanges for the two
+    # countDistincts (the documented price of n_docs + n_terms in one agg)
+    "text_hashing_trick": 3,
+    # (user, day) rollup + per-user window share one user-keyed exchange
+    # lineage: rollup exchange, window re-use, final day rollup
+    "q_funnel_any_order": 3,
+    # rule carry: ONE event_type exchange, no join
+    "q_dynamic_rules": 1,
+    # kernel equi-join + anchor rollup on the calendar-bounded daily agg
+    "q_ewma_daily": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, name):
+    from apache_flink_datastream_api_spark.registry import all_queries
+
+    plan = explain_string(all_queries()[name].fn(spark, SF_DIR), "simple")
+    n = plan.count("Exchange")
+    assert n <= SHUFFLE_BUDGETS[name], (
+        f"{name}: {n} Exchange nodes > budget {SHUFFLE_BUDGETS[name]}\n{plan}"
+    )
