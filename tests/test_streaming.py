@@ -898,3 +898,66 @@ def test_lambda_backfill_plus_stream_tail_equals_batch(spark, chunked_events_dir
     assert hist_ids & tail_ids, "no overlap at the seam — test is vacuous"
     cols = ["event_id", "user_id", "event_type", "ts_ms"]
     assert _sorted_rows(merged, cols) == _sorted_rows(full, cols)
+
+
+def test_stream_stream_join_state_is_watermark_bounded(spark, chunked_events_dir):
+    """The 100 TB claim behind every watermarked stream-stream join --
+     'state on both sides is bounded by the watermark' -- asserted against
+    the actual state store instead of narrated: after a 3-batch replay,
+    rows older than (previous batch's watermark - join interval) must
+    have been EVICTED from the left side, and only the recent tail may
+    remain."""
+    interval_ms = 10 * 60 * 1000
+    wm_ms = 60 * 60 * 1000
+    stream = _chunk_stream(spark, chunked_events_dir).withColumn(
+        "event_ts", F.timestamp_millis("ts_ms")
+    )
+    views = (
+        stream.where("event_type = 'view'")
+        .selectExpr("user_id AS v_user", "event_ts AS v_ts")
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        stream.where("event_type = 'purchase'")
+        .selectExpr("user_id AS p_user", "event_ts AS p_ts")
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    ckpt = tempfile.mkdtemp(prefix="ssjb_")
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    state = (
+        spark.read.format("statestore")
+        .option("path", ckpt).option("joinSide", "left").load()
+        .selectExpr("unix_millis(value.v_ts) AS v_ts_ms")
+    )
+    retained = [r.v_ts_ms for r in state.collect()]
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") < 3000)
+        .selectExpr("unix_millis(ts) AS ts_ms", "event_type")
+        .orderBy("ts_ms")
+        .collect()
+    )
+    n_views = sum(1 for r in ev if r.event_type == "view")
+    # eviction in batch N uses batch N-1's watermark: rows can only survive
+    # if v_ts + interval >= max_ts(chunks 0-1) - delay
+    chunk2_start = ev[2 * len(ev) // 3].ts_ms
+    wm_floor = max(t.ts_ms for t in ev[: 2 * len(ev) // 3]) - wm_ms - interval_ms
+    assert retained, "empty state — join never buffered anything"
+    assert len(retained) < n_views / 2, (len(retained), n_views)
+    assert min(retained) >= wm_floor, (min(retained), wm_floor)
+    # and the tail the watermark has NOT passed must still be there
+    assert any(t >= chunk2_start for t in retained)
