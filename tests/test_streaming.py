@@ -961,3 +961,44 @@ def test_stream_stream_join_state_is_watermark_bounded(spark, chunked_events_dir
     assert min(retained) >= wm_floor, (min(retained), wm_floor)
     # and the tail the watermark has NOT passed must still be there
     assert any(t >= chunk2_start for t in retained)
+
+
+def test_x1_value_state_readback_matches_batch(spark, chunked_events_dir):
+    """State-Processor-API parity for the CUSTOM stateful operator (the
+    statestore_read_agg query covers the built-in aggregation): after
+    draining x1 interval alerts, each key's ValueState read back through
+    the statestore source must hold exactly the batch max(ts_ms) for that
+    key — state content correctness, not just output correctness."""
+    from apache_flink_datastream_api_spark.streaming.state import interval_alerts
+
+    stream = _chunk_stream(spark, chunked_events_dir)
+    ckpt = tempfile.mkdtemp(prefix="x1rb_")
+    q = (
+        interval_alerts(stream, 5000)
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.user_id: r.last_ts
+        for r in (
+            spark.read.format("statestore").option("path", ckpt).load()
+            .selectExpr("key.user_id AS user_id",
+                        "value.groupState.last_ts AS last_ts")
+            .collect()
+        )
+    }
+    want = {
+        r.user_id: r.m
+        for r in (
+            load_table(spark, SF_DIR, "events")
+            .where(F.col("event_id") < 3000)
+            .groupBy("user_id")
+            .agg(F.max(F.unix_millis("ts")).alias("m"))
+            .collect()
+        )
+    }
+    assert got == want
