@@ -1306,3 +1306,69 @@ SPECS += [
               "SQL/PSM scripting: DECLARE/WHILE/SET loop equals set-based oracle",
               ("relational", "spark4", "sql-surface")),
 ]
+
+
+# --- ANSI-safe error handling: the try_* function family ---------------------
+# Spark's answer to "one bad row kills the 100 TB job": try_cast /
+# try_divide / try_element_at return NULL where the strict forms raise.
+# The fixture is real-world dirty input derived from o_orderpriority
+# ('1-URGENT' -> numeric prefix parses, text tail doesn't). The oracle
+# mirrors each try_* with its portable CASE/TRY_CAST guard, pinning the
+# exact null-propagation semantics (count of salvaged vs nulled rows).
+
+def q_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "split(o_orderpriority, '-')[0] AS num_part",
+        "split(o_orderpriority, '-')[1] AS text_part",
+        "o_totalprice",
+    )
+    parsed = o.selectExpr(
+        "try_cast(num_part AS BIGINT) AS prio_num",       # parses
+        "try_cast(text_part AS BIGINT) AS text_num",      # NULL, no error
+        "try_divide(o_totalprice, try_cast(num_part AS BIGINT) - 1)"
+        " AS per_level",                                  # NULL at prio 1
+        "try_element_at(split(o_orderpriority, '-'), 3) AS missing_piece",
+    )
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count("prio_num").alias("n_prio_parsed"),
+        F.count("text_num").alias("n_text_parsed"),
+        F.count("per_level").alias("n_divisible"),
+        F.count("missing_piece").alias("n_third_piece"),
+        F.sum("prio_num").cast("long").alias("prio_sum"),
+    )
+
+
+Q_TRY_SEMANTICS_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         string_split(o_orderpriority, '-')[1] AS num_part,
+         string_split(o_orderpriority, '-')[2] AS text_part,
+         o_totalprice
+  FROM orders
+), parsed AS (
+  SELECT TRY_CAST(num_part AS BIGINT) AS prio_num,
+         TRY_CAST(text_part AS BIGINT) AS text_num,
+         CASE WHEN TRY_CAST(num_part AS BIGINT) - 1 = 0 THEN NULL
+              ELSE o_totalprice / (TRY_CAST(num_part AS BIGINT) - 1)
+         END AS per_level,
+         string_split(o_orderpriority, '-')[3] AS missing_piece
+  FROM o
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(prio_num) AS n_prio_parsed,
+       COUNT(text_num) AS n_text_parsed,
+       COUNT(per_level) AS n_divisible,
+       COUNT(missing_piece) AS n_third_piece,
+       CAST(SUM(prio_num) AS BIGINT) AS prio_sum
+FROM parsed
+"""
+
+
+SPECS += [
+    QuerySpec("q_try_semantics", q_try_semantics, Q_TRY_SEMANTICS_ORACLE,
+              "try_cast/try_divide/try_element_at null-on-error semantics",
+              ("relational", "ansi", "quality")),
+]

@@ -1117,3 +1117,79 @@ SPECS += [
               "exact-count 90/10 split per source stratum via sharded rank",
               ("trainprep", "sampling")),
 ]
+
+
+# --- pretraining epoch-mixture plan -------------------------------------------
+# The planning artifact a training run starts from: given a total token
+# BUDGET, how many epochs of each corpus slice (lang) to take. It is
+# square-root scaling (target share proportional to sqrt(slice_tokens) —
+# upweights small high-value sources without letting giants drown them),
+# capped at MAX_EPOCHS. Float determinism: sqrt IS correctly rounded
+# under IEEE-754 (portable, unlike pow/log), and the cross-source sum of
+# sqrts folds over a SORTED collected list on both engines, so even the
+# double arithmetic is bit-identical. Per-source rollup is one shuffle;
+# the normalizer is a one-row broadcast.
+
+MIX_BUDGET_TOKENS = 30_000
+MIX_MAX_EPOCHS_MILLI = 1_000  # cap: 1 epoch (sized so the fixture hits BOTH branches)
+
+
+def pipeline_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.selectExpr("lang", f"CAST(len AS BIGINT) AS n_toks".replace(
+            "len", f"size({X.tokens_spark('text')})"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    z_row = per_src.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(lang, "
+            "sqrt(CAST(n_tokens AS DOUBLE)) AS sq))), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x.sq)"
+        ).alias("z")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(z_row))
+        .selectExpr(
+            "lang", "n_docs", "n_tokens",
+            f"CAST(floor(least(CAST({MIX_BUDGET_TOKENS} AS DOUBLE)"
+            " * sqrt(CAST(n_tokens AS DOUBLE)) / z / CAST(n_tokens AS DOUBLE),"
+            f" {MIX_MAX_EPOCHS_MILLI / 1000.0}) * 1000.0) AS BIGINT)"
+            " AS epochs_milli",
+        )
+        .selectExpr(
+            "lang", "n_docs", "n_tokens", "epochs_milli",
+            "n_tokens * epochs_milli div 1000 AS planned_tokens",
+        )
+    )
+
+
+EPOCH_MIXTURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({X.tokens_duck('text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), z_row AS (
+  SELECT list_sum(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)) AS z
+  FROM per_src
+), planned AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(floor(least(CAST({MIX_BUDGET_TOKENS} AS DOUBLE)
+              * sqrt(CAST(n_tokens AS DOUBLE)) / z / CAST(n_tokens AS DOUBLE),
+              {MIX_MAX_EPOCHS_MILLI / 1000.0}) * 1000.0) AS BIGINT)
+           AS epochs_milli
+  FROM per_src, z_row
+)
+SELECT lang, n_docs, n_tokens, epochs_milli,
+       CAST(n_tokens * epochs_milli // 1000 AS BIGINT) AS planned_tokens
+FROM planned
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_epoch_mixture", pipeline_epoch_mixture,
+              EPOCH_MIXTURE_ORACLE,
+              "sqrt-scaled epoch allocation per lang slice under a token budget",
+              ("trainprep", "mixture")),
+]

@@ -244,6 +244,8 @@ HEADLINE = [
     "mm_ppm_codec_roundtrip",
     "mm_wav_codec_roundtrip",
     "mm_ann_pipeline",
+    "q_try_semantics",
+    "pipeline_epoch_mixture",
 ]
 
 
