@@ -1018,3 +1018,73 @@ SPECS += [
               "delta-vs-fingerprint-index incremental near-dedup, history never rescanned",
               ("dedup", "incremental")),
 ]
+
+
+# --- dedup family overlap audit -----------------------------------------------
+# The operational question after running three candidate generators:
+# do the families agree, and what does each find that the others miss?
+# Membership flags over the union of pair sets from (a) MinHash-banded
+# candidates, (b) prefix-filter verified J >= 1/2 pairs, (c) the
+# source-blocked exact-Jaccard pairs — rolled up to one row per
+# membership combination. MinHash-only rows are banding's false-positive
+# surface (the exact-verify workload); prefix-only rows are what source
+# blocking MISSES (cross-source near-dups); agreement everywhere is the
+# audit's healthy state. Composes three already-verified pipelines; the
+# shuffles are the unioned pair keys, all equi-joins.
+
+def dedup_family_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pf = dedup_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+    nb = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    keys = mh.unionAll(pf).unionAll(nb).distinct()
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.withColumn(name, F.lit(1)).groupBy("doc_a", "doc_b").agg(
+            F.max(name).alias(name))
+
+    joined = (
+        keys.join(flag(mh, "in_minhash"), ["doc_a", "doc_b"], "left")
+        .join(flag(pf, "in_prefix"), ["doc_a", "doc_b"], "left")
+        .join(flag(nb, "in_blocked"), ["doc_a", "doc_b"], "left")
+        .selectExpr(
+            "coalesce(in_minhash, 0) AS in_minhash",
+            "coalesce(in_prefix, 0) AS in_prefix",
+            "coalesce(in_blocked, 0) AS in_blocked",
+        )
+    )
+    return joined.groupBy("in_minhash", "in_prefix", "in_blocked").agg(
+        F.count("*").alias("n_pairs"))
+
+
+DEDUP_FAMILY_OVERLAP_ORACLE = f"""
+WITH mh AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_ORACLE})
+), pf AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_PREFIX_FILTER_ORACLE})
+), nb AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_ORACLE})
+), keys AS (
+  SELECT doc_a, doc_b FROM mh
+  UNION SELECT doc_a, doc_b FROM pf
+  UNION SELECT doc_a, doc_b FROM nb
+), flagged AS (
+  SELECT
+    CASE WHEN EXISTS (SELECT 1 FROM mh WHERE mh.doc_a = k.doc_a
+                      AND mh.doc_b = k.doc_b) THEN 1 ELSE 0 END AS in_minhash,
+    CASE WHEN EXISTS (SELECT 1 FROM pf WHERE pf.doc_a = k.doc_a
+                      AND pf.doc_b = k.doc_b) THEN 1 ELSE 0 END AS in_prefix,
+    CASE WHEN EXISTS (SELECT 1 FROM nb WHERE nb.doc_a = k.doc_a
+                      AND nb.doc_b = k.doc_b) THEN 1 ELSE 0 END AS in_blocked
+  FROM keys k
+)
+SELECT in_minhash, in_prefix, in_blocked, COUNT(*) AS n_pairs
+FROM flagged GROUP BY 1, 2, 3
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_family_overlap", dedup_family_overlap,
+              DEDUP_FAMILY_OVERLAP_ORACLE,
+              "3-family pair-set confusion: banding FP surface + blocking misses",
+              ("dedup", "audit")),
+]

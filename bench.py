@@ -246,6 +246,7 @@ HEADLINE = [
     "mm_ann_pipeline",
     "q_try_semantics",
     "pipeline_epoch_mixture",
+    "dedup_family_overlap",
 ]
 
 
