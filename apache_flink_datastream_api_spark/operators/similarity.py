@@ -1125,3 +1125,102 @@ SPECS += [
               "integer-exact power iteration: dominant Gram eigendirection",
               ("similarity", "ml", "iterative")),
 ]
+
+
+# --- Matryoshka truncation evaluation -----------------------------------------
+# The modern embedding-store question: can we serve the first 16 of 64
+# dims (4x cheaper index + bandwidth) without wrecking retrieval? The
+# measurement is top-K AGREEMENT between full-dim and truncated-dim
+# cosine rankings per query — the decision input for MRL-style
+# truncation, measured on the engine rather than assumed. Both rankings
+# reuse the knn_bruteforce machinery (broadcast query set, window top-K
+# with id tie-breaks); overlap is an equi-join of the two top-K sets.
+# Float cosines hash-match because both engines evaluate the identical
+# sequential-fold expression.
+
+MAT_SUBDIM = 16
+MAT_TOP = 10
+
+
+def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id", "embedding",
+        f"slice(embedding, 1, {MAT_SUBDIM}) AS emb_t",
+    )
+    q = base.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS qid", "embedding AS q_emb", "emb_t AS q_emb_t"
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).selectExpr(
+        "qid", "vec_id",
+        f"{dot_spark('embedding', 'q_emb')}"
+        f" / ({norm_spark('embedding')} * {norm_spark('q_emb')}) AS cos_full",
+        f"{dot_spark('emb_t', 'q_emb_t')}"
+        f" / ({norm_spark('emb_t')} * {norm_spark('q_emb_t')}) AS cos_trunc",
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), "vec_id")
+    wt = Window.partitionBy("qid").orderBy(F.desc("cos_trunc"), "vec_id")
+    ranked = (
+        pairs.withColumn("rk_full", F.row_number().over(wf))
+        .withColumn("rk_trunc", F.row_number().over(wt))
+    )
+    top_full = ranked.where(f"rk_full <= {MAT_TOP}").select("qid", "vec_id")
+    top_trunc = ranked.where(f"rk_trunc <= {MAT_TOP}").select("qid", "vec_id")
+    inter = top_full.join(top_trunc, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n_overlap"))
+    return (
+        top_full.groupBy("qid").agg(F.count("*").alias("k"))
+        .join(inter, "qid", "left")
+        .selectExpr(
+            "qid", "k",
+            "coalesce(n_overlap, 0) AS n_overlap",
+            f"coalesce(n_overlap, 0) * 1000 div {MAT_TOP} AS overlap_milli",
+        )
+    )
+
+
+EMB_MATRYOSHKA_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, embedding[1:{MAT_SUBDIM}] AS emb_t
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS q_emb, emb_t AS q_emb_t
+  FROM base WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT q.qid, b.vec_id,
+         {dot_duck('b.embedding', 'q.q_emb')}
+           / ({norm_duck('b.embedding')} * {norm_duck('q.q_emb')}) AS cos_full,
+         {dot_duck('b.emb_t', 'q.q_emb_t')}
+           / ({norm_duck('b.emb_t')} * {norm_duck('q.q_emb_t')}) AS cos_trunc
+  FROM base b JOIN q ON b.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_full DESC, vec_id) AS rk_full,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_trunc DESC, vec_id) AS rk_trunc
+  FROM pairs
+), tf AS (
+  SELECT qid, vec_id FROM ranked WHERE rk_full <= {MAT_TOP}
+), tt AS (
+  SELECT qid, vec_id FROM ranked WHERE rk_trunc <= {MAT_TOP}
+), inter AS (
+  SELECT tf.qid, COUNT(*) AS n_overlap
+  FROM tf JOIN tt ON tf.qid = tt.qid AND tf.vec_id = tt.vec_id
+  GROUP BY 1
+)
+SELECT t.qid, COUNT(*) AS k,
+       CAST(coalesce(MAX(i.n_overlap), 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(MAX(i.n_overlap), 0) * 1000 // {MAT_TOP} AS BIGINT)
+         AS overlap_milli
+FROM tf t LEFT JOIN inter i ON t.qid = i.qid
+GROUP BY t.qid
+"""
+
+
+SPECS += [
+    QuerySpec("emb_matryoshka_overlap", emb_matryoshka_overlap,
+              EMB_MATRYOSHKA_ORACLE,
+              "top-K agreement of full-dim vs truncated-dim cosine rankings",
+              ("similarity", "vector", "eval")),
+]

@@ -247,6 +247,7 @@ HEADLINE = [
     "q_try_semantics",
     "pipeline_epoch_mixture",
     "dedup_family_overlap",
+    "emb_matryoshka_overlap",
 ]
 
 
