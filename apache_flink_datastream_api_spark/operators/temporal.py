@@ -1613,3 +1613,115 @@ SPECS += [
               "U-shaped 40/20/40 multi-touch attribution, exact integer millis",
               ("temporal", "attribution")),
 ]
+
+
+# --- bitemporal as-of reconstruction ------------------------------------------
+# The two-clock temporal family the SCD2 join (valid time only) can't
+# answer: "as of what we KNEW on date K, what was the revenue valid in
+# month M?" — the restatement question every finance close runs.
+# Versions are derived deterministically (every 7th order gets a +10%
+# price correction RECORDED 30 days after the order date; originals are
+# recorded at the order date); the knowledge cutoff K is the calendar
+# midpoint. Per order, the as-known-at-K version is the latest
+# recorded_at <= K (one argmax window on the orderkey exchange); the
+# as-known-now version is the overall latest. Orders not yet recorded
+# at K are (correctly) absent from the as-of reconstruction, so the
+# output covers months known at K; the restatements concentrate in the
+# 30-day band before K — corrections for those orders landed after the
+# knowledge cutoff, so revenue_now > revenue_asof exactly there.
+
+BT_CORRECTION_MOD = 7
+BT_RECORD_LAG_MS = 30 * 86_400_000
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "unix_millis(o_orderdate) AS valid_ms",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    versions = o.selectExpr(
+        "o_orderkey", "valid_ms", "valid_ms AS recorded_ms", "cents",
+    ).unionAll(
+        o.where(f"o_orderkey % {BT_CORRECTION_MOD} = 0").selectExpr(
+            "o_orderkey", "valid_ms",
+            f"valid_ms + {BT_RECORD_LAG_MS} AS recorded_ms",
+            "cents + cents div 10 AS cents",
+        )
+    )
+    cutoff = F.broadcast(
+        o.agg(F.expr(
+            "CAST((MIN(valid_ms) + MAX(valid_ms)) / 2 AS BIGINT) AS k_ms"))
+    )
+    w_all = Window.partitionBy("o_orderkey").orderBy(F.desc("recorded_ms"))
+    vk = versions.crossJoin(cutoff)
+    w_k = Window.partitionBy("o_orderkey").orderBy(F.desc("recorded_ms"))
+    as_now = (
+        versions.withColumn("rn", F.row_number().over(w_all))
+        .where("rn = 1")
+        .selectExpr("o_orderkey", "valid_ms", "cents AS cents_now")
+    )
+    as_k = (
+        vk.where("recorded_ms <= k_ms")
+        .withColumn("rn", F.row_number().over(w_k))
+        .where("rn = 1")
+        .selectExpr("o_orderkey", "cents AS cents_asof")
+    )
+    return (
+        as_now.join(as_k, "o_orderkey")
+        .selectExpr(
+            "CAST(valid_ms - pmod(valid_ms, 2592000000) AS BIGINT) AS month_ms",
+            "cents_now", "cents_asof",
+            "CAST(cents_now <> cents_asof AS INT) AS restated",
+        )
+        .groupBy("month_ms")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("CAST(cents_asof AS DECIMAL(28,0))")).cast("long")
+            .alias("revenue_asof_cents"),
+            F.sum(F.expr("CAST(cents_now AS DECIMAL(28,0))")).cast("long")
+            .alias("revenue_now_cents"),
+            F.sum("restated").cast("long").alias("n_restated"),
+        )
+    )
+
+
+Q_BITEMPORAL_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey, epoch_ms(o_orderdate) AS valid_ms,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), versions AS (
+  SELECT o_orderkey, valid_ms, valid_ms AS recorded_ms, cents FROM o
+  UNION ALL
+  SELECT o_orderkey, valid_ms, valid_ms + {BT_RECORD_LAG_MS},
+         cents + cents // 10
+  FROM o WHERE o_orderkey % {BT_CORRECTION_MOD} = 0
+), cutoff AS (
+  SELECT CAST((MIN(valid_ms) + MAX(valid_ms)) / 2 AS BIGINT) AS k_ms FROM o
+), as_now AS (
+  SELECT o_orderkey, valid_ms, cents AS cents_now FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY recorded_ms DESC) AS rn
+    FROM versions) WHERE rn = 1
+), as_k AS (
+  SELECT o_orderkey, cents AS cents_asof FROM (
+    SELECT v.*, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY recorded_ms DESC) AS rn
+    FROM versions v, cutoff WHERE recorded_ms <= k_ms) WHERE rn = 1
+)
+SELECT CAST(valid_ms - valid_ms % 2592000000 AS BIGINT) AS month_ms,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(cents_asof AS HUGEINT)) AS BIGINT) AS revenue_asof_cents,
+       CAST(SUM(CAST(cents_now AS HUGEINT)) AS BIGINT) AS revenue_now_cents,
+       CAST(SUM(CAST(cents_now <> cents_asof AS INT)) AS BIGINT) AS n_restated
+FROM as_now JOIN as_k USING (o_orderkey)
+GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_bitemporal_asof", q_bitemporal_asof, Q_BITEMPORAL_ORACLE,
+              "two-clock reconstruction: revenue as-known-at-K vs as-known-now",
+              ("temporal", "bitemporal")),
+]

@@ -248,6 +248,7 @@ HEADLINE = [
     "pipeline_epoch_mixture",
     "dedup_family_overlap",
     "emb_matryoshka_overlap",
+    "q_bitemporal_asof",
 ]
 
 

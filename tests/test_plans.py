@@ -413,6 +413,7 @@ def test_registry_wide_plan_hygiene(spark):
         "q_kendall_tau",                # grid cell-pair join (~1k rows, data-size-independent)
         "dedup_incremental",            # history-cut scalar bound (1 row)
         "pipeline_epoch_mixture",       # sqrt-sum normalizer row (1 row)
+        "q_bitemporal_asof",            # knowledge-cutoff scalar (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
