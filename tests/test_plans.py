@@ -414,6 +414,7 @@ def test_registry_wide_plan_hygiene(spark):
         "dedup_incremental",            # history-cut scalar bound (1 row)
         "pipeline_epoch_mixture",       # sqrt-sum normalizer row (1 row)
         "q_bitemporal_asof",            # knowledge-cutoff scalar (1 row)
+        "emb_matryoshka_overlap",       # broadcast query set (N_QUERIES rows), like knn_bruteforce
     }
     violations = []
     for name, spec in all_queries().items():
