@@ -1395,3 +1395,67 @@ SPECS += [
               "any-order 3-step funnel: trailing-window bitmask containment",
               ("behavior", "funnel")),
 ]
+
+
+# --- DAU/MAU stickiness -------------------------------------------------------
+# The product-health ratio every growth dashboard leads with: of the
+# users active in a month, what fraction shows up on an average day?
+# Exact integer form: stickiness_milli = 1000 * sum(daily distinct) /
+# (n_days * monthly distinct). Two distinct rollups (day grain, month
+# grain) on the same user exchange + one tiny month-level join — no
+# rolling-window distinct state anywhere.
+
+MONTH_MS = 2_592_000_000  # 30-day buckets (portable epoch arithmetic)
+
+
+def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        f"unix_millis(ts) - pmod(unix_millis(ts), {DAY_MS}) AS day_ms",
+    ).withColumn("month_ms", F.expr(f"day_ms - pmod(day_ms, {MONTH_MS})"))
+    daily = ev.groupBy("month_ms", "day_ms").agg(
+        F.countDistinct("user_id").alias("dau"))
+    per_month_daily = daily.groupBy("month_ms").agg(
+        F.count("*").alias("n_active_days"),
+        F.sum("dau").cast("long").alias("dau_total"),
+    )
+    monthly = ev.groupBy("month_ms").agg(
+        F.countDistinct("user_id").alias("mau"))
+    return (
+        per_month_daily.join(monthly, "month_ms")
+        .selectExpr(
+            "month_ms", "n_active_days", "dau_total", "mau",
+            "dau_total * 1000 div (n_active_days * mau) AS stickiness_milli",
+        )
+    )
+
+
+Q_STICKINESS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         epoch_ms(ts) - epoch_ms(ts) % {DAY_MS} AS day_ms,
+         (epoch_ms(ts) - epoch_ms(ts) % {DAY_MS})
+           - (epoch_ms(ts) - epoch_ms(ts) % {DAY_MS}) % {MONTH_MS} AS month_ms
+  FROM events
+), daily AS (
+  SELECT month_ms, day_ms, COUNT(DISTINCT user_id) AS dau
+  FROM ev GROUP BY 1, 2
+), pmd AS (
+  SELECT month_ms, COUNT(*) AS n_active_days,
+         CAST(SUM(dau) AS BIGINT) AS dau_total
+  FROM daily GROUP BY 1
+), monthly AS (
+  SELECT month_ms, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1
+)
+SELECT month_ms, n_active_days, dau_total, mau,
+       CAST(dau_total * 1000 // (n_active_days * mau) AS BIGINT)
+         AS stickiness_milli
+FROM pmd JOIN monthly USING (month_ms)
+"""
+
+
+SPECS += [
+    QuerySpec("q_stickiness_dau_mau", q_stickiness_dau_mau, Q_STICKINESS_ORACLE,
+              "DAU/MAU stickiness per 30-day bucket, exact integer ratio",
+              ("behavior", "product")),
+]

@@ -1725,3 +1725,100 @@ SPECS += [
               "two-clock reconstruction: revenue as-known-at-K vs as-known-now",
               ("temporal", "bitemporal")),
 ]
+
+
+# --- W9: capped-duration session windows --------------------------------------
+# Session windows that close on EITHER the inactivity gap OR a maximum
+# total span — the "no infinite sessions" guard every production
+# sessionizer carries (a polling client that pings every minute would
+# otherwise hold one session open forever). Unlike the plain gap
+# sessionizer (lag + cumsum) this is a true sequential recurrence: the
+# cap compares against the session ANCHOR, which depends on every prior
+# assignment, so the batch form is a per-user applyInPandas automaton
+# and the oracle replays the identical recurrence as a depth-bounded
+# recursive CTE (the q_cep_followed_by device). Each session row carries
+# why it OPENED ('first' | 'gap' | 'cap') so both close reasons are
+# observable in the output.
+
+W9_GAP_MS = 24 * 3600 * 1000
+W9_MAX_SPAN_MS = 36 * 3600 * 1000
+
+
+def w9_capped_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id"
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_ms", "event_id"])
+        out = []
+        anchor = prev = None
+        n = 0
+        end = None
+        opened = "first"
+        uid = int(pdf["user_id"].iloc[0])
+        for ts in pdf["ts_ms"]:
+            ts = int(ts)
+            if anchor is None:
+                anchor, n, end, opened = ts, 1, ts, "first"
+            elif ts - prev > W9_GAP_MS or ts - anchor > W9_MAX_SPAN_MS:
+                out.append((uid, anchor, end, n, opened))
+                opened = "gap" if ts - prev > W9_GAP_MS else "cap"
+                anchor, n, end = ts, 1, ts
+            else:
+                n += 1
+                end = ts
+            prev = ts
+        if anchor is not None:
+            out.append((uid, anchor, end, n, opened))
+        return pd.DataFrame(out, columns=[
+            "user_id", "session_start_ms", "session_end_ms", "n_events",
+            "opened_by",
+        ])
+
+    return ev.groupBy("user_id").applyInPandas(
+        fn,
+        "user_id bigint, session_start_ms bigint, session_end_ms bigint, "
+        "n_events bigint, opened_by string",
+    )
+
+
+W9_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts), event_id) AS idx
+  FROM events
+), r(user_id, idx, anchor, prev_ts, opened) AS (
+  SELECT user_id, 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS VARCHAR)
+  FROM (SELECT DISTINCT user_id FROM e)
+  UNION ALL
+  SELECT r.user_id, r.idx + 1,
+         CASE WHEN r.anchor IS NULL THEN e.ts_ms
+              WHEN e.ts_ms - r.prev_ts > {W9_GAP_MS}
+                OR e.ts_ms - r.anchor > {W9_MAX_SPAN_MS} THEN e.ts_ms
+              ELSE r.anchor END,
+         e.ts_ms,
+         CASE WHEN r.anchor IS NULL THEN 'first'
+              WHEN e.ts_ms - r.prev_ts > {W9_GAP_MS} THEN 'gap'
+              WHEN e.ts_ms - r.anchor > {W9_MAX_SPAN_MS} THEN 'cap'
+              ELSE r.opened END
+  FROM r JOIN e ON e.user_id = r.user_id AND e.idx = r.idx + 1
+)
+SELECT user_id, anchor AS session_start_ms,
+       MAX(prev_ts) AS session_end_ms,
+       COUNT(*) AS n_events,
+       MIN(opened) AS opened_by
+FROM r WHERE idx > 0
+GROUP BY user_id, anchor
+"""
+
+
+SPECS += [
+    QuerySpec("w9_capped_session", w9_capped_session, W9_ORACLE,
+              "gap-OR-max-span session windows: per-user automaton vs recursive CTE",
+              ("window", "session", "stateful")),
+]

@@ -249,6 +249,8 @@ HEADLINE = [
     "dedup_family_overlap",
     "emb_matryoshka_overlap",
     "q_bitemporal_asof",
+    "q_stickiness_dau_mau",
+    "w9_capped_session",
 ]
 
 
