@@ -54,6 +54,11 @@ HEADLINE = [
     "knn_ivf_cosine",
     "ts_similarity_topk",
     "tpch_q18_large_volume",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_candidates",
     "tpch_q8_market_share",
     "tpch_q21_waiting_supplier",
     "tpch_q19_bracket_revenue",
