@@ -1822,3 +1822,92 @@ SPECS += [
               "gap-OR-max-span session windows: per-user automaton vs recursive CTE",
               ("window", "session", "stateful")),
 ]
+
+
+# --- interval union: merged order-fulfillment coverage per customer ----------
+# The gaps-and-islands MERGE: each order is an interval [orderdate,
+# last shipdate]; overlapping intervals per customer fuse into islands,
+# and the rollup answers "how much wall-clock time was this customer's
+# pipeline active, in how many distinct bursts, and how long was the
+# longest one" — the interval-algebra primitive sessionization can't
+# express (intervals arrive with EXTENT, not as instants, so a gap
+# threshold is the wrong tool). Plan shape: one map-side-combinable
+# rollup to order spans, then a single per-customer sort-window pass —
+# the running-max-of-ends trick makes island detection O(n log n) per
+# key with NO self-join (the naive overlap formulation is a quadratic
+# interval self-join). Per-key cardinality is order count — bounded at
+# 100 TB. Ordering ties break on (start, end, orderkey) identically on
+# both engines; a shipment logged before its order date clamps to a
+# zero-length interval.
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        l.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ship_end"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .selectExpr(
+            "o_custkey",
+            "unix_millis(o_orderdate) AS s",
+            "greatest(unix_millis(o_orderdate), unix_millis(ship_end)) AS e",
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e", "o_orderkey")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = flagged.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("is_s"), F.max("e").alias("is_e")
+    )
+    return islands.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("is_e") - F.col("is_s")).alias("covered_ms"),
+        F.max(F.col("is_e") - F.col("is_s")).alias("max_island_ms"),
+    )
+
+
+INTERVAL_UNION_ORACLE = """
+WITH spans AS (
+  SELECT o_custkey, epoch_ms(o_orderdate) AS s,
+         GREATEST(epoch_ms(o_orderdate), epoch_ms(ship_end)) AS e,
+         o_orderkey
+  FROM (SELECT l_orderkey, MAX(l_shipdate) AS ship_end
+        FROM lineitem GROUP BY 1)
+  JOIN orders ON l_orderkey = o_orderkey
+), flagged AS (
+  SELECT o_custkey, s, e, o_orderkey,
+         CASE WHEN MAX(e) OVER w_prev IS NULL
+                OR s > MAX(e) OVER w_prev
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+  WINDOW w_prev AS (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT o_custkey, s, e,
+         SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT o_custkey, island, MIN(s) AS is_s, MAX(e) AS is_e
+  FROM isl GROUP BY 1, 2
+)
+SELECT o_custkey AS custkey, COUNT(*) AS n_islands,
+       CAST(SUM(is_e - is_s) AS BIGINT) AS covered_ms,
+       CAST(MAX(is_e - is_s) AS BIGINT) AS max_island_ms
+FROM islands GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_interval_union", q_interval_union, INTERVAL_UNION_ORACLE,
+              "merge overlapping fulfillment intervals per customer, no self-join",
+              ("temporal", "interval", "window")),
+]

@@ -1252,3 +1252,60 @@ SPECS += [
               "three-way watermarked interval join through two state stores",
               ("streaming", "join")),
 ]
+
+
+# --- X7: running z-score anomaly alerts (Welford keyed state) ----------------
+
+X7_MIN_N = 5     # priors required before the test is armed
+X7_Z2 = 9        # z^2 (3-sigma)
+
+
+def x7_zscore_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running 3-sigma alerts through the real streaming engine:
+    ValueState holds (count, sum, sum-of-squares) in integer cents and
+    each arriving value is tested against the moments of its PRIOR
+    history — the control-chart-as-operator the reference's ValueState
+    examples (chapter4/StatefulOperations.java:84-129) gesture at. The
+    sigma test runs in exact integer arithmetic (see streaming/state.py),
+    so the alert set is reproducible bit-for-bit by a windowed SQL oracle
+    with the identical prior-frame moments."""
+    from .state import zscore_alerts
+
+    stream = _events_stream(spark, sf_dir).selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    return run_available_now(
+        zscore_alerts(stream, X7_MIN_N, X7_Z2), spark, mode="update"
+    )
+
+
+X7_ZSCORE_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), st AS (
+  SELECT user_id, ts_ms, cents,
+         COUNT(*) OVER w AS n,
+         COALESCE(SUM(CAST(cents AS HUGEINT)) OVER w, 0) AS s,
+         COALESCE(SUM(CAST(cents AS HUGEINT) * cents) OVER w, 0) AS q
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), alerts AS (
+  SELECT user_id, ts_ms, cents, n AS n_prior
+  FROM st
+  WHERE n >= {X7_MIN_N}
+    AND (n * cents - s) * (n * cents - s) > {X7_Z2} * (n * q - s * s)
+)
+SELECT user_id, ts_ms, cents, CAST(n_prior AS BIGINT) AS n_prior
+FROM alerts
+"""
+
+
+SPECS += [
+    QuerySpec("x7_zscore_stream", x7_zscore_stream, X7_ZSCORE_ORACLE,
+              "running 3-sigma Welford alerts in keyed state, exact-integer test",
+              ("streaming", "stateful")),
+]

@@ -505,3 +505,68 @@ def rule_filtered_events(df: DataFrame, default_cents: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- X7: running z-score anomaly alerts (Welford state, exact integers) -----
+# The streaming analog of a control chart: per key, keep the running
+# (count, sum, sum-of-squares) of the value in integer cents and alert
+# when a new observation sits outside Z sigma of the history BEFORE it.
+# The 3-sigma test is evaluated in EXACT integer arithmetic —
+#   (n*x - S)^2 > Z^2 * (n*Q - S^2)   <=>   (x - mean)^2 > Z^2 * var_pop
+# — so the emitted set is bit-reproducible against a SQL oracle (no
+# float threshold to straddle). Python ints are arbitrary-precision, so
+# the fold never overflows; the persisted state is three longs (Q = sum
+# of squares stays under 2^63 through ~10^9 observations of value <=
+# $21M in cents — document-scale telemetry never gets close).
+
+WELFORD_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("q", LongType()),
+    ]
+)
+
+
+def make_zscore_alert(min_n: int, z2: int, key_name: str):
+    """Per key: emit (key, ts_ms, cents, n_prior) for each observation
+    outside z sigma of the PRIOR history (>= min_n priors required),
+    then fold the observation into the running moments."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = _sorted(pdfs)
+        n, s, q = state.get if state.exists else (0, 0, 0)
+        out: list[tuple[Any, int, int, int]] = []
+        for ts, x in zip(rows["ts_ms"], rows["cents"]):
+            ts, x = int(ts), int(x)
+            if n >= min_n and (n * x - s) ** 2 > z2 * (n * q - s * s):
+                out.append((key[0], ts, x, n))
+            n, s, q = n + 1, s + x, q + x * x
+        state.update((n, s, q))
+        yield pd.DataFrame(out, columns=[key_name, "ts_ms", "cents", "n_prior"])
+
+    return fn
+
+
+def zscore_alerts(
+    df: DataFrame, min_n: int, z2: int, key_col: str = "user_id"
+) -> DataFrame:
+    """X7 streaming operator: df must contain (key_col, ts_ms, cents[,
+    event_id]). Output: (key_col, ts_ms, cents, n_prior)."""
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("cents", LongType()),
+            StructField("n_prior", LongType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        make_zscore_alert(min_n, z2, key_col),
+        outputStructType=out_schema,
+        stateStructType=WELFORD_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -90,6 +90,7 @@ HEADLINE = [
     "q_portable_stats",
     "q_value_histogram",
     "q_ohlc_bars",
+    "q_interval_union",
     "pipeline_quota_sample",
     "emb_quantize_int8",
     "q_scd2_user_state",
@@ -234,6 +235,7 @@ HEADLINE = [
     "q_kendall_tau",
     "q_dynamic_rules",
     "x6_dynamic_rules_stream",
+    "x7_zscore_stream",
     "sketch_bloom_membership",
     "q_ewma_daily",
     "dedup_prefix_filter_join",
