@@ -3173,3 +3173,97 @@ SPECS += [
               "degree-degree Pearson mixing over co-purchase edges, exact moments",
               ("analytics", "graph")),
 ]
+
+
+# --- k-core peel cascade on the co-purchase graph -----------------------------
+# Iterative graph peeling: drop every node of degree < K, recount, repeat
+# — the degeneracy primitive behind community cores and graph cleanup.
+# This corpus's co-purchase graph has a NARROW (Poisson-like) degree
+# spread, so a threshold inside it makes the peel CASCADE to empty; the
+# operator therefore reports the collapse trajectory itself — nodes and
+# edges surviving each of R fixed rounds — which is the well-defined,
+# scale-stable signature (a hub-and-spoke graph would instead stabilize
+# at its core). Each round is one degree rollup + two semi-joins on the
+# shrinking edge list, lineage-truncated per round with localCheckpoint
+# (the dedup_components lesson: without truncation round r replays all
+# r-1 predecessors). Fixed R on BOTH engines — once the edge set is
+# empty further rounds are no-ops, so the fixed-round output equals the
+# fixpoint whenever the peel converges within R.
+
+KCORE_K = 90
+KCORE_ROUNDS = 8
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    edges = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS pa, y AS pb))))")).alias("p"))
+        .select("p.pa", "p.pb").distinct()
+    )
+    cur = (
+        edges.selectExpr("pa AS u", "pb AS v")
+        .unionAll(edges.selectExpr("pb AS u", "pa AS v"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= KCORE_K).select("u")
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.selectExpr("u AS v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(cur.agg(
+            F.lit(r).alias("round"),
+            F.countDistinct("u").alias("n_nodes"),
+            F.expr("count(*) div 2").alias("n_edges"),
+        ))
+    out = rounds[0]
+    for nxt in rounds[1:]:
+        out = out.unionAll(nxt)
+    return out
+
+
+def _kcore_oracle() -> str:
+    # every e{r} is referenced three times (next round's degree rollup,
+    # next round's edge filter, and its own trajectory SELECT) — without
+    # MATERIALIZED, DuckDB inlines CTEs and the base scan fans out 3^R-fold
+    # (observed: fd exhaustion at R=8).
+    parts = ["""WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), ed AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+), e0 AS MATERIALIZED (
+  SELECT pa AS u, pb AS v FROM ed UNION ALL SELECT pb, pa FROM ed
+)"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(f""", k{r} AS MATERIALIZED (
+  SELECT u FROM (SELECT u, COUNT(*) AS d FROM e{r-1} GROUP BY 1)
+  WHERE d >= {KCORE_K}
+), e{r} AS MATERIALIZED (
+  SELECT c.u, c.v FROM e{r-1} c
+  JOIN k{r} a ON c.u = a.u JOIN k{r} b2 ON c.v = b2.u
+)""")
+    selects = [
+        f"SELECT {r} AS round, COUNT(DISTINCT u) AS n_nodes,"
+        f" COUNT(*) // 2 AS n_edges FROM e{r}"
+        for r in range(1, KCORE_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+Q_KCORE_ORACLE = _kcore_oracle()
+
+
+SPECS += [
+    QuerySpec("graph_kcore_peel", graph_kcore_peel, Q_KCORE_ORACLE,
+              "iterative degree-threshold peel: collapse trajectory over 8 rounds",
+              ("graph", "iterative")),
+]

@@ -240,6 +240,7 @@ HEADLINE = [
     "q_ewma_daily",
     "dedup_prefix_filter_join",
     "graph_degree_assortativity",
+    "graph_kcore_peel",
     "q_basket_triples",
     "q_pandas_udaf_median",
     "dedup_incremental",
