@@ -1205,3 +1205,112 @@ SPECS += [
               "feature hashing: unbounded vocab -> 64 buckets, map-side",
               ("text", "features")),
 ]
+
+
+# --- BPE merge training over the word-frequency dictionary -------------------
+# The actual tokenizer-training workload: learn merge rules from corpus
+# statistics, round by round. Classic BPE trains on the WORD-FREQUENCY
+# dictionary (Sennrich et al. 2016), not the raw corpus — so the
+# distributed shape is: one corpus-wide tokenize+count (the only pass
+# that touches 100 TB), then R rounds over the dict of (word, freq),
+# each round = one pair-count aggregate (map-side combinable, weighted
+# by freq), a 1-row argmax broadcast back, and a map-only merge rewrite.
+# Symbol sequences are encoded as '||'-delimited strings so the merge is
+# a single literal replace() — leftmost non-overlapping, one scan per
+# round, IDENTICAL semantics in the JVM and DuckDB (a run like "abab"
+# merges its second occurrence a later round; canonical BPE's
+# remerge-within-round differs only on same-pair runs, which the
+# delimiter encoding cannot express without lookahead regex that RE2
+# lacks — the variant is pinned by the oracle, not approximated).
+# Ties break on (count DESC, pair lexicographic) on both engines.
+
+BPE_TRAIN_ROUNDS = 8
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(TOKS_S)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    cur = words.selectExpr(
+        "freq",
+        "concat('||', array_join(transform(sequence(1, length(w)), "
+        "i -> substring(w, i, 1)), '||'), '||') AS enc",
+    ).localCheckpoint(eager=True)
+    syms = "filter(split(enc, '\\\\|\\\\|'), x -> x != '')"
+    rounds = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            cur.selectExpr("freq", f"{syms} AS syms")
+            .selectExpr(
+                "freq",
+                "explode(if(size(syms) < 2, array(), "
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS pa, "
+                "element_at(syms, i + 1) AS pb)))) AS p",
+            )
+            .selectExpr("freq", "p.pa AS pa", "p.pb AS pb")
+        )
+        best = (
+            pairs.groupBy("pa", "pb").agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pa", "pb").limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(best.selectExpr(f"{r} AS round", "pa", "pb", "cnt"))
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("pa", "pb")))
+            .selectExpr(
+                "freq",
+                "replace(enc, concat('||', pa, '||', pb, '||'), "
+                "concat('||', pa, pb, '||')) AS enc",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = rounds[0]
+    for nxt in rounds[1:]:
+        out = out.unionAll(nxt)
+    return out
+
+
+def _bpe_train_oracle() -> str:
+    # MATERIALIZED throughout: w{r} feeds both p{r+1} and w{r+1} — inlined
+    # CTEs would fan the corpus scan out exponentially (the kcore lesson).
+    parts = [f"""WITH words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({TOKS_D}) AS w FROM documents) GROUP BY 1
+), w0 AS MATERIALIZED (
+  SELECT freq,
+         '||' || array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> substr(w, i, 1)), '||') || '||' AS enc
+  FROM words
+)"""]
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(f""", p{r} AS MATERIALIZED (
+  SELECT syms[i] AS pa, syms[i+1] AS pb, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, list_filter(str_split(enc, '||'), x -> x <> '') AS syms
+        FROM w{r-1}),
+       UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+  SELECT pa, pb, cnt FROM p{r} ORDER BY cnt DESC, pa, pb LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT freq, replace(enc, '||' || b.pa || '||' || b.pb || '||',
+                       '||' || b.pa || b.pb || '||') AS enc
+  FROM w{r-1}, b{r} b
+)""")
+    selects = [
+        f"SELECT {r} AS round, pa, pb, cnt FROM b{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+TEXT_BPE_TRAIN_ORACLE = _bpe_train_oracle()
+
+
+SPECS += [
+    QuerySpec("text_bpe_train", text_bpe_train, TEXT_BPE_TRAIN_ORACLE,
+              "BPE merge-rule training over the word-freq dict, R argmax rounds",
+              ("text", "tokenizer", "iterative")),
+]

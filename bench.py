@@ -229,6 +229,7 @@ HEADLINE = [
     # round 2: boilerplate/featurization, governance, splits, rank stats
     "text_boilerplate_shingles",
     "text_hashing_trick",
+    "text_bpe_train",
     "pipeline_stratified_split",
     "pipeline_user_erasure",
     "q_attribution_position",
