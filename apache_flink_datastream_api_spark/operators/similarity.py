@@ -1224,3 +1224,138 @@ SPECS += [
               "top-K agreement of full-dim vs truncated-dim cosine rankings",
               ("similarity", "vector", "eval")),
 ]
+
+
+# --- MMR diversified re-ranking (exact-integer greedy) -----------------------
+# Maximal Marginal Relevance over the retrieved candidate pool: pick the
+# most relevant vector, then repeatedly the one maximizing
+# relevance − max-similarity-to-selected (lambda = 1/2 scaled out). The
+# 100 TB shape is the point: MMR is a RE-RANK — the corpus-sized work is
+# the retrieval that produces a BOUNDED top-N pool (here the same
+# int8-dot ranking the ANN ladder uses); the greedy loop then touches N
+# rows per round with a 1-row broadcast of the latest pick. All scores
+# are int8-quantized integer dot products, so every argmax comparison is
+# exact on both engines (float MMR would make the pick order
+# representation-dependent). Ties break on vec_id ascending.
+
+MMR_QUERY_ID = 0
+MMR_POOL = 50
+MMR_K = 5
+
+_Q8 = ("transform(embedding, v -> "
+       "CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))")
+_DOT_S = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+
+
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.where(F.col("vec_id") == MMR_QUERY_ID)
+        .selectExpr(f"{_Q8} AS qv")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(qrow))
+        .selectExpr(
+            "vec_id",
+            f"{_Q8} AS dv",
+            _DOT_S.format(a=_Q8, b="qv") + " AS rel",
+        )
+    )
+    w = Window.orderBy(F.desc("rel"), "vec_id")
+    pool = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MMR_POOL)
+        .select("vec_id", "dv", "rel")
+        .localCheckpoint(eager=True)
+    )
+    picks = []
+    # round 1: pure relevance; selection carries its score-at-pick
+    best = pool.orderBy(F.desc("rel"), "vec_id").limit(1).localCheckpoint(eager=True)
+    picks.append(best.selectExpr("1 AS rank", "vec_id", "rel",
+                                 "rel AS mmr_score"))
+    rem = (
+        pool.crossJoin(F.broadcast(
+            best.selectExpr("vec_id AS sel_id", "dv AS sel_dv")))
+        .where(F.col("vec_id") != F.col("sel_id"))
+        .selectExpr("vec_id", "dv", "rel",
+                    _DOT_S.format(a="dv", b="sel_dv") + " AS maxsim")
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, MMR_K + 1):
+        best = (
+            rem.orderBy(F.desc(F.col("rel") - F.col("maxsim")), "vec_id")
+            .limit(1).localCheckpoint(eager=True)
+        )
+        picks.append(best.selectExpr(f"{r} AS rank", "vec_id", "rel",
+                                     "rel - maxsim AS mmr_score"))
+        if r < MMR_K:
+            rem = (
+                rem.crossJoin(F.broadcast(
+                    best.selectExpr("vec_id AS sel_id", "dv AS sel_dv")))
+                .where(F.col("vec_id") != F.col("sel_id"))
+                .selectExpr(
+                    "vec_id", "dv", "rel",
+                    "greatest(maxsim, "
+                    + _DOT_S.format(a="dv", b="sel_dv") + ") AS maxsim")
+                .localCheckpoint(eager=True)
+            )
+    out = picks[0]
+    for nxt in picks[1:]:
+        out = out.unionAll(nxt)
+    return out
+
+
+_Q8_D = ("list_transform(embedding, v -> "
+         "CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))")
+_DOT_D = ("CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+          "i -> {a}[i] * {b}[i])) AS BIGINT)")
+
+
+def _mmr_oracle() -> str:
+    parts = [f"""WITH qrow AS MATERIALIZED (
+  SELECT {_Q8_D} AS qv FROM embeddings WHERE vec_id = {MMR_QUERY_ID}
+), scored AS MATERIALIZED (
+  SELECT vec_id, {_Q8_D} AS dv,
+         {_DOT_D.format(a=_Q8_D, b='qv')} AS rel
+  FROM embeddings, qrow WHERE vec_id <> {MMR_QUERY_ID}
+), pool AS MATERIALIZED (
+  SELECT vec_id, dv, rel FROM (
+    SELECT vec_id, dv, rel,
+           row_number() OVER (ORDER BY rel DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= {MMR_POOL}
+), s1 AS MATERIALIZED (
+  SELECT vec_id, dv, rel, rel AS mmr_score
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+), rem1 AS MATERIALIZED (
+  SELECT c.vec_id, c.dv, c.rel,
+         {_DOT_D.format(a='c.dv', b='s.dv')} AS maxsim
+  FROM pool c, s1 s WHERE c.vec_id <> s.vec_id
+)"""]
+    for r in range(2, MMR_K + 1):
+        parts.append(f""", s{r} AS MATERIALIZED (
+  SELECT vec_id, dv, rel, rel - maxsim AS mmr_score
+  FROM rem{r-1} ORDER BY rel - maxsim DESC, vec_id LIMIT 1
+)""")
+        if r < MMR_K:
+            parts.append(f""", rem{r} AS MATERIALIZED (
+  SELECT c.vec_id, c.dv, c.rel,
+         GREATEST(c.maxsim, {_DOT_D.format(a='c.dv', b='s.dv')}) AS maxsim
+  FROM rem{r-1} c, s{r} s WHERE c.vec_id <> s.vec_id
+)""")
+    selects = [
+        f"SELECT {r} AS rank, vec_id, rel, mmr_score FROM s{r}"
+        for r in range(1, MMR_K + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+EMB_MMR_ORACLE = _mmr_oracle()
+
+
+SPECS += [
+    QuerySpec("emb_mmr_rerank", emb_mmr_rerank, EMB_MMR_ORACLE,
+              "exact-integer MMR greedy re-rank over the retrieved pool",
+              ("similarity", "vector", "rerank")),
+]

@@ -257,6 +257,7 @@ HEADLINE = [
     "pipeline_epoch_mixture",
     "dedup_family_overlap",
     "emb_matryoshka_overlap",
+    "emb_mmr_rerank",
     "q_bitemporal_asof",
     "q_stickiness_dau_mau",
     "w9_capped_session",
