@@ -1372,3 +1372,116 @@ SPECS += [
               "try_cast/try_divide/try_element_at null-on-error semantics",
               ("relational", "ansi", "quality")),
 ]
+
+
+# --- rank-function semantics pin ---------------------------------------------
+# One query exercising the full ANSI rank-function family with TIES:
+# ordering on a banded price (low cardinality) makes rank vs dense_rank
+# vs percent_rank/cume_dist diverge, while row_number/ntile run over a
+# fully deterministic (band, orderkey) order so their outputs are
+# well-defined. percent_rank/cume_dist are emitted as the raw doubles —
+# (rank-1)/(n-1) and n_le/n are single correctly-rounded divisions of
+# exact integers, identical bits on both engines. One month of orders
+# keeps the pinned surface reviewable.
+
+def q_rank_functions_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01"))
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "CAST(round(o_totalprice) AS BIGINT) div 10000 AS band",
+    )
+    wt = Window.partitionBy("o_orderpriority").orderBy("band")
+    wd = Window.partitionBy("o_orderpriority").orderBy("band", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "band",
+        F.rank().over(wt).alias("rk"),
+        F.dense_rank().over(wt).alias("drk"),
+        F.percent_rank().over(wt).alias("prk"),
+        F.cume_dist().over(wt).alias("cd"),
+        F.row_number().over(wd).alias("rn"),
+        F.ntile(4).over(wd).alias("nt"),
+    )
+
+
+Q_RANK_FUNCTIONS_ORACLE = """
+SELECT o_orderkey, o_orderpriority, band,
+       rank() OVER wt AS rk,
+       dense_rank() OVER wt AS drk,
+       percent_rank() OVER wt AS prk,
+       cume_dist() OVER wt AS cd,
+       row_number() OVER wd AS rn,
+       ntile(4) OVER wd AS nt
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice) AS BIGINT) // 10000 AS band
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-02-01'
+)
+WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY band),
+       wd AS (PARTITION BY o_orderpriority ORDER BY band, o_orderkey)
+"""
+
+
+SPECS += [
+    QuerySpec("q_rank_functions_pin", q_rank_functions_pin,
+              Q_RANK_FUNCTIONS_ORACLE,
+              "ANSI rank-family semantics with ties: rank/dense/percent/cume/ntile",
+              ("relational", "ansi", "window")),
+]
+
+
+# --- join-type matrix pin ----------------------------------------------------
+# All six join cardinalities (inner/left/right/full/semi/anti on
+# customer x orders) derived from ONE full-outer pass — the engine-parity
+# pin is that Spark's single-shuffle derivation equals the six-join
+# ground truth the oracle computes literally. At 100 TB this is also the
+# efficient diagnostic shape: one co-partitioned join instead of six.
+
+def q_join_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    fo = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return fo.agg(
+        F.sum((F.col("c_custkey").isNotNull()
+               & F.col("o_orderkey").isNotNull()).cast("long")).alias("n_inner"),
+        F.sum((F.col("c_custkey").isNotNull()).cast("long")
+              ).alias("n_left"),
+        F.sum((F.col("o_orderkey").isNotNull()).cast("long")
+              ).alias("n_right"),
+        F.count("*").alias("n_full"),
+        F.countDistinct(
+            F.when(F.col("o_orderkey").isNotNull(), F.col("c_custkey"))
+        ).alias("n_semi"),
+        F.sum((F.col("c_custkey").isNotNull()
+               & F.col("o_orderkey").isNull()).cast("long")).alias("n_anti"),
+    )
+
+
+Q_JOIN_TYPE_MATRIX_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM customer JOIN orders ON c_custkey = o_custkey)
+    AS n_inner,
+  (SELECT COUNT(*) FROM customer LEFT JOIN orders ON c_custkey = o_custkey)
+    AS n_left,
+  (SELECT COUNT(*) FROM customer RIGHT JOIN orders ON c_custkey = o_custkey)
+    AS n_right,
+  (SELECT COUNT(*) FROM customer FULL JOIN orders ON c_custkey = o_custkey)
+    AS n_full,
+  (SELECT COUNT(*) FROM customer WHERE EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_semi,
+  (SELECT COUNT(*) FROM customer WHERE NOT EXISTS
+    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_anti
+"""
+
+
+SPECS += [
+    QuerySpec("q_join_type_matrix", q_join_type_matrix,
+              Q_JOIN_TYPE_MATRIX_ORACLE,
+              "six join cardinalities from one full-outer pass vs six-join truth",
+              ("relational", "join")),
+]

@@ -135,6 +135,8 @@ HEADLINE = [
     "q_new_vs_returning",
     "q_reachable_event_types",
     "q_lateral_topk",
+    "q_rank_functions_pin",
+    "q_join_type_matrix",
     "q_cep_followed_by",
     "x5_cep_stream",
     "xml_roundtrip",
