@@ -1088,3 +1088,190 @@ SPECS += [
               "3-family pair-set confusion: banding FP surface + blocking misses",
               ("dedup", "audit")),
 ]
+
+
+# --- exact substring-level cross-document dedup -------------------------------
+# The Lee-et-al "Deduplicating Training Data Makes Language Models
+# Better" family: remove REPEATED SPANS (>= SUB_K tokens appearing in
+# more than one document), not just whole near-dup docs — the most-used
+# production text-dedup pass after doc-level dedup. This completes the
+# ladder: exact doc -> near doc -> semantic -> substring.
+#
+# Distributed shape (all equi-joins on the 60-bit shingle hash; the
+# suffix-array construction the paper uses is single-machine — the
+# shingle-table formulation is the standard cluster equivalent):
+#   1. token-POSITION table (doc_id, pos, token) — posexplode, one scan;
+#   2. K-token shingle STARTS (doc_id, start, hash) — map-side transform;
+#   3. duplicated hashes: groupBy(hash) HAVING count(DISTINCT doc_id)>=2
+#      (cross-document only: a phrase repeated inside ONE doc is not a
+#      dedup target);
+#   4. covered positions: each duplicated start explodes to its K
+#      positions (explode factor bounded by dup density, not corpus
+#      size), distinct;
+#   5. gaps-and-islands merge into maximal removal spans — the only
+#      order-sensitive step, windowed PER DOC (pos - row_number() is the
+#      classic island key; partitions are doc-bounded, never global);
+#   6. chars-removed audit from the position table (equi-join, no range
+#      join anywhere).
+# At 100 TB: two scans + three keyed shuffles; the dup-hash table is the
+# only intermediate that grows with duplication (not corpus) volume.
+# Production would use K=50 (the paper's span length); K=20 matches this
+# corpus's ~300-token documents.
+
+SUB_K = 20
+
+
+def _substring_covered(spark: SparkSession, sf_dir: str):
+    """(pos_tok, covered): the token-position table and the distinct
+    (doc_id, pos) set covered by any cross-document duplicated K-gram."""
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
+    pos_tok = toked.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).selectExpr("doc_id", "CAST(p0 + 1 AS BIGINT) AS pos", "tok")
+    starts = toked.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"CASE WHEN size(toks) < {SUB_K} THEN array() "
+            f"ELSE transform(sequence(1, size(toks) - {SUB_K} + 1), i -> "
+            f"named_struct('start', CAST(i AS BIGINT), "
+            f"'h', cast(conv(substr(md5(array_join(slice(toks, i, {SUB_K}), "
+            f"' ')), 1, 15), 16, 10) as bigint))) END"
+        )).alias("s"),
+    ).select("doc_id", "s.start", "s.h")
+    dup_h = (
+        starts.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where("nd >= 2")
+        .select("h")
+    )
+    covered = (
+        starts.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(start, start + {SUB_K - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    return pos_tok, covered
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc maximal removal spans of cross-document duplicated
+    >= SUB_K-token runs, with token and char accounting per span."""
+    pos_tok, covered = _substring_covered(spark, sf_dir)
+    cov_tok = covered.join(pos_tok, ["doc_id", "pos"])
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        cov_tok.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count("*").alias("n_tokens"),
+            (F.sum(F.length("tok")) + F.count("*") - 1).alias("n_chars"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_tokens", "n_chars")
+    )
+
+
+_SUB_COMMON_D = f"""toks AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), pos_tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+), starts AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS start,
+         {portable_hash64_sql(f"array_to_string(toks[u.i:u.i+{SUB_K - 1}], ' ')")} AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks) - {SUB_K} + 2)) AS i) u
+), dup AS (
+  SELECT h FROM starts GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT s.doc_id, u.p AS pos
+  FROM starts s JOIN dup USING (h),
+       LATERAL (SELECT unnest(range(s.start, s.start + {SUB_K})) AS p) u
+), spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(length(tok)) + COUNT(*) - 1 AS BIGINT) AS n_chars
+  FROM (
+    SELECT c.doc_id, c.pos, p.tok,
+           c.pos - row_number() OVER (PARTITION BY c.doc_id ORDER BY c.pos)
+             AS grp
+    FROM cov c JOIN pos_tok p USING (doc_id, pos)
+  )
+  GROUP BY doc_id, grp
+)"""
+
+DEDUP_SUBSTRING_SPANS_ORACLE = f"""
+WITH {_SUB_COMMON_D}
+SELECT doc_id, span_start, span_end, n_tokens, n_chars FROM spans
+"""
+
+
+def dedup_substring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chars-removed audit of the substring pass: how much of
+    each slice of the corpus is cross-document boilerplate? Joins the
+    span table back to document metadata (broadcast-scale here; a plain
+    keyed join at 100 TB) and rolls up doc/token/char removal totals."""
+    spans = dedup_substring_spans(spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("n_tokens").alias("tokens_removed"),
+        F.sum("n_chars").alias("chars_removed"),
+    )
+    return (
+        meta.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.expr("CAST(n_spans IS NOT NULL AS BIGINT)")).alias("docs_affected"),
+            F.sum(F.coalesce("n_spans", F.lit(0))).alias("n_spans"),
+            F.sum(F.coalesce("tokens_removed", F.lit(0))).alias("tokens_removed"),
+            F.sum(F.coalesce("chars_removed", F.lit(0))).alias("chars_removed"),
+            F.sum("n_chars").cast("long").alias("corpus_chars"),
+        )
+        .selectExpr(
+            "source", "n_docs", "docs_affected", "n_spans", "tokens_removed",
+            "chars_removed",
+            "chars_removed * 1000000 div corpus_chars AS removed_ppm",
+        )
+    )
+
+
+DEDUP_SUBSTRING_AUDIT_ORACLE = f"""
+WITH {_SUB_COMMON_D}, per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_removed,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_removed
+  FROM spans GROUP BY doc_id
+), rolled AS (
+  SELECT d.source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(p.n_spans IS NOT NULL AS BIGINT)) AS BIGINT)
+           AS docs_affected,
+         CAST(SUM(COALESCE(p.n_spans, 0)) AS BIGINT) AS n_spans,
+         CAST(SUM(COALESCE(p.tokens_removed, 0)) AS BIGINT) AS tokens_removed,
+         CAST(SUM(COALESCE(p.chars_removed, 0)) AS BIGINT) AS chars_removed,
+         CAST(SUM(d.n_chars) AS BIGINT) AS corpus_chars
+  FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, docs_affected, n_spans, tokens_removed, chars_removed,
+       chars_removed * 1000000 // corpus_chars AS removed_ppm
+FROM rolled
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_substring_spans", dedup_substring_spans,
+              DEDUP_SUBSTRING_SPANS_ORACLE,
+              "cross-doc repeated >=K-token span removal (Lee-et-al substring dedup)",
+              ("dedup", "substring")),
+    QuerySpec("dedup_substring_audit", dedup_substring_audit,
+              DEDUP_SUBSTRING_AUDIT_ORACLE,
+              "per-source chars-removed rollup of the substring dedup pass",
+              ("dedup", "substring", "audit")),
+]

@@ -1226,23 +1226,26 @@ SPECS += [
 
 BPE_TRAIN_ROUNDS = 8
 
+_BPE_SYMS = "filter(split(enc, '\\\\|\\\\|'), x -> x != '')"
+_BPE_ENC0 = (
+    "concat('||', array_join(transform(sequence(1, length(w)), "
+    "i -> substring(w, i, 1)), '||'), '||') AS enc"
+)
 
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.expr(TOKS_S)).alias("w"))
-        .groupBy("w").agg(F.count("*").alias("freq"))
-    )
-    cur = words.selectExpr(
-        "freq",
-        "concat('||', array_join(transform(sequence(1, length(w)), "
-        "i -> substring(w, i, 1)), '||'), '||') AS enc",
-    ).localCheckpoint(eager=True)
-    syms = "filter(split(enc, '\\\\|\\\\|'), x -> x != '')"
+
+def _bpe_merge_chain(cur: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """Run BPE_TRAIN_ROUNDS argmax-merge rounds over an encoded word dict.
+
+    ``cur`` must carry (freq, enc) plus any passthrough columns; returns
+    (per-round 1-row best-pair DataFrames, the fully merged dict). Each
+    round = one map-side-combinable pair count weighted by freq, a 1-row
+    argmax broadcast, and a map-only literal replace — the shared engine
+    under both training (emit the merges) and encoding (emit the dict)."""
+    passthrough = [c for c in cur.columns if c != "enc"]
     rounds = []
-    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+    for _ in range(BPE_TRAIN_ROUNDS):
         pairs = (
-            cur.selectExpr("freq", f"{syms} AS syms")
+            cur.selectExpr("freq", f"{_BPE_SYMS} AS syms")
             .selectExpr(
                 "freq",
                 "explode(if(size(syms) < 2, array(), "
@@ -1257,30 +1260,46 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cnt"), "pa", "pb").limit(1)
             .localCheckpoint(eager=True)
         )
-        rounds.append(best.selectExpr(f"{r} AS round", "pa", "pb", "cnt"))
+        rounds.append(best)
         cur = (
             cur.crossJoin(F.broadcast(best.select("pa", "pb")))
             .selectExpr(
-                "freq",
+                *passthrough,
                 "replace(enc, concat('||', pa, '||', pb, '||'), "
                 "concat('||', pa, pb, '||')) AS enc",
             )
             .localCheckpoint(eager=True)
         )
-    out = rounds[0]
-    for nxt in rounds[1:]:
-        out = out.unionAll(nxt)
+    return rounds, cur
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(TOKS_S)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    cur = words.selectExpr("freq", _BPE_ENC0).localCheckpoint(eager=True)
+    rounds, _ = _bpe_merge_chain(cur)
+    out = rounds[0].selectExpr("1 AS round", "pa", "pb", "cnt")
+    for r, nxt in enumerate(rounds[1:], start=2):
+        out = out.unionAll(nxt.selectExpr(f"{r} AS round", "pa", "pb", "cnt"))
     return out
 
 
-def _bpe_train_oracle() -> str:
-    # MATERIALIZED throughout: w{r} feeds both p{r+1} and w{r+1} — inlined
-    # CTEs would fan the corpus scan out exponentially (the kcore lesson).
-    parts = [f"""WITH words AS MATERIALIZED (
+def _bpe_chain_sql(keep_w: bool) -> str:
+    """The shared words -> w0 -> ... -> w{R} merge-chain CTE prefix.
+
+    MATERIALIZED throughout: w{r} feeds both p{r+1} and w{r+1} — inlined
+    CTEs would fan the corpus scan out exponentially (the kcore lesson).
+    ``keep_w`` threads the raw word through the chain so the encoder can
+    join the merged dict back to per-source occurrence counts."""
+    wcol = "w, " if keep_w else ""
+    parts = [f"""words AS MATERIALIZED (
   SELECT w, COUNT(*) AS freq FROM (
     SELECT unnest({TOKS_D}) AS w FROM documents) GROUP BY 1
 ), w0 AS MATERIALIZED (
-  SELECT freq,
+  SELECT {wcol}freq,
          '||' || array_to_string(list_transform(range(1, length(w) + 1),
                  i -> substr(w, i, 1)), '||') || '||' AS enc
   FROM words
@@ -1295,22 +1314,92 @@ def _bpe_train_oracle() -> str:
 ), b{r} AS MATERIALIZED (
   SELECT pa, pb, cnt FROM p{r} ORDER BY cnt DESC, pa, pb LIMIT 1
 ), w{r} AS MATERIALIZED (
-  SELECT freq, replace(enc, '||' || b.pa || '||' || b.pb || '||',
+  SELECT {wcol}freq, replace(enc, '||' || b.pa || '||' || b.pb || '||',
                        '||' || b.pa || b.pb || '||') AS enc
   FROM w{r-1}, b{r} b
 )""")
-    selects = [
+    return "".join(parts)
+
+
+TEXT_BPE_TRAIN_ORACLE = (
+    "WITH " + _bpe_chain_sql(keep_w=False) + "\n"
+    + "\nUNION ALL\n".join(
         f"SELECT {r} AS round, pa, pb, cnt FROM b{r}"
         for r in range(1, BPE_TRAIN_ROUNDS + 1)
-    ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
-
-
-TEXT_BPE_TRAIN_ORACLE = _bpe_train_oracle()
+    )
+)
 
 
 SPECS += [
     QuerySpec("text_bpe_train", text_bpe_train, TEXT_BPE_TRAIN_ORACLE,
               "BPE merge-rule training over the word-freq dict, R argmax rounds",
+              ("text", "tokenizer", "iterative")),
+]
+
+
+# --- BPE encoding with the trained merges -------------------------------------
+# Closes the tokenizer-training loop: APPLY the merges text_bpe_train
+# learned and account for what they buy, per corpus source. The
+# 100 TB-correct shape: merges are applied to the word-frequency DICT
+# (|vocab| rows), never to the raw corpus — each distinct word is encoded
+# once, and per-source token totals come from joining the encoded dict
+# back to (source, word) occurrence counts (two keyed rollups + one
+# equi-join on the word; the only corpus-scale pass is the tokenize).
+# The merge application itself is the identical delimiter-replace device
+# as training (leftmost non-overlapping, one scan per rule), so the
+# encoder is consistent-by-construction with the trainer and the oracle
+# replays the same chain symbolically.
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_sw = (
+        docs.select("source", F.explode(F.expr(TOKS_S)).alias("w"))
+        .groupBy("source", "w").agg(F.count("*").alias("n_occ"))
+    )
+    words = per_sw.groupBy("w").agg(F.sum("n_occ").alias("freq"))
+    cur = words.selectExpr("w", "freq", _BPE_ENC0).localCheckpoint(eager=True)
+    _, merged = _bpe_merge_chain(cur)
+    encoded = merged.selectExpr(
+        "w", f"CAST(size({_BPE_SYMS}) AS BIGINT) AS n_tokens"
+    )
+    return (
+        per_sw.join(encoded, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.expr("n_occ * n_tokens")).alias("total_tokens"),
+            F.sum(F.expr("n_occ * length(w)")).alias("total_chars"),
+        )
+        .selectExpr(
+            "source", "n_words", "total_tokens", "total_chars",
+            "total_chars * 1000000 div total_tokens AS chars_per_token_micro",
+        )
+    )
+
+
+TEXT_BPE_ENCODE_ORACLE = (
+    "WITH " + _bpe_chain_sql(keep_w=True) + f""", encoded AS (
+  SELECT w, CAST(len(list_filter(str_split(enc, '||'), x -> x <> ''))
+                 AS BIGINT) AS n_tokens
+  FROM w{BPE_TRAIN_ROUNDS}
+), per_sw AS (
+  SELECT source, w, COUNT(*) AS n_occ FROM (
+    SELECT source, unnest({TOKS_D}) AS w FROM documents) GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       CAST(SUM(n_occ * n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_occ * length(w)) AS BIGINT) AS total_chars,
+       CAST(SUM(n_occ * length(w)) * 1000000 // SUM(n_occ * n_tokens)
+            AS BIGINT) AS chars_per_token_micro
+FROM per_sw JOIN encoded USING (w)
+GROUP BY source
+"""
+)
+
+
+SPECS += [
+    QuerySpec("text_bpe_encode", text_bpe_encode, TEXT_BPE_ENCODE_ORACLE,
+              "apply trained BPE merges to the word dict; per-source token accounting",
               ("text", "tokenizer", "iterative")),
 ]

@@ -263,6 +263,10 @@ HEADLINE = [
     "q_bitemporal_asof",
     "q_stickiness_dau_mau",
     "w9_capped_session",
+    # round 3: substring dedup ladder completion, BPE encode, ANN recall
+    "dedup_substring_spans",
+    "dedup_substring_audit",
+    "text_bpe_encode",
 ]
 
 

@@ -146,6 +146,8 @@ REPRESENTATIVES = [
     "j3_threeway_stream_join",
     # decode -> integer features -> float cosine rank (exact doubles)
     "mm_ann_pipeline",
+    # round 3: dup-hash cover explode + per-doc gaps-and-islands merge
+    "dedup_substring_spans",
 ]
 
 

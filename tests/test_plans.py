@@ -417,6 +417,7 @@ def test_registry_wide_plan_hygiene(spark):
         "emb_matryoshka_overlap",       # broadcast query set (N_QUERIES rows), like knn_bruteforce
         "tpch_q11_important_stock",     # (total, n_parts) scalar row (1 row)
         "text_bpe_train",               # per-round argmax pair (1 row each)
+        "text_bpe_encode",              # same per-round argmax broadcasts
         "emb_mmr_rerank",               # query vec + per-round pick (1 row each)
     }
     violations = []

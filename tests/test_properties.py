@@ -156,3 +156,28 @@ def test_tie_rank2_rank_sum_invariant(spark, values):
         less = sum(1 for x in svals if x < v)
         tied = sum(1 for x in svals if x == v)
         assert got[v] == (tied, 2 * less + tied + 1)
+
+
+def test_substring_spans_semantics(spark):
+    """Substring-dedup invariants on the real corpus: every removal span
+    covers at least SUB_K tokens (a span exists only because a full
+    K-window of duplicated positions does), spans within a doc are
+    disjoint AND non-adjacent (maximally merged islands), and every span
+    lies inside its document's token range."""
+    from apache_flink_datastream_api_spark.operators.dedup import (
+        SUB_K, dedup_substring_spans)
+    from apache_flink_datastream_api_spark.registry import all_queries  # noqa: F401
+    from .conftest import SF_DIR
+
+    rows = dedup_substring_spans(spark, SF_DIR).collect()
+    assert rows, "corpus has cross-doc duplicated spans by construction"
+    by_doc = {}
+    for r in rows:
+        assert r.n_tokens >= SUB_K
+        assert r.span_end - r.span_start + 1 == r.n_tokens
+        assert r.n_chars >= r.n_tokens  # >= 1 char per token + spaces
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1, "adjacent/overlapping spans must merge"
