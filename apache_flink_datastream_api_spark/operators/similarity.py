@@ -1359,3 +1359,140 @@ SPECS += [
               "exact-integer MMR greedy re-rank over the retrieved pool",
               ("similarity", "vector", "rerank")),
 ]
+
+
+# --- ANN recall report: driver-visible accuracy of the approximate ladder -----
+# The ANN ladder's recall floors live in tests/test_similarity.py; this
+# turns them into GRADED queries. Per query vector: how many of the exact
+# brute-force top-K does each approximate method retrieve?
+#
+# Two surfaces, split by what is honestly oracle-able:
+# - knn_recall_report (hash-matched): the LSH path is deterministic AND
+#   engine-portable end-to-end — md5-derived hyperplanes, sign bits from
+#   the same left-to-right double fold both engines compute, integer band
+#   arithmetic — so DuckDB replays signatures, banding, candidate join,
+#   re-rank, and the overlap count exactly.
+# - knn_recall_report_approx (rows-only by design): IVF and PQ train
+#   their quantizers with driver-side numpy float reductions whose
+#   accumulation order SQL cannot replay bit-for-bit; their overlap
+#   counts are still deterministic per run and recall-floor-pinned in
+#   tests.
+# Scale: everything downstream of the (already bounded) top-K frames is
+# driver-scale; the report adds two broadcast-size joins, nothing else.
+
+def _recall_frame(method: str, top: DataFrame, brute: DataFrame) -> DataFrame:
+    t = top.select("qid", "neighbor_id")
+    b = brute.select("qid", "neighbor_id")
+    n_ret = t.groupBy("qid").agg(F.count("*").alias("n_retrieved"))
+    n_ov = (
+        t.join(b, ["qid", "neighbor_id"])
+        .groupBy("qid").agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        b.select("qid").distinct()
+        .join(n_ret, "qid", "left")
+        .join(n_ov, "qid", "left")
+        .selectExpr(
+            f"'{method}' AS method",
+            "qid",
+            f"CAST({TOP_K} AS BIGINT) AS k",
+            "coalesce(n_retrieved, CAST(0 AS BIGINT)) AS n_retrieved",
+            "coalesce(n_overlap, CAST(0 AS BIGINT)) AS n_overlap",
+            f"coalesce(n_overlap, CAST(0 AS BIGINT)) * 1000000 div {TOP_K}"
+            " AS recall_ppm",
+        )
+    )
+
+
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = knn_bruteforce_cosine(spark, sf_dir)
+    lsh = knn_lsh_cosine(spark, sf_dir)
+    return _recall_frame("lsh", lsh, brute)
+
+
+def knn_recall_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = knn_bruteforce_cosine(spark, sf_dir).localCheckpoint(eager=True)
+    ivf = knn_ivf_cosine(spark, sf_dir)
+    pq = knn_pq_cosine(spark, sf_dir)
+    return _recall_frame("ivf", ivf, brute).unionAll(
+        _recall_frame("pq", pq, brute))
+
+
+_LSH_PLANE_D = (
+    f"list_transform(range(0, {EMB_DIM}), i -> CAST("
+    + "CAST(concat('0x', substr(md5('plane#' || p || '#' || i), 1, 15)) AS BIGINT)"
+    + f" % {2 * PLANE_SCALE + 1} - {PLANE_SCALE} AS DOUBLE))"
+)
+
+KNN_RECALL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_duck('embedding')} AS norm FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS q_emb, norm AS q_norm
+  FROM base WHERE vec_id < {N_QUERIES}
+), brute AS (
+  SELECT qid, vec_id AS neighbor_id FROM (
+    SELECT q.qid, b.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {dot_duck('b.embedding', 'q.q_emb')} / (b.norm * q.q_norm) DESC,
+             b.vec_id) AS rank
+    FROM base b JOIN q ON b.vec_id <> q.qid
+  ) WHERE rank <= {TOP_K}
+), planes AS (
+  SELECT p AS plane_id, {_LSH_PLANE_D} AS plane
+  FROM (SELECT unnest(range(0, {LSH_BITS})) AS p)
+), signed AS (
+  SELECT b.vec_id,
+         CAST(SUM(CASE WHEN {dot_duck('b.embedding', 'pl.plane')} > 0
+                  THEN 1 ELSE 0 END
+                  * (1 << ({LSH_BITS - 1} - pl.plane_id))) AS BIGINT) AS sig
+  FROM base b CROSS JOIN planes pl
+  GROUP BY b.vec_id
+), bands AS (
+  SELECT vec_id,
+         (sig >> (t.b * {LSH_BITS // LSH_BANDS}))
+           & {2 ** (LSH_BITS // LSH_BANDS) - 1} AS bucket,
+         t.b AS band
+  FROM signed, UNNEST(generate_series(0, {LSH_BANDS - 1})) AS t(b)
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS qid, b.vec_id
+  FROM bands b
+  JOIN (SELECT * FROM bands WHERE vec_id < {N_QUERIES}) qb
+    ON b.band = qb.band AND b.bucket = qb.bucket AND b.vec_id <> qb.vec_id
+), lsh_top AS (
+  SELECT qid, vec_id AS neighbor_id FROM (
+    SELECT c.qid, c.vec_id,
+           row_number() OVER (PARTITION BY c.qid ORDER BY
+             {dot_duck('b.embedding', 'q.q_emb')} / (b.norm * q.q_norm) DESC,
+             c.vec_id) AS rank
+    FROM cand c
+    JOIN base b ON b.vec_id = c.vec_id
+    JOIN q ON q.qid = c.qid
+  ) WHERE rank <= {TOP_K}
+), n_ret AS (
+  SELECT qid, COUNT(*) AS n_retrieved FROM lsh_top GROUP BY 1
+), n_ov AS (
+  SELECT l.qid, COUNT(*) AS n_overlap
+  FROM lsh_top l JOIN brute b
+    ON b.qid = l.qid AND b.neighbor_id = l.neighbor_id
+  GROUP BY 1
+)
+SELECT 'lsh' AS method, qid, CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COALESCE(n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(n_overlap, 0) * 1000000 // {TOP_K} AS BIGINT)
+         AS recall_ppm
+FROM (SELECT DISTINCT qid FROM brute) qs
+LEFT JOIN n_ret USING (qid) LEFT JOIN n_ov USING (qid)
+"""
+
+
+SPECS += [
+    QuerySpec("knn_recall_report", knn_recall_report, KNN_RECALL_ORACLE,
+              "LSH top-K overlap vs exact brute force, integer recall_ppm",
+              ("similarity", "ann", "audit")),
+    QuerySpec("knn_recall_report_approx", knn_recall_report_approx, None,
+              "IVF/PQ top-K overlap vs brute force (quantizers numpy-trained; "
+              "rows-only by design, recall floors pinned in tests)",
+              ("similarity", "ann", "audit")),
+]

@@ -267,6 +267,8 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_substring_audit",
     "text_bpe_encode",
+    "knn_recall_report",
+    "knn_recall_report_approx",
 ]
 
 

@@ -419,6 +419,8 @@ def test_registry_wide_plan_hygiene(spark):
         "text_bpe_train",               # per-round argmax pair (1 row each)
         "text_bpe_encode",              # same per-round argmax broadcasts
         "emb_mmr_rerank",               # query vec + per-round pick (1 row each)
+        "knn_recall_report",            # composes brute+LSH broadcast probes
+        "knn_recall_report_approx",     # composes brute+IVF+PQ broadcast probes
     }
     violations = []
     for name, spec in all_queries().items():

@@ -132,3 +132,25 @@ def test_pq_recall_and_exact_rerank(spark):
     # ~PQ_CAND/500 = 0.1 recall; working 8-byte codes on near-random
     # vectors measure ~0.56. The floor separates the two regimes.
     assert recall >= 0.35, f"recall@{TOP_K} = {recall:.2f} (cand={PQ_CAND})"
+
+
+def test_recall_report_queries_agree_with_floors(spark):
+    """The driver-visible recall report must tell the same story as the
+    recall-floor tests above: per-method mean recall_ppm over the query
+    set sits above the pinned floors, and every row is internally
+    consistent (overlap <= retrieved <= k, recall_ppm = overlap/k)."""
+    from apache_flink_datastream_api_spark.registry import all_queries
+    from .conftest import SF_DIR
+
+    rows = all_queries()["knn_recall_report"].fn(spark, SF_DIR).collect()
+    rows += all_queries()["knn_recall_report_approx"].fn(spark, SF_DIR).collect()
+    by_method: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.n_overlap <= r.n_retrieved <= r.k
+        assert r.recall_ppm == r.n_overlap * 1_000_000 // r.k
+        by_method.setdefault(r.method, []).append(r.recall_ppm)
+    floors = {"lsh": 350_000, "ivf": 500_000, "pq": 350_000}
+    assert set(by_method) == set(floors)
+    for m, vals in by_method.items():
+        mean = sum(vals) / len(vals)
+        assert mean >= floors[m], f"{m}: mean recall_ppm {mean}"
