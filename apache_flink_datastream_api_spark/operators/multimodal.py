@@ -1,12 +1,16 @@
 """Multimodal columns (driver-mandated extension).
 
 Images / audio / video ride through the engine as opaque ``binary`` columns
-with a typed metadata struct. The Spark-side plumbing — schemas, Arrow
-batch shapes, ``mapInPandas`` signatures, partition sizing — is real and
-tested; external-library codec work (JPEG/PNG/ffmpeg) is stubbed
-deterministically because no image/audio libraries exist in this
-container (clearly marked below) — EXCEPT the PPM P6 path at the bottom,
-which is a real dependency-free codec, oracle-checked end-to-end.
+with a typed metadata struct. The decode / resize / feature-extract
+pipeline runs a REAL dependency-free codec end-to-end: payloads are valid
+binary PPM P6 images (any viewer opens them), parsed by an actual
+header+raster parser, resized with a genuine nearest-neighbor resample,
+and every emitted stat is hash-checked against a DuckDB oracle that
+recomputes it from the pixel rule. Swapping in JPEG/PNG (PIL) or video
+(ffmpeg) when those libraries exist is a codec-function substitution —
+the Spark plumbing, schemas and Arrow batch shapes stay identical. The
+WAV path at the bottom does the same for audio via the stdlib ``wave``
+codec.
 
 Scale design: binary payloads inflate row size, so multimodal transforms
 
@@ -20,7 +24,6 @@ Scale design: binary payloads inflate row size, so multimodal transforms
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -45,73 +48,87 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """STUB — deterministic fake image decode.
+def attach_ppm_payload(df: DataFrame) -> DataFrame:
+    """doc_id → a REAL binary PPM P6 payload column + typed metadata.
 
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
-    the container has no imaging libraries, so dimensions are derived from
-    the payload hash. Swap this function; the Spark plumbing around it
-    (mapInPandas, Arrow batches, schema) is the real, tested part.
-    """
-    h = hashlib.md5(payload).digest()
-    return 1 + h[0] % 64, 1 + h[1] % 64, "fake"
+    Each payload is a complete, viewer-openable P6 image synthesized from
+    the deterministic pixel rule (``_ppm_synthesize`` below) — the
+    stand-in for reading an image column off a lakehouse table. Payload
+    bytes are produced in the same Arrow-batched stage that consumes
+    them downstream; they never cross a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [_ppm_synthesize(int(d)) for d in pdf["doc_id"]],
+            })
+
+    out = df.select("doc_id").mapInPandas(run, "doc_id bigint, payload binary")
+    return out.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.octet_length("payload").alias("n_bytes"),
+        ),
+    )
 
 
 def decode_images(df: DataFrame) -> DataFrame:
-    """payload binary → (width, height, n_bytes, format) via mapInPandas.
+    """payload binary → (width, height, n_bytes, format) via a REAL PPM
+    parse per payload (``_ppm_parse``: magic check, tokenized header,
+    raster validation) in Arrow-batched mapInPandas.
 
-    Arrow-batched: each pandas batch holds N payloads as a bytes Series.
+    Swapping in PIL for JPEG/PNG replaces one function call; the
+    plumbing (schema, batching, shuffle-free payload path) is unchanged.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_fake_decode(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": [m[0] for m in meta],
-                    "height": [m[1] for m in meta],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "format": [m[2] for m in meta],
-                }
-            )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = _ppm_parse(bytes(payload))
+                h, w, _ = img.shape
+                rows.append((int(doc_id), w, h, len(payload), "ppm"))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_bytes", "format"])
 
     return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = (
     "doc_id bigint, width int, height int, out_width int, out_height int, "
-    "out_bytes bigint"
+    "out_bytes bigint, resized_sum bigint"
 )
 
 
-def resize_images(df: DataFrame, max_side: int = 32) -> DataFrame:
-    """Decoded image → fit-in-box resize plan via mapInPandas (vectorized
-    pandas arithmetic — no per-row Python loop).
-
-    STUB boundary: real code would call PIL ``img.resize((ow, oh))`` per
-    payload; here the geometry (aspect-preserving fit, identical to what a
-    real resize computes) and the Arrow plumbing are real, the pixel work
-    is represented by the out_bytes = ow*oh*3 estimate.
-    """
+def resize_images(df: DataFrame, max_side: int = 16) -> DataFrame:
+    """payload binary → REAL aspect-preserving nearest-neighbor resample:
+    parse the PPM, fit (w, h) into the max_side box (never upscaling),
+    index-select src rows/cols (src = (dst * src_dim) // dst_dim — the
+    classic NN mapping), and emit the resampled raster's exact pixel sum
+    and byte size. One Arrow-batched stage; payloads never shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            scale = (max_side / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
-            ow = (pdf["width"] * scale).clip(lower=1).astype(int)
-            oh = (pdf["height"] * scale).clip(lower=1).astype(int)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "out_width": ow,
-                    "out_height": oh,
-                    "out_bytes": (ow * oh * 3).astype("int64"),
-                }
-            )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = _ppm_parse(bytes(payload))
+                h, w, _ = img.shape
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                ys = (np.arange(oh) * h) // oh
+                xs = (np.arange(ow) * w) // ow
+                small = img[ys][:, xs, :]
+                rows.append((
+                    int(doc_id), w, h, ow, oh,
+                    int(small.size), int(small.sum(dtype=np.int64)),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "out_width", "out_height",
+                "out_bytes", "resized_sum"])
 
-    return df.select("doc_id", "width", "height").mapInPandas(run, RESIZE_SCHEMA)
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
 FEATURE_DIM = 8
@@ -119,25 +136,27 @@ FEATURE_SCHEMA = "doc_id bigint, feature array<float>"
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """payload binary → fixed-dim feature vector via mapInPandas.
-
-    STUB boundary: a real extractor would run a vision model over decoded
-    pixels; the deterministic fake folds the md5 digest into FEATURE_DIM
-    floats in [0, 1). The output column shape (``array<float>``) is the
-    contract — it feeds directly into the ANN operators
-    (`similarity.knn_*`), closing the multimodal → embedding path.
-    """
+    """payload binary → fixed-dim feature vector from REAL decoded
+    pixels: per-channel sums, geometry, and pixel extrema — the
+    hand-rolled stand-in for a vision-model embedding. The output column
+    shape (``array<float>``) is the contract — it feeds directly into
+    the ANN operators (`similarity.knn_*`), closing the multimodal →
+    embedding path. Every component is an integer < 2^24, so the float32
+    array is exact and the flattened query below hash-matches."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [
-                    int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65536.0
-                    for i in range(FEATURE_DIM)
-                ]
-                for h in (hashlib.md5(p).digest() for p in pdf["payload"])
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+            out = []
+            for payload in pdf["payload"]:
+                img = _ppm_parse(bytes(payload))
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out.append([
+                    float(sums[0]), float(sums[1]), float(sums[2]),
+                    float(w), float(h), float(w * h),
+                    float(img.max()), float(img.min()),
+                ])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": out})
 
     return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
@@ -214,24 +233,92 @@ FROM documents
 """
 
 
+_PPM_DIMS_D = """dims AS (
+  SELECT doc_id,
+         1 + (doc_id * 7) % 32 AS w,
+         1 + (doc_id * 13) % 24 AS h
+  FROM documents
+)"""
+
+
 def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas decode pipeline (stubbed codec → rows-only check;
-    determinism and schema pinned by tests)."""
-    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    """REAL PPM decode over a binary payload column (hash-matched: the
+    oracle recomputes geometry and the exact container byte count)."""
+    docs = attach_ppm_payload(load_table(spark, sf_dir, "documents"))
     return decode_images(docs)
 
 
+MM_IMAGE_DECODE_ORACLE = f"""
+WITH {_PPM_DIMS_D}
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + w * h * 3 AS INT) AS n_bytes,
+       'ppm' AS format
+FROM dims
+"""
+
+
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode → resize, chained Python stages (Catalyst fuses both
-    mapInPandas into one Python runner stage; rows-only, geometry pinned
-    by tests)."""
-    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return resize_images(decode_images(docs))
+    """payload → real parse → real nearest-neighbor resample (fit in a
+    16-box), exact resampled pixel sums hash-checked by the oracle."""
+    docs = attach_ppm_payload(load_table(spark, sf_dir, "documents"))
+    return resize_images(docs, max_side=16)
+
+
+MM_RESIZE_ORACLE = f"""
+WITH {_PPM_DIMS_D}, geom AS (
+  SELECT doc_id, w, h,
+         GREATEST(1, CAST(trunc(w * LEAST(1.0, 16.0 / GREATEST(w, h)))
+                          AS INT)) AS ow,
+         GREATEST(1, CAST(trunc(h * LEAST(1.0, 16.0 / GREATEST(w, h)))
+                          AS INT)) AS oh
+  FROM dims
+), px AS (
+  SELECT g.doc_id, g.w, g.h, g.ow, g.oh,
+         (g.doc_id * 31
+          + (((yy.y * g.h) // g.oh) * g.w + (xx.x * g.w) // g.ow) * 3
+          + cc.c) % 256 AS v
+  FROM geom g,
+       LATERAL (SELECT unnest(range(g.oh)) AS y) yy,
+       LATERAL (SELECT unnest(range(g.ow)) AS x) xx,
+       LATERAL (SELECT unnest(range(3)) AS c) cc
+)
+SELECT doc_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(MAX(ow) AS INT) AS out_width, CAST(MAX(oh) AS INT) AS out_height,
+       CAST(MAX(ow) * MAX(oh) * 3 AS BIGINT) AS out_bytes,
+       CAST(SUM(v) AS BIGINT) AS resized_sum
+FROM px GROUP BY doc_id
+"""
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs)
+    """payload → real decode → 8-dim feature vector, flattened to exact
+    integer columns for the oracle (the array<float> form feeds ANN;
+    every component is < 2^24 so float32 is lossless)."""
+    docs = attach_ppm_payload(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(docs)
+    return feats.selectExpr(
+        "doc_id",
+        *[f"CAST(feature[{i}] AS BIGINT) AS f{i}" for i in range(FEATURE_DIM)],
+    )
+
+
+MM_FEATURE_ORACLE = f"""
+WITH {_PPM_DIMS_D}, pix AS (
+  SELECT doc_id, w, h, (doc_id * 31 + k) % 256 AS v, k % 3 AS c
+  FROM dims, LATERAL (SELECT unnest(range(w * h * 3)) AS k)
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS f0,
+       CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS f2,
+       CAST(MAX(w) AS BIGINT) AS f3,
+       CAST(MAX(h) AS BIGINT) AS f4,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS f5,
+       CAST(MAX(v) AS BIGINT) AS f6,
+       CAST(MIN(v) AS BIGINT) AS f7
+FROM pix GROUP BY doc_id
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,15 +361,16 @@ FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) fr
 SPECS = [
     QuerySpec("mm_binary_meta", mm_binary_meta, MM_BINARY_META_ORACLE,
               "binary payload + metadata struct derivation", ("multimodal",)),
-    QuerySpec("mm_image_decode", mm_image_decode, None,
-              "mapInPandas decode plumbing (stub codec)", ("multimodal",)),
+    QuerySpec("mm_image_decode", mm_image_decode, MM_IMAGE_DECODE_ORACLE,
+              "REAL PPM decode of a binary payload column, hash-matched",
+              ("multimodal",)),
     QuerySpec("mm_frame_sample", mm_frame_sample, MM_FRAME_SAMPLE_ORACLE,
               "frame-offset sampling via explode", ("multimodal",)),
-    QuerySpec("mm_resize", mm_resize, None,
-              "decode → aspect-preserving resize, chained mapInPandas",
+    QuerySpec("mm_resize", mm_resize, MM_RESIZE_ORACLE,
+              "real parse → nearest-neighbor resample, exact pixel sums",
               ("multimodal",)),
-    QuerySpec("mm_feature_extract", mm_feature_extract, None,
-              "payload → array<float> features (feeds ANN operators)",
+    QuerySpec("mm_feature_extract", mm_feature_extract, MM_FEATURE_ORACLE,
+              "real decode → 8-dim pixel features (feeds ANN operators)",
               ("multimodal",)),
     QuerySpec("mm_audio_chunks", mm_audio_chunks, MM_AUDIO_CHUNKS_ORACLE,
               "fixed-duration audio chunk geometry via explode", ("multimodal",)),

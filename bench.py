@@ -269,6 +269,9 @@ HEADLINE = [
     "text_bpe_encode",
     "knn_recall_report",
     "knn_recall_report_approx",
+    "mm_image_decode",
+    "mm_resize",
+    "mm_feature_extract",
 ]
 
 

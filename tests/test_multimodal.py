@@ -1,13 +1,16 @@
-"""Multimodal plumbing: the codec work is stubbed (no imaging libs in the
-container), so these tests pin everything AROUND the stub — schemas, Arrow
-batch shapes, determinism, and the geometry/feature contracts a real codec
-swap must preserve."""
+"""Multimodal pipeline: payloads are REAL binary PPM P6 images and the
+decode / resize / feature stages run an actual parser + resampler, so
+these tests pin the codec contracts themselves — parse-vs-synthesize
+consistency, resample geometry, feature exactness — plus the Arrow
+plumbing around them."""
 
 from __future__ import annotations
 
 from apache_flink_datastream_api_spark.operators.multimodal import (
     FEATURE_DIM,
-    attach_binary_payload,
+    _ppm_parse,
+    _ppm_synthesize,
+    attach_ppm_payload,
     decode_images,
     extract_features,
     resize_images,
@@ -18,42 +21,62 @@ from .conftest import SF_DIR
 
 
 def _docs(spark, n=50):
-    return attach_binary_payload(
+    return attach_ppm_payload(
         load_table(spark, SF_DIR, "documents").limit(n)
     )
 
 
+def test_payloads_are_valid_ppm(spark):
+    """Every attached payload is a parseable P6 image whose geometry and
+    raster agree with the synthesis rule."""
+    rows = _docs(spark).collect()
+    assert rows
+    for r in rows:
+        img = _ppm_parse(bytes(r.payload))
+        h, w, c = img.shape
+        assert c == 3
+        assert (w, h) == (1 + (r.doc_id * 7) % 32, 1 + (r.doc_id * 13) % 24)
+        assert r.media_meta.n_bytes == len(bytes(r.payload))
+        assert bytes(r.payload) == _ppm_synthesize(int(r.doc_id))
+
+
 def test_decode_is_deterministic(spark):
     docs = _docs(spark)
-    a = {r.doc_id: (r.width, r.height) for r in decode_images(docs).collect()}
-    b = {r.doc_id: (r.width, r.height) for r in decode_images(docs).collect()}
+    a = {r.doc_id: (r.width, r.height, r.n_bytes) for r in decode_images(docs).collect()}
+    b = {r.doc_id: (r.width, r.height, r.n_bytes) for r in decode_images(docs).collect()}
     assert a == b
-    assert all(1 <= w <= 64 and 1 <= h <= 64 for w, h in a.values())
+    assert all(1 <= w <= 32 and 1 <= h <= 24 for w, h, _ in a.values())
 
 
 def test_resize_geometry(spark):
-    out = resize_images(decode_images(_docs(spark)), max_side=32).collect()
+    out = resize_images(_docs(spark), max_side=16).collect()
     assert out
     for r in out:
         # fits the box, never upscales
-        assert 1 <= r.out_width <= 32 and 1 <= r.out_height <= 32
+        assert 1 <= r.out_width <= 16 and 1 <= r.out_height <= 16
         assert r.out_width <= r.width and r.out_height <= r.height
         # aspect preserved up to integer rounding on the scaled axis
-        if max(r.width, r.height) > 32:
-            scale = 32 / max(r.width, r.height)
+        if max(r.width, r.height) > 16:
+            scale = 16 / max(r.width, r.height)
             assert abs(r.out_width - int(r.width * scale)) <= 1
             assert abs(r.out_height - int(r.height * scale)) <= 1
         else:  # already fits: untouched
             assert (r.out_width, r.out_height) == (r.width, r.height)
         assert r.out_bytes == r.out_width * r.out_height * 3
+        # resampled sum is bounded by the raster's value range
+        assert 0 <= r.resized_sum <= r.out_bytes * 255
 
 
 def test_feature_contract(spark):
     feats = {r.doc_id: r.feature for r in extract_features(_docs(spark)).collect()}
     assert feats
-    for v in feats.values():
+    for doc_id, v in feats.items():
         assert len(v) == FEATURE_DIM
-        assert all(0.0 <= x < 1.0 for x in v)
+        img = _ppm_parse(_ppm_synthesize(int(doc_id)))
+        # channel sums + geometry + extrema from the REAL decoded raster
+        assert v[0] == float(img[:, :, 0].sum())
+        assert (v[3], v[4]) == (float(img.shape[1]), float(img.shape[0]))
+        assert (v[6], v[7]) == (float(img.max()), float(img.min()))
     # deterministic across runs
     again = {r.doc_id: r.feature for r in extract_features(_docs(spark)).collect()}
     assert feats == again
