@@ -87,7 +87,9 @@ _FAMILY = hash_family(MH_HASHES)
 _R = MH_HASHES // MH_BANDS
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, *, shingled: DataFrame | None = None
+) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
     Plan: scan → explode distinct shingles → ONE md5 per shingle → 16
@@ -95,20 +97,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 16 min()s (map-side partial agg; no 16× row explosion) → band
     signatures → self-join on (band, signature). Candidate generation is
     O(bucket collisions), never O(n²); hot buckets are AQE skew-split.
+
+    ``shingled``: optionally reuse a precomputed (doc_id, sh_h) staging
+    table (``ngram_shingle_table`` — same k, same portable hash) so
+    multi-family audits pay the tokenize+shingle scan once.
     """
-    docs = spread_small_source(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
-    )
-    # Materialize the token array first: referencing the tokenizer inside
-    # the shingle lambda would re-run split+lower per element (~150x/doc).
-    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
-    sh = X.shingles_spark("toks", MH_K)
-    base = toked.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
-    ).selectExpr(
-        "doc_id",
-        "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS h",
-    )
+    if shingled is not None:
+        base = shingled.select("doc_id", F.col("sh_h").alias("h"))
+    else:
+        docs = spread_small_source(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+        )
+        # Materialize the token array first: referencing the tokenizer inside
+        # the shingle lambda would re-run split+lower per element (~150x/doc).
+        toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
+        sh = X.shingles_spark("toks", MH_K)
+        base = toked.select(
+            "doc_id", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
+        ).selectExpr(
+            "doc_id",
+            "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS h",
+        )
     mins = base.groupBy("doc_id").agg(
         *[
             F.expr(f"min({family_member_spark('h', _FAMILY[i])})").alias(f"m{i}")
@@ -245,7 +254,9 @@ def ngram_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, *, shingled: DataFrame | None = None
+) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for candidate pairs blocked by
     ``source`` (the blocking key bounds the self-join; at 100 TB the block
     would be an LSH bucket or shard key instead of a metadata column)."""
@@ -254,7 +265,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse across those — without this the explode+md5 runs 3x. (At
     # 100 TB this is an explicit persist of the shingle table to disk —
     # the standard candidate-generation staging step.)
-    shingled = ngram_shingle_table(spark, sf_dir).localCheckpoint(eager=True)
+    if shingled is None:
+        shingled = ngram_shingle_table(spark, sf_dir).localCheckpoint(eager=True)
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     b = shingled.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"),
@@ -833,12 +845,19 @@ SPECS += [
 PF_NUM, PF_DEN = 1, 2  # Jaccard threshold 1/2 as an exact rational
 
 
-def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_prefix_filter_join(
+    spark: SparkSession, sf_dir: str, *, shingled: DataFrame | None = None
+) -> DataFrame:
     # shingled feeds five consumers (df, counts, prefix, both verify sides);
     # measured at sf0.1, RECOMPUTING the explode per consumer beats
     # localCheckpoint materialization (5.1s vs 6.0s) — AQE loses runtime
     # stats behind a checkpoint, the graph_triangle_count lesson again.
-    shingled = ngram_shingle_table(spark, sf_dir).select("doc_id", "sh_h")
+    # (A caller-provided ``shingled`` is already materialized, so the
+    # cross-family reuse case reads it instead.)
+    if shingled is None:
+        shingled = ngram_shingle_table(spark, sf_dir).select("doc_id", "sh_h")
+    else:
+        shingled = shingled.select("doc_id", "sh_h")
     df_tbl = shingled.groupBy("sh_h").agg(F.count("*").alias("df"))
     counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     rarity = Window.partitionBy("doc_id").orderBy("df", "sh_h")
@@ -1033,9 +1052,22 @@ SPECS += [
 # shuffles are the unioned pair keys, all equi-joins.
 
 def dedup_family_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    pf = dedup_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
-    nb = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # ONE tokenize+shingle+hash scan, materialized, feeds all three
+    # families (MH_K == NJ_K and the portable hash is shared, so the
+    # staging table is byte-identical to what each family would build).
+    # Measured at sf0.1: 9.7s (3x recompute) -> 8.0s; the residual is the
+    # prefix-filter join's own candidate+verify work (5.4s standalone),
+    # not scan duplication.
+    assert MH_K == NJ_K
+    shingled = ngram_shingle_table(spark, sf_dir).localCheckpoint(eager=True)
+    # each pair set feeds TWO consumers (the keys union and its own flag
+    # join) — materialize the tiny pair lists so no family runs twice
+    mh = dedup_minhash_lsh(spark, sf_dir, shingled=shingled).select(
+        "doc_a", "doc_b").localCheckpoint(eager=True)
+    pf = dedup_prefix_filter_join(spark, sf_dir, shingled=shingled).select(
+        "doc_a", "doc_b").localCheckpoint(eager=True)
+    nb = dedup_ngram_jaccard(spark, sf_dir, shingled=shingled).select(
+        "doc_a", "doc_b").localCheckpoint(eager=True)
     keys = mh.unionAll(pf).unionAll(nb).distinct()
 
     def flag(df: DataFrame, name: str) -> DataFrame:
