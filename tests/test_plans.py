@@ -363,10 +363,11 @@ def test_registry_wide_plan_hygiene(spark):
     from apache_flink_datastream_api_spark.registry import all_queries
     from apache_flink_datastream_api_spark.plans.inspect import explain_string
 
-    # non-batch surfaces (streaming runs, sinks, sources, stubs) are
-    # exercised by their own tests; explain here would re-run streams
-    skip_tags = {"streaming", "io", "sink", "source", "multimodal",
-                 "sketch", "spark4"}
+    # non-batch surfaces (streaming runs, sinks, sources) are exercised
+    # by their own tests; explain here would re-run streams. Everything
+    # else — multimodal, sketches, spark4 SQL surfaces included — is
+    # swept, with tiny-broadcast shapes allowlisted explicitly.
+    skip_tags = {"streaming", "io", "sink", "source"}
     # every legal nested-loop: why its broadcast side is tiny
     bnlj_ok = {
         "q22_idle_wealthy_customers",   # scalar avg-balance subquery (1 row)
@@ -421,6 +422,8 @@ def test_registry_wide_plan_hygiene(spark):
         "emb_mmr_rerank",               # query vec + per-round pick (1 row each)
         "knn_recall_report",            # composes brute+LSH broadcast probes
         "knn_recall_report_approx",     # composes brute+IVF+PQ broadcast probes
+        "mm_ann_pipeline",              # doc_id <> qid vs 5-row broadcast query set
+        "sketch_bloom_membership",      # 1-row broadcast bitmap probe
     }
     violations = []
     for name, spec in all_queries().items():
@@ -461,17 +464,33 @@ SHUFFLE_BUDGETS = {
     "mm_ppm_codec_roundtrip": 0,
     "mm_wav_codec_roundtrip": 0,
     # map-side hashing, then Spark's multi-distinct profile: Expand +
-    # partial/distinct/final stages = 3 exchanges for the two
+    # partial/distinct/final stages = 2 wide exchanges for the two
     # countDistincts (the documented price of n_docs + n_terms in one agg)
-    "text_hashing_trick": 3,
+    "text_hashing_trick": 2,
     # (user, day) rollup + per-user window share one user-keyed exchange
     # lineage: rollup exchange, window re-use, final day rollup
     "q_funnel_any_order": 3,
     # rule carry: ONE event_type exchange, no join
     "q_dynamic_rules": 1,
     # kernel equi-join + anchor rollup on the calendar-bounded daily agg
-    "q_ewma_daily": 4,
+    # (the kernel-side broadcast no longer counts — wide exchanges only)
+    "q_ewma_daily": 3,
 }
+
+
+def count_wide_exchanges(plan: str) -> int:
+    """Count only WIDE shuffles (hash/range/single-partition exchanges).
+
+    ``plan.count("Exchange")`` would also match BroadcastExchange, which
+    both inflates the ceiling and — worse — makes a regression that
+    degrades a BroadcastHashJoin into a shuffle join count-neutral.
+    Broadcasts are cheap by design; wide exchanges are what the budget
+    must bound."""
+    import re
+
+    return len(re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+        plan))
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
@@ -479,7 +498,7 @@ def test_shuffle_budget(spark, name):
     from apache_flink_datastream_api_spark.registry import all_queries
 
     plan = explain_string(all_queries()[name].fn(spark, SF_DIR), "simple")
-    n = plan.count("Exchange")
+    n = count_wide_exchanges(plan)
     assert n <= SHUFFLE_BUDGETS[name], (
-        f"{name}: {n} Exchange nodes > budget {SHUFFLE_BUDGETS[name]}\n{plan}"
+        f"{name}: {n} wide Exchange nodes > budget {SHUFFLE_BUDGETS[name]}\n{plan}"
     )
