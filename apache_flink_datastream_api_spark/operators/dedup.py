@@ -1307,3 +1307,60 @@ SPECS += [
               "per-source chars-removed rollup of the substring dedup pass",
               ("dedup", "substring", "audit")),
 ]
+
+
+# --- apply the substring pass: reconstructed cleaned documents ----------------
+# The pass above REPORTS removal spans; this one APPLIES them — the
+# deliverable a training pipeline actually writes. Kept text is
+# reconstructed from the position table minus the covered set (one
+# anti-join, one per-doc ordered rebuild) and pinned by an md5 of the
+# reconstructed string, so the oracle verifies the exact post-removal
+# corpus byte-for-byte, including fully-removed documents (empty-string
+# md5). The per-doc collect_list is doc-bounded (a document's own
+# tokens), never global.
+
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos_tok, covered = _substring_covered(spark, sf_dir)
+    kept = pos_tok.join(covered, ["doc_id", "pos"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " s -> s.tok), ' ')"
+        ).alias("kept_text"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept",
+            "CAST(length(coalesce(kept_text, '')) AS BIGINT) AS n_chars_kept",
+            "md5(coalesce(kept_text, '')) AS kept_md5",
+        )
+    )
+
+
+DEDUP_SUBSTRING_CLEAN_ORACLE = f"""
+WITH {_SUB_COMMON_D}, kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM pos_tok p ANTI JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(length(COALESCE(p.kept_text, '')) AS BIGINT) AS n_chars_kept,
+       md5(COALESCE(p.kept_text, '')) AS kept_md5
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_substring_clean", dedup_substring_clean,
+              DEDUP_SUBSTRING_CLEAN_ORACLE,
+              "apply substring removal spans: md5-pinned reconstructed corpus",
+              ("dedup", "substring")),
+]

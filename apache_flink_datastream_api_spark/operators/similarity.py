@@ -1380,6 +1380,15 @@ SPECS += [
 # Scale: everything downstream of the (already bounded) top-K frames is
 # driver-scale; the report adds two broadcast-size joins, nothing else.
 
+_KNN_Q8 = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+_KNN_Q8_D = ("list_transform(embedding, v -> "
+             "CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))")
+_IDOT_S = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, "
+           "(s, v) -> s + v)")
+_IDOT_D = ("CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+           "i -> {a}[i] * {b}[i])) AS BIGINT)")
+
+
 def _recall_frame(method: str, top: DataFrame, brute: DataFrame) -> DataFrame:
     t = top.select("qid", "neighbor_id")
     b = brute.select("qid", "neighbor_id")
@@ -1405,9 +1414,11 @@ def _recall_frame(method: str, top: DataFrame, brute: DataFrame) -> DataFrame:
 
 
 def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    brute = knn_bruteforce_cosine(spark, sf_dir)
+    brute = knn_bruteforce_cosine(spark, sf_dir).localCheckpoint(eager=True)
     lsh = knn_lsh_cosine(spark, sf_dir)
-    return _recall_frame("lsh", lsh, brute)
+    int8 = knn_int8_cosine(spark, sf_dir)
+    return _recall_frame("int8", int8, brute).unionAll(
+        _recall_frame("lsh", lsh, brute))
 
 
 def knn_recall_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,11 +1480,34 @@ WITH base AS (
     JOIN base b ON b.vec_id = c.vec_id
     JOIN q ON q.qid = c.qid
   ) WHERE rank <= {TOP_K}
+), qv8 AS (
+  SELECT vec_id, {_KNN_Q8_D} AS iq FROM embeddings
+), nb8 AS (
+  SELECT vec_id, iq, {_IDOT_D.format(a='iq', b='iq')} AS nrm FROM qv8
+), qs8 AS (
+  SELECT vec_id AS qid, iq AS qq, nrm AS q_nrm FROM nb8
+  WHERE vec_id < {N_QUERIES}
+), int8_top AS (
+  SELECT qid, vec_id AS neighbor_id FROM (
+    SELECT qs8.qid, b.vec_id,
+           row_number() OVER (PARTITION BY qs8.qid ORDER BY
+             CAST({_IDOT_D.format(a='b.iq', b='qs8.qq')} AS DOUBLE)
+               / sqrt(CAST(b.nrm AS DOUBLE) * qs8.q_nrm) DESC,
+             b.vec_id) AS rank
+    FROM nb8 b JOIN qs8 ON b.vec_id <> qs8.qid
+  ) WHERE rank <= {TOP_K}
 ), n_ret AS (
   SELECT qid, COUNT(*) AS n_retrieved FROM lsh_top GROUP BY 1
 ), n_ov AS (
   SELECT l.qid, COUNT(*) AS n_overlap
   FROM lsh_top l JOIN brute b
+    ON b.qid = l.qid AND b.neighbor_id = l.neighbor_id
+  GROUP BY 1
+), n_ret8 AS (
+  SELECT qid, COUNT(*) AS n_retrieved FROM int8_top GROUP BY 1
+), n_ov8 AS (
+  SELECT l.qid, COUNT(*) AS n_overlap
+  FROM int8_top l JOIN brute b
     ON b.qid = l.qid AND b.neighbor_id = l.neighbor_id
   GROUP BY 1
 )
@@ -1484,6 +1518,14 @@ SELECT 'lsh' AS method, qid, CAST({TOP_K} AS BIGINT) AS k,
          AS recall_ppm
 FROM (SELECT DISTINCT qid FROM brute) qs
 LEFT JOIN n_ret USING (qid) LEFT JOIN n_ov USING (qid)
+UNION ALL
+SELECT 'int8' AS method, qid, CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COALESCE(n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(n_overlap, 0) * 1000000 // {TOP_K} AS BIGINT)
+         AS recall_ppm
+FROM (SELECT DISTINCT qid FROM brute) qs
+LEFT JOIN n_ret8 USING (qid) LEFT JOIN n_ov8 USING (qid)
 """
 
 
@@ -1495,4 +1537,67 @@ SPECS += [
               "IVF/PQ top-K overlap vs brute force (quantizers numpy-trained; "
               "rows-only by design, recall floors pinned in tests)",
               ("similarity", "ann", "audit")),
+]
+
+
+# --- int8-quantized exact-arithmetic KNN --------------------------------------
+# The fourth retrieval path: brute-force scan over int8-QUANTIZED vectors
+# (the emb_quantize_int8 convention) with INTEGER dot products — what a
+# production scan does after scalar quantization cuts the index 4x. All
+# arithmetic before the final cosine is exact 64-bit integers (dot <=
+# 64*127^2, norms-product < 2^41 — both exact in doubles), so unlike the
+# float-trained IVF/PQ paths this one is fully oracle-able: signatures,
+# ranking, tie-breaks and the similarity values themselves hash-match.
+# Quantization accuracy then becomes MEASURABLE: the recall report above
+# carries an 'int8' row counting its top-K overlap vs the float scan.
+
+
+def knn_int8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id", f"{_KNN_Q8} AS q"
+    ).selectExpr("vec_id", "q", f"{_IDOT_S.format(a='q', b='q')} AS nrm")
+    q = base.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS qid", "q AS qq", "nrm AS q_nrm")
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).selectExpr(
+        "qid", "vec_id",
+        f"CAST({_IDOT_S.format(a='q', b='qq')} AS DOUBLE)"
+        " / sqrt(CAST(nrm AS DOUBLE) * q_nrm) AS cos_sim",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
+KNN_INT8_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, {_KNN_Q8_D} AS q FROM embeddings
+), nb AS (
+  SELECT vec_id, q, {_IDOT_D.format(a='q', b='q')} AS nrm FROM base
+), qs AS (
+  SELECT vec_id AS qid, q AS qq, nrm AS q_nrm FROM nb
+  WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT qs.qid, b.vec_id,
+         CAST({_IDOT_D.format(a='b.q', b='qs.qq')} AS DOUBLE)
+           / sqrt(CAST(b.nrm AS DOUBLE) * qs.q_nrm) AS cos_sim
+  FROM nb b JOIN qs ON b.vec_id <> qs.qid
+), ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT qid, vec_id AS neighbor_id, rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SPECS += [
+    QuerySpec("knn_int8_cosine", knn_int8_cosine, KNN_INT8_ORACLE,
+              "brute-force KNN over int8-quantized vectors, integer-exact",
+              ("similarity", "ann")),
 ]

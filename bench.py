@@ -272,6 +272,8 @@ HEADLINE = [
     "mm_image_decode",
     "mm_resize",
     "mm_feature_extract",
+    "dedup_substring_clean",
+    "knn_int8_cosine",
 ]
 
 

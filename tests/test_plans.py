@@ -424,6 +424,7 @@ def test_registry_wide_plan_hygiene(spark):
         "knn_recall_report_approx",     # composes brute+IVF+PQ broadcast probes
         "mm_ann_pipeline",              # doc_id <> qid vs 5-row broadcast query set
         "sketch_bloom_membership",      # 1-row broadcast bitmap probe
+        "knn_int8_cosine",              # brute-force baseline BY DESIGN (5-row probe)
     }
     violations = []
     for name, spec in all_queries().items():

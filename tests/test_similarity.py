@@ -149,7 +149,8 @@ def test_recall_report_queries_agree_with_floors(spark):
         assert 0 <= r.n_overlap <= r.n_retrieved <= r.k
         assert r.recall_ppm == r.n_overlap * 1_000_000 // r.k
         by_method.setdefault(r.method, []).append(r.recall_ppm)
-    floors = {"lsh": 350_000, "ivf": 500_000, "pq": 350_000}
+    # int8 scalar quantization barely perturbs cosine ranking: near-1.0
+    floors = {"lsh": 350_000, "ivf": 500_000, "pq": 350_000, "int8": 850_000}
     assert set(by_method) == set(floors)
     for m, vals in by_method.items():
         mean = sum(vals) / len(vals)
