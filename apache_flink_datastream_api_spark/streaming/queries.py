@@ -1309,3 +1309,89 @@ SPECS += [
               "running 3-sigma Welford alerts in keyed state, exact-integer test",
               ("streaming", "stateful")),
 ]
+
+
+# --- X8: streaming near-dup filter at ingest (dropDuplicatesWithinWatermark) --
+# The streaming twin of dedup_incremental: the ingest path drops
+# near-duplicates AS THEY ARRIVE, keyed by the same min-shingle-hash
+# fingerprint (min portable hash over word 5-gram shingles — collides
+# for J-similar docs with probability J, so 0.95+ near-dups dedupe on an
+# EQUALITY key; the banded families remain the offline deep sweep).
+# Engine path is the real one: file stream -> fingerprint projection ->
+# watermark -> dropDuplicatesWithinWatermark state store (keys evicted
+# once the watermark passes them — bounded state, unlike dropDuplicates'
+# forever-store). Output projects ONLY the fingerprint: which physical
+# copy survives a micro-batch race is not part of the contract, the kept
+# key set is — and that set is exactly batch DISTINCT, which the oracle
+# checks.
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    target = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > target:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    stream_dir = tempfile.mkdtemp(prefix="documents_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(stream_dir, "documents.parquet"),
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    return spark.readStream.schema(schema).format("parquet").load(stream_dir)
+
+
+def x8_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as XT
+    from ..operators.dedup import _FP_K
+
+    stream = _documents_stream(spark, sf_dir)
+    toked = stream.selectExpr(
+        "doc_id", "text", f"{XT.tokens_spark('text')} AS toks")
+    sh = XT.shingles_spark("toks", _FP_K)
+    fb = "cast(conv(substr(md5(lower(text)), 1, 15), 16, 10) as bigint)"
+    fp = toked.selectExpr(
+        "doc_id",
+        "coalesce(array_min(transform(" + sh + ", s ->"
+        " cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))), "
+        + fb + ") AS f",
+    )
+    deduped = (
+        # synthetic ingest time (1 ms per doc, offset off epoch 0: a row
+        # AT the initial watermark is discarded as expired) — watermark
+        # semantics are real, and the whole corpus sits far inside the
+        # 1 h bound so the kept-key set equals batch DISTINCT at any
+        # tested scale
+        fp.withColumn(
+            "ts", F.timestamp_micros(F.expr("(doc_id + 86400) * 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["f"])
+        .select("f")
+    )
+    return run_available_now(deduped, spark, mode="append")
+
+
+def _x8_oracle() -> str:
+    from ..functions import text as XT
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.dedup import _FP_K
+
+    toks_d = XT.tokens_duck("text")
+    sh_d = XT.shingles_duck(toks_d, _FP_K)
+    return f"""
+SELECT DISTINCT
+  coalesce(list_min(list_transform({sh_d}, s -> {portable_hash64_sql('s')})),
+           {portable_hash64_sql('lower(text)')}) AS f
+FROM documents
+"""
+
+
+SPECS += [
+    QuerySpec("x8_dedup_stream", x8_dedup_stream, _x8_oracle(),
+              "ingest-time near-dup filter: fingerprint dropDuplicatesWithinWatermark",
+              ("streaming", "stateful", "dedup")),
+]

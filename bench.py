@@ -274,6 +274,7 @@ HEADLINE = [
     "mm_feature_extract",
     "dedup_substring_clean",
     "knn_int8_cosine",
+    "x8_dedup_stream",
 ]
 
 

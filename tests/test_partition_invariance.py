@@ -148,6 +148,9 @@ REPRESENTATIVES = [
     "mm_ann_pipeline",
     # round 3: dup-hash cover explode + per-doc gaps-and-islands merge
     "dedup_substring_spans",
+    # fingerprint dropDuplicatesWithinWatermark through the real engine
+    # (kept-KEY set must not depend on which copy wins a micro-batch race)
+    "x8_dedup_stream",
 ]
 
 
