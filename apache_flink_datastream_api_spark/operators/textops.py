@@ -1403,3 +1403,244 @@ SPECS += [
               "apply trained BPE merges to the word dict; per-source token accounting",
               ("text", "tokenizer", "iterative")),
 ]
+
+
+# --- corpus-trained bigram-LM fluency scoring ---------------------------------
+# The quality-filter family's statistical member: score each document by
+# how predictable its word sequence is under a bigram model TRAINED ON
+# THE CORPUS ITSELF (the cheap KenLM stand-in production pipelines run
+# before a neural quality model). Per adjacent pair (w1, w2) the
+# continuation probability is C(w1 w2)/C(w1); the doc score is the MEAN
+# of those ratios in integer micros — pure integer division, so the
+# result is exact on every engine (log-prob perplexity would need
+# non-portable transcendental math; the mean-continuation form ranks
+# fluency the same way for filtering purposes).
+#
+# Distributed shape: one tokenize pass builds positioned bigrams; the
+# unigram and bigram COUNT tables are corpus-wide rollups (map-side
+# combinable); scoring is two keyed equi-joins back onto the doc bigram
+# table and one per-doc aggregate. No broadcast assumptions: at 100 TB
+# both model tables shuffle-join on their natural keys.
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
+    bigrams = toked.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(toks) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(toks) - 1), "
+            "i -> struct(element_at(toks, i) AS w1, "
+            "element_at(toks, i + 1) AS w2)) END"
+        )).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = (
+        toked.select(F.explode("toks").alias("w1"))
+        .groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    return (
+        bigrams.join(bi, ["w1", "w2"]).join(uni, "w1")
+        .selectExpr("doc_id", "c2 * 1000000 div c1 AS p_micro")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("sum(p_micro) div count(*)").alias("avg_p_micro"),
+        )
+    )
+
+
+TEXT_LM_SCORE_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), bigrams AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toked, UNNEST(range(1, len(toks))) AS t(i)
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM (
+    SELECT unnest(toks) AS w1 FROM toked) GROUP BY 1
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY 1, 2
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(c2 * 1000000 // c1) // COUNT(*) AS BIGINT) AS avg_p_micro
+FROM bigrams JOIN bi USING (w1, w2) JOIN uni USING (w1)
+GROUP BY doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("text_lm_score", text_lm_score, TEXT_LM_SCORE_ORACLE,
+              "corpus-trained bigram-LM mean-continuation fluency score",
+              ("text", "quality", "lm")),
+]
+
+
+# --- post-merge BPE vocabulary accounting -------------------------------------
+# The third leg of the tokenizer loop (train -> encode -> VOCAB): the
+# symbol inventory after the trained merges, with how many distinct
+# words each symbol appears in and its corpus-weighted occurrence count.
+# This is the table a tokenizer ships as vocab.json. One explode over
+# the merged dict (|vocab| rows, never the corpus) + one rollup.
+
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(TOKS_S)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    cur = words.selectExpr("freq", _BPE_ENC0).localCheckpoint(eager=True)
+    _, merged = _bpe_merge_chain(cur)
+    syms = merged.selectExpr("freq", f"explode({_BPE_SYMS}) AS sym")
+    return syms.groupBy("sym").agg(
+        F.count("*").alias("n_positions"),
+        F.sum("freq").alias("total_occurrences"),
+    )
+
+
+TEXT_BPE_VOCAB_ORACLE = (
+    "WITH " + _bpe_chain_sql(keep_w=False) + f"""
+SELECT sym, COUNT(*) AS n_positions,
+       CAST(SUM(freq) AS BIGINT) AS total_occurrences
+FROM (
+  SELECT freq, unnest(list_filter(str_split(enc, '||'), x -> x <> '')) AS sym
+  FROM w{BPE_TRAIN_ROUNDS}
+)
+GROUP BY sym
+"""
+)
+
+
+SPECS += [
+    QuerySpec("text_bpe_vocab", text_bpe_vocab, TEXT_BPE_VOCAB_ORACLE,
+              "symbol vocabulary after the trained merges (the vocab.json table)",
+              ("text", "tokenizer", "iterative")),
+]
+
+
+# --- distributed integer batch perceptron (language-ID head) ------------------
+# Supervised ML TRAINING on the engine, joining the iterative family
+# (kmeans, PageRank, power iteration): a batch perceptron over
+# hashing-trick token features learning lang == 'en', all arithmetic
+# 64-bit integers so every epoch is bit-reproducible across engines and
+# partitionings. Epoch = one map-side score pass (weights fold in as a
+# 17-literal CASE — no join), one misclassified-set equi-join, one
+# per-bucket delta rollup (map-side combinable), and a 17-row collect —
+# exactly the kmeans shape: driver holds the model, the cluster holds
+# the data, each epoch is O(corpus) with no global sort. The oracle
+# replays every epoch symbolically.
+
+PCT_BUCKETS = 16   # hashing-trick feature buckets (+1 bias)
+PCT_EPOCHS = 3
+
+
+def _pct_feat_lab(spark: SparkSession, sf_dir: str):
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        spark)
+    tok = docs.select("doc_id", F.explode(F.expr(TOKS_S)).alias("t"))
+    feat = (
+        tok.selectExpr(
+            "doc_id",
+            f"cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+            f" % {PCT_BUCKETS} AS b")
+        .groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+        .unionByName(docs.selectExpr(
+            "doc_id", f"CAST({PCT_BUCKETS} AS BIGINT) AS b",
+            "CAST(1 AS BIGINT) AS cnt"))
+        .localCheckpoint(eager=True)  # feeds every epoch + final eval
+    )
+    lab = docs.selectExpr(
+        "doc_id", "CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y"
+    ).localCheckpoint(eager=True)
+    return feat, lab
+
+
+def _pct_scores(feat: DataFrame, w: list[int]) -> DataFrame:
+    wcase = " ".join(f"WHEN b = {i} THEN {int(wi)}" for i, wi in enumerate(w))
+    return (
+        feat.selectExpr("doc_id", f"cnt * (CASE {wcase} ELSE 0 END) AS p")
+        .groupBy("doc_id").agg(F.sum("p").alias("s"))
+    )
+
+
+def ml_perceptron_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat, lab = _pct_feat_lab(spark, sf_dir)
+    w = [0] * (PCT_BUCKETS + 1)
+    for _ in range(PCT_EPOCHS):
+        mis = (
+            lab.join(_pct_scores(feat, w), "doc_id")
+            .where("y * s <= 0").select("doc_id", "y")
+        )
+        delta = (
+            feat.join(mis, "doc_id")
+            .groupBy("b").agg(F.sum(F.expr("y * cnt")).alias("d"))
+            .collect()
+        )
+        dmap = {r.b: r.d for r in delta}
+        w = [w[i] + dmap.get(i, 0) for i in range(PCT_BUCKETS + 1)]
+    final = (
+        lab.join(_pct_scores(feat, w), "doc_id")
+        .agg(
+            F.sum(F.expr("CAST(y * s <= 0 AS BIGINT)")).alias("n_mis_final"),
+            F.count("*").alias("n_train"),
+        )
+    )
+    weights = spark.createDataFrame(
+        [(i, int(w[i])) for i in range(PCT_BUCKETS + 1)],
+        "bucket bigint, weight bigint")
+    return weights.crossJoin(F.broadcast(final))
+
+
+def _perceptron_oracle() -> str:
+    parts = [f"""WITH feat AS MATERIALIZED (
+  SELECT doc_id, {portable_hash64_sql('t')} % {PCT_BUCKETS} AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest({TOKS_D}) AS t FROM documents)
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, {PCT_BUCKETS}, 1 FROM documents
+), lab AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents
+), w0 AS (
+  SELECT CAST(u.b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+  FROM (SELECT unnest(range(0, {PCT_BUCKETS + 1})) AS b) u
+)"""]
+    for r in range(1, PCT_EPOCHS + 1):
+        parts.append(f""", s{r} AS MATERIALIZED (
+  SELECT f.doc_id, CAST(SUM(f.cnt * w.w) AS BIGINT) AS s
+  FROM feat f JOIN w{r-1} w ON w.b = f.b GROUP BY 1
+), m{r} AS MATERIALIZED (
+  SELECT l.doc_id, l.y FROM lab l JOIN s{r} USING (doc_id)
+  WHERE l.y * s{r}.s <= 0
+), d{r} AS MATERIALIZED (
+  SELECT f.b, CAST(SUM(m.y * f.cnt) AS BIGINT) AS d
+  FROM feat f JOIN m{r} m USING (doc_id) GROUP BY 1
+), w{r} AS MATERIALIZED (
+  SELECT w.b, w.w + COALESCE(d.d, 0) AS w
+  FROM w{r-1} w LEFT JOIN d{r} d USING (b)
+)""")
+    r = PCT_EPOCHS
+    parts.append(f""", sf AS (
+  SELECT f.doc_id, CAST(SUM(f.cnt * w.w) AS BIGINT) AS s
+  FROM feat f JOIN w{r} w ON w.b = f.b GROUP BY 1
+), ev AS (
+  SELECT CAST(SUM(CAST(l.y * sf.s <= 0 AS BIGINT)) AS BIGINT) AS n_mis_final,
+         COUNT(*) AS n_train
+  FROM lab l JOIN sf USING (doc_id)
+)
+SELECT w{r}.b AS bucket, w{r}.w AS weight, ev.n_mis_final, ev.n_train
+FROM w{r}, ev""")
+    return "".join(parts)
+
+
+ML_PERCEPTRON_ORACLE = _perceptron_oracle()
+
+
+SPECS += [
+    QuerySpec("ml_perceptron_langid", ml_perceptron_langid,
+              ML_PERCEPTRON_ORACLE,
+              "integer batch perceptron on hashed token features (lang=='en')",
+              ("text", "ml", "iterative")),
+]

@@ -275,6 +275,9 @@ HEADLINE = [
     "dedup_substring_clean",
     "knn_int8_cosine",
     "x8_dedup_stream",
+    "text_lm_score",
+    "text_bpe_vocab",
+    "ml_perceptron_langid",
 ]
 
 

@@ -151,6 +151,10 @@ REPRESENTATIVES = [
     # fingerprint dropDuplicatesWithinWatermark through the real engine
     # (kept-KEY set must not depend on which copy wins a micro-batch race)
     "x8_dedup_stream",
+    # corpus-trained bigram LM: two model equi-joins + integer mean
+    "text_lm_score",
+    # driver-held integer model, per-epoch delta rollups (kmeans shape)
+    "ml_perceptron_langid",
 ]
 
 

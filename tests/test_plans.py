@@ -425,6 +425,8 @@ def test_registry_wide_plan_hygiene(spark):
         "mm_ann_pipeline",              # doc_id <> qid vs 5-row broadcast query set
         "sketch_bloom_membership",      # 1-row broadcast bitmap probe
         "knn_int8_cosine",              # brute-force baseline BY DESIGN (5-row probe)
+        "text_bpe_vocab",               # per-round argmax broadcasts (BPE chain)
+        "ml_perceptron_langid",         # 1-row final-accuracy aggregate broadcast
     }
     violations = []
     for name, spec in all_queries().items():
