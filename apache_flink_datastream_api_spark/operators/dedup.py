@@ -1153,12 +1153,20 @@ SPECS += [
 SUB_K = 20
 
 
-def _substring_covered(spark: SparkSession, sf_dir: str):
+def _substring_covered(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+):
     """(pos_tok, covered): the token-position table and the distinct
-    (doc_id, pos) set covered by any cross-document duplicated K-gram."""
-    docs = spread_small_source(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
-    )
+    (doc_id, pos) set covered by any cross-document duplicated K-gram.
+
+    ``docs``: optional (doc_id, text) frame to run over a RESTRICTED
+    corpus (e.g. the survivors of doc-level dedup) — duplication is
+    evaluated against exactly the docs given, as a staged pipeline must."""
+    if docs is None:
+        docs = spread_small_source(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            spark,
+        )
     toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
     pos_tok = toked.select(
         "doc_id", F.posexplode("toks").alias("p0", "tok")
@@ -1209,8 +1217,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUB_COMMON_D = f"""toks AS (
-  SELECT doc_id, {TOKS_D} AS toks FROM documents
+def _sub_common_sql(rel: str = "documents") -> str:
+    """The shared position/shingle/cover/span CTE chain, over any
+    (doc_id, text) relation ``rel`` (the capstone runs it over the
+    doc-dedup survivor set instead of the raw table)."""
+    return _SUB_COMMON_TPL.replace("__REL__", rel)
+
+
+_SUB_COMMON_TPL = f"""toks AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM __REL__
 ), pos_tok AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS tok
   FROM toks, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
@@ -1238,7 +1253,7 @@ _SUB_COMMON_D = f"""toks AS (
 )"""
 
 DEDUP_SUBSTRING_SPANS_ORACLE = f"""
-WITH {_SUB_COMMON_D}
+WITH {_sub_common_sql()}
 SELECT doc_id, span_start, span_end, n_tokens, n_chars FROM spans
 """
 
@@ -1275,7 +1290,7 @@ def dedup_substring_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SUBSTRING_AUDIT_ORACLE = f"""
-WITH {_SUB_COMMON_D}, per_doc AS (
+WITH {_sub_common_sql()}, per_doc AS (
   SELECT doc_id, COUNT(*) AS n_spans,
          CAST(SUM(n_tokens) AS BIGINT) AS tokens_removed,
          CAST(SUM(n_chars) AS BIGINT) AS chars_removed
@@ -1342,7 +1357,7 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SUBSTRING_CLEAN_ORACLE = f"""
-WITH {_SUB_COMMON_D}, kept AS (
+WITH {_sub_common_sql()}, kept AS (
   SELECT p.doc_id, p.pos, p.tok
   FROM pos_tok p ANTI JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
 ), per_doc AS (
@@ -1363,4 +1378,157 @@ SPECS += [
               DEDUP_SUBSTRING_CLEAN_ORACLE,
               "apply substring removal spans: md5-pinned reconstructed corpus",
               ("dedup", "substring")),
+]
+
+
+# --- cross-source duplication matrix ------------------------------------------
+# The corpus-composition audit over the near-dup graph: for every
+# (source_a, source_b) pair, how many MinHash candidate near-dup pairs
+# cross them? The diagonal is intra-source duplication (crawl overlap);
+# off-diagonal mass is the mirror/syndication signal that tells you
+# which slice to drop before training. Sources are normalized so
+# (a, b) == (b, a): the unordered pair is keyed lexicographically.
+# Plan: the verified candidate pipeline + two broadcast-scale dimension
+# joins + one rollup — nothing new shuffles at corpus scale.
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(F.broadcast(src.selectExpr("doc_id AS doc_a", "source AS sa")),
+                   "doc_a")
+        .join(F.broadcast(src.selectExpr("doc_id AS doc_b", "source AS sb")),
+              "doc_b")
+        .selectExpr("least(sa, sb) AS source_a", "greatest(sa, sb) AS source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+DEDUP_SOURCE_MATRIX_ORACLE = f"""
+WITH pairs AS (
+  {DEDUP_MINHASH_ORACLE}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_source_matrix", dedup_source_matrix,
+              DEDUP_SOURCE_MATRIX_ORACLE,
+              "cross-source near-dup pair matrix (syndication/overlap audit)",
+              ("dedup", "audit")),
+]
+
+
+# --- capstone: the staged dedup pipeline a training run actually ships --------
+# Exact dedup -> near-dup canonical selection -> substring-level span
+# removal, STAGED (each pass runs over the previous pass's survivors,
+# exactly as production orders them — substring duplication is evaluated
+# against the doc-deduped corpus, not the raw one). Per-source
+# accounting of what each stage removed:
+#   n_docs_in        raw docs
+#   n_after_exact    after md5-exact keep-first
+#   n_after_near     after dropping non-canonical cluster members
+#                    (connected components over MinHash candidates,
+#                    longest-text-wins keep policy)
+#   chars_in / chars_kept   raw vs post-substring character volume
+# Every stage is the independently hash-verified machinery above,
+# composed; the oracle replays the identical staging in SQL (recursive-
+# CTE components + the substring chain over the survivor relation).
+
+def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars")
+
+    # stage 1: exact — keep the min doc_id per content hash
+    exact_keep = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = docs.join(exact_keep, "doc_id")
+
+    # stage 2: near — drop non-canonical members of MinHash clusters
+    # (clusters computed on the full corpus = the exact-stage survivors
+    # here, since exact copies share every shingle and land in the same
+    # cluster either way; canonical = longest text, then smallest id)
+    canon = pipeline_canonical_docs(spark, sf_dir)
+    drop = canon.where("keep = 0").select("doc_id")
+    s2 = s1.join(drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # stage 3: substring spans over the SURVIVOR corpus only
+    pos_tok, covered = _substring_covered(
+        spark, sf_dir, docs=s2.select("doc_id", "text"))
+    kept_chars = (
+        pos_tok.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg((F.sum(F.length("tok")) + F.count("*") - 1).alias("kept"))
+    )
+
+    src = docs.select("doc_id", "source", "n_chars")
+    stage_flags = (
+        src
+        .join(s1.selectExpr("doc_id", "1 AS in_s1"), "doc_id", "left")
+        .join(s2.selectExpr("doc_id", "1 AS in_s2"), "doc_id", "left")
+        .join(kept_chars, "doc_id", "left")
+    )
+    return stage_flags.groupBy("source").agg(
+        F.count("*").alias("n_docs_in"),
+        F.sum(F.coalesce("in_s1", F.lit(0))).alias("n_after_exact"),
+        F.sum(F.coalesce("in_s2", F.lit(0))).alias("n_after_near"),
+        F.sum("n_chars").cast("long").alias("chars_in"),
+        F.sum(F.when(F.col("in_s2").isNotNull(),
+                     F.coalesce("kept", F.lit(0))).otherwise(0))
+        .cast("long").alias("chars_kept"),
+    )
+
+
+PIPELINE_DEDUP_E2E_ORACLE = f"""
+WITH comp AS (
+  {CANONICAL_DOCS_ORACLE}
+), exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), s1 AS (
+  SELECT d.* FROM documents d JOIN exact_keep USING (doc_id)
+), drop_near AS (
+  SELECT doc_id FROM comp WHERE keep = 0
+), s2 AS (
+  SELECT s1.* FROM s1 ANTI JOIN drop_near USING (doc_id)
+), {_sub_common_sql('s2')}, kept AS (
+  SELECT p.doc_id,
+         CAST(SUM(length(p.tok)) + COUNT(*) - 1 AS BIGINT) AS kept
+  FROM pos_tok p ANTI JOIN cov c
+    ON c.doc_id = p.doc_id AND c.pos = p.pos
+  GROUP BY p.doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs_in,
+       CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_exact,
+       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_near,
+       CAST(SUM(d.n_chars) AS BIGINT) AS chars_in,
+       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL
+                     THEN COALESCE(k.kept, 0) ELSE 0 END) AS BIGINT)
+         AS chars_kept
+FROM documents d
+LEFT JOIN s1 e ON e.doc_id = d.doc_id
+LEFT JOIN s2 s ON s.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_dedup_e2e", pipeline_dedup_e2e,
+              PIPELINE_DEDUP_E2E_ORACLE,
+              "staged exact -> near-canonical -> substring dedup, per-source accounting",
+              ("dedup", "pipeline", "capstone", "iterative")),
 ]

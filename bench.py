@@ -278,6 +278,8 @@ HEADLINE = [
     "text_lm_score",
     "text_bpe_vocab",
     "ml_perceptron_langid",
+    "dedup_source_matrix",
+    "pipeline_dedup_e2e",
 ]
 
 
