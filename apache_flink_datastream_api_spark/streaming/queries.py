@@ -1395,3 +1395,90 @@ SPECS += [
               "ingest-time near-dup filter: fingerprint dropDuplicatesWithinWatermark",
               ("streaming", "stateful", "dedup")),
 ]
+
+
+# --- X9: Spark 4 transformWithStateInPandas (the arbitrary-state API) ---------
+# The engine's X1/X2 ride applyInPandasWithState (the Spark 3 arbitrary
+# stateful API); this is the same per-key running aggregation on Spark
+# 4's SUCCESSOR API — transformWithStateInPandas with a
+# StatefulProcessor and a typed ValueState handle (the API that adds
+# composite state, timers and state TTL; a user migrating stateful
+# Flink ProcessFunctions today would land here). Per-user spend
+# tracker: ValueState carries (n, sum, max) across batches; each batch
+# emits the updated totals, so the availableNow replay's final rows
+# equal the batch GROUP BY the oracle runs.
+#
+# ENVIRONMENT-GATED (the Kafka S2/K2 precedent): the API's state-server
+# protocol imports google.protobuf, which this container does not ship
+# (and installs are off-limits). The query registers only where
+# protobuf exists; tests/test_streaming.py carries the gated check so
+# the path lights up automatically on a protobuf-equipped deployment.
+
+import pandas as _pd  # noqa: E402
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor, StatefulProcessorHandle)
+
+
+class _SpendTracker(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState(
+            "agg", "n BIGINT, s BIGINT, mx BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, s, mx = 0, 0, None
+        for pdf in rows:
+            c = pdf["cents"]
+            n += len(c)
+            s += int(c.sum())
+            m = int(c.max())
+            mx = m if mx is None else max(mx, m)
+        if self._agg.exists():
+            pn, ps, pmx = self._agg.get()
+            n, s, mx = n + pn, s + ps, max(mx, pmx)
+        self._agg.update((n, s, mx))
+        yield _pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "cents_sum": [s], "cents_max": [mx],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def x9_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir).selectExpr(
+        "user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_SpendTracker(),
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, cents_sum BIGINT, "
+            "cents_max BIGINT"),
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_available_now(out, spark, mode="update")
+
+
+X9_TWS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_max
+FROM events GROUP BY user_id
+"""
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+if _protobuf_available():
+    SPECS += [
+        QuerySpec("x9_transform_with_state", x9_transform_with_state,
+                  X9_TWS_ORACLE,
+                  "per-key ValueState aggregation on Spark 4 transformWithStateInPandas",
+                  ("streaming", "stateful", "spark4")),
+    ]

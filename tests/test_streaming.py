@@ -1002,3 +1002,32 @@ def test_x1_value_state_readback_matches_batch(spark, chunked_events_dir):
         )
     }
     assert got == want
+
+
+def test_transform_with_state_gated(spark):
+    """Spark 4 transformWithStateInPandas spend tracker vs the batch
+    GROUP BY. ENVIRONMENT-GATED like the Kafka tests: the API's state
+    protocol needs google.protobuf, which this container doesn't ship —
+    skips cleanly here, runs end-to-end wherever protobuf exists."""
+    import pytest
+
+    from apache_flink_datastream_api_spark.streaming.queries import (
+        _protobuf_available, x9_transform_with_state)
+
+    if not _protobuf_available():
+        pytest.skip("google.protobuf not installed (transformWithState "
+                    "state protocol requires it; installs are off-limits)")
+    from .conftest import SF_DIR
+
+    from apache_flink_datastream_api_spark.sources.tables import load_table
+
+    got = {r.user_id: (r.n_events, r.cents_sum, r.cents_max)
+           for r in x9_transform_with_state(spark, SF_DIR).collect()}
+    want = {r.user_id: (r.n_events, r.cents_sum, r.cents_max)
+            for r in load_table(spark, SF_DIR, "events").selectExpr(
+                "user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("cents_sum"),
+                 F.max("cents").alias("cents_max")).collect()}
+    assert got == want
