@@ -301,3 +301,62 @@ SPECS += [
               "FD discovery audit: violations per candidate A->B dependency",
               ("profile", "quality")),
 ]
+
+
+# --- k-anonymity audit --------------------------------------------------------
+# The privacy-governance twin of pipeline_user_erasure: before a table
+# with quasi-identifiers ships to a training run, measure its
+# k-anonymity — every (nation, mktsegment) equivalence class of size
+# < K is a re-identification risk. Output: one row per risky class plus
+# its size, and corpus-level counts (classes, risky classes, exposed
+# individuals) repeated per row for the one-glance readout. One rollup
+# shuffle on the quasi-identifier tuple; at 100 TB this is a plain
+# map-side-combined groupBy.
+
+KANON_K = 10
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size"))
+    totals = classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.expr(f"CAST(class_size < {KANON_K} AS BIGINT)"))
+        .alias("n_risky_classes"),
+        F.sum(F.expr(f"CASE WHEN class_size < {KANON_K} THEN class_size "
+                     "ELSE 0 END")).alias("n_exposed"),
+    )
+    return (
+        classes.where(f"class_size < {KANON_K}")
+        .crossJoin(F.broadcast(totals))
+        .select("c_nationkey", "c_mktsegment", "class_size",
+                "n_classes", "n_risky_classes", "n_exposed")
+    )
+
+
+DQ_K_ANONYMITY_ORACLE = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM customer GROUP BY 1, 2
+), totals AS (
+  SELECT COUNT(*) AS n_classes,
+         CAST(SUM(CAST(class_size < {KANON_K} AS BIGINT)) AS BIGINT)
+           AS n_risky_classes,
+         CAST(SUM(CASE WHEN class_size < {KANON_K} THEN class_size
+                  ELSE 0 END) AS BIGINT) AS n_exposed
+  FROM classes
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+       n_classes, n_risky_classes, n_exposed
+FROM classes, totals
+WHERE class_size < {KANON_K}
+"""
+
+
+SPECS += [
+    QuerySpec("dq_k_anonymity", dq_k_anonymity, DQ_K_ANONYMITY_ORACLE,
+              "quasi-identifier equivalence-class k-anonymity audit",
+              ("profile", "governance", "audit")),
+]

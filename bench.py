@@ -280,6 +280,7 @@ HEADLINE = [
     "ml_perceptron_langid",
     "dedup_source_matrix",
     "pipeline_dedup_e2e",
+    "dq_k_anonymity",
 ]
 
 

@@ -427,6 +427,7 @@ def test_registry_wide_plan_hygiene(spark):
         "knn_int8_cosine",              # brute-force baseline BY DESIGN (5-row probe)
         "text_bpe_vocab",               # per-round argmax broadcasts (BPE chain)
         "ml_perceptron_langid",         # 1-row final-accuracy aggregate broadcast
+        "dq_k_anonymity",               # 1-row corpus-totals broadcast
     }
     violations = []
     for name, spec in all_queries().items():
