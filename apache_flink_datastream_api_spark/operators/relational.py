@@ -1485,3 +1485,92 @@ SPECS += [
               "six join cardinalities from one full-outer pass vs six-join truth",
               ("relational", "join")),
 ]
+
+
+# --- Spark 4 SQL pipe syntax ---------------------------------------------------
+# The |> operator-pipe surface (SQL:2023-style composable queries, Spark
+# 4.0+): the same logical plan as the plain GROUP BY the oracle runs —
+# pipe syntax is pure sugar over Catalyst, so pushdown/pruning/codegen
+# are identical — pinned here so a user migrating pipelined SQL keeps a
+# verified surface. Cents arithmetic keeps the aggregate integer-exact.
+
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import temp_view
+
+    with temp_view(load_table(spark, sf_dir, "orders"), "orders_pipe") as view:
+        result = spark.sql(f"""
+        FROM {view}
+        |> WHERE o_orderstatus <> 'F'
+        |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(cents) AS BIGINT) AS revenue_cents
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 0
+        |> SELECT o_orderpriority, n_orders, revenue_cents
+        """)
+        result.localCheckpoint(eager=True)
+    return result
+
+
+Q_PIPE_SYNTAX_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+HAVING COUNT(*) > 0
+"""
+
+
+SPECS += [
+    QuerySpec("q_pipe_syntax", q_pipe_syntax, Q_PIPE_SYNTAX_ORACLE,
+              "SQL operator-pipe (|>) surface over the verified aggregate",
+              ("relational", "spark4", "sql-surface")),
+]
+
+
+# --- Spark 4 listagg (ordered string aggregation) ------------------------------
+# The SQL:2016 LISTAGG ... WITHIN GROUP surface (Spark 4.0+): ordered,
+# deterministic string concatenation per group — the report-building
+# aggregate users otherwise hand-roll with array_sort(collect_list()).
+# Determinism note: WITHIN GROUP (ORDER BY ts_day, event_type) makes the
+# result layout-independent, which is exactly what the oracle's
+# string_agg ... ORDER BY pins.
+
+def q_listagg_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id % 50 AS cohort",
+        "CAST(unix_millis(ts) div 86400000 AS BIGINT) AS d",
+        "event_type")
+    days = ev.groupBy("cohort", "d").agg(
+        F.countDistinct("event_type").alias("n_types"))
+    days.createOrReplaceTempView("cohort_days_la")
+    return spark.sql("""
+        SELECT cohort,
+               COUNT(*) AS n_days,
+               listagg(CAST(n_types AS STRING), '>')
+                 WITHIN GROUP (ORDER BY d) AS type_timeline
+        FROM cohort_days_la
+        GROUP BY cohort
+    """)
+
+
+Q_LISTAGG_ORACLE = """
+WITH days AS (
+  SELECT user_id % 50 AS cohort,
+         CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM events GROUP BY 1, 2
+)
+SELECT cohort, COUNT(*) AS n_days,
+       string_agg(CAST(n_types AS VARCHAR), '>' ORDER BY d) AS type_timeline
+FROM days GROUP BY cohort
+"""
+
+
+SPECS += [
+    QuerySpec("q_listagg_timeline", q_listagg_timeline, Q_LISTAGG_ORACLE,
+              "LISTAGG WITHIN GROUP ordered string agg (per-cohort timeline)",
+              ("relational", "spark4", "sql-surface")),
+]

@@ -281,6 +281,8 @@ HEADLINE = [
     "dedup_source_matrix",
     "pipeline_dedup_e2e",
     "dq_k_anonymity",
+    "q_pipe_syntax",
+    "q_listagg_timeline",
 ]
 
 
