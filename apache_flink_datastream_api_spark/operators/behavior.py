@@ -1459,3 +1459,99 @@ SPECS += [
               "DAU/MAU stickiness per 30-day bucket, exact integer ratio",
               ("behavior", "product")),
 ]
+
+
+# --- top-k journey (trajectory) similarity ------------------------------------
+# Distributed top-k TRAJECTORY similarity (the REPOSE/EDBT family from
+# PAPERS.md, re-expressed relationally): which users' event SEQUENCES
+# look most like a query user's? A trajectory is the (ts, event_id)-
+# ordered event-type sequence; its signature is the multiset of
+# TRANSITIONS (ordered bigrams), so similarity is order-aware — users
+# visiting the same types in a different order score differently.
+# Weighted Jaccard on transition multisets, in exact integer micros:
+#   sim(u, q) = Σ min(cnt_u, cnt_q) / (n_u + n_q − Σ min)
+# Candidate pruning is REPOSE's reference-point idea as an equi-join:
+# only users sharing at least one of the query's transitions are scored
+# (the broadcast query signature is the reference set); everything else
+# is provably similarity 0 and never shuffles. Top-k via
+# TakeOrderedAndProject over the candidate rollup.
+
+TJ_QUERY_USER = 1
+TJ_TOP_K = 10
+
+
+def ts_journey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    trans = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .selectExpr("user_id", "concat(event_type, '>', nxt) AS pair")
+        .groupBy("user_id", "pair")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sizes = trans.groupBy("user_id").agg(F.sum("cnt").alias("n"))
+    q = trans.where(F.col("user_id") == TJ_QUERY_USER).selectExpr(
+        "pair", "cnt AS qcnt")
+    qn = sizes.where(F.col("user_id") == TJ_QUERY_USER).selectExpr("n AS qn")
+    overlap = (
+        trans.where(F.col("user_id") != TJ_QUERY_USER)
+        .join(F.broadcast(q), "pair")
+        .groupBy("user_id")
+        .agg(F.sum(F.least("cnt", "qcnt")).alias("inter"))
+    )
+    scored = (
+        overlap.join(sizes, "user_id")
+        .crossJoin(F.broadcast(qn))
+        .selectExpr(
+            "user_id",
+            "inter",
+            "inter * 1000000 div (n + qn - inter) AS sim_micro",
+        )
+    )
+    top = scored.orderBy(F.desc("sim_micro"), "user_id").limit(TJ_TOP_K)
+    wr = Window.orderBy(F.desc("sim_micro"), "user_id")
+    return top.withColumn("rank", F.row_number().over(wr))
+
+
+TS_JOURNEY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
+), trans AS (
+  SELECT user_id, pair, COUNT(*) AS cnt FROM (
+    SELECT user_id,
+           event_type || '>' ||
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms, event_id) AS pair
+    FROM ev
+  ) WHERE pair IS NOT NULL
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n FROM trans GROUP BY 1
+), q AS (
+  SELECT pair, cnt AS qcnt FROM trans WHERE user_id = {TJ_QUERY_USER}
+), qn AS (
+  SELECT n AS qn FROM sizes WHERE user_id = {TJ_QUERY_USER}
+), overlap AS (
+  SELECT t.user_id, CAST(SUM(LEAST(t.cnt, q.qcnt)) AS BIGINT) AS inter
+  FROM trans t JOIN q USING (pair)
+  WHERE t.user_id <> {TJ_QUERY_USER}
+  GROUP BY 1
+), scored AS (
+  SELECT o.user_id, o.inter,
+         o.inter * 1000000 // (s.n + qn.qn - o.inter) AS sim_micro
+  FROM overlap o JOIN sizes s USING (user_id), qn
+)
+SELECT user_id, inter, sim_micro,
+       row_number() OVER (ORDER BY sim_micro DESC, user_id) AS rank
+FROM scored
+QUALIFY rank <= {TJ_TOP_K}
+"""
+
+
+SPECS += [
+    QuerySpec("ts_journey_topk", ts_journey_topk, TS_JOURNEY_ORACLE,
+              "order-aware top-k trajectory similarity on transition multisets",
+              ("behavior", "similarity", "timeseries")),
+]

@@ -283,6 +283,7 @@ HEADLINE = [
     "dq_k_anonymity",
     "q_pipe_syntax",
     "q_listagg_timeline",
+    "ts_journey_topk",
 ]
 
 
