@@ -1154,7 +1154,8 @@ SUB_K = 20
 
 
 def _substring_covered(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None,
+    k: int = SUB_K,
 ):
     """(pos_tok, covered): the token-position table and the distinct
     (doc_id, pos) set covered by any cross-document duplicated K-gram.
@@ -1174,10 +1175,10 @@ def _substring_covered(
     starts = toked.select(
         "doc_id",
         F.explode(F.expr(
-            f"CASE WHEN size(toks) < {SUB_K} THEN array() "
-            f"ELSE transform(sequence(1, size(toks) - {SUB_K} + 1), i -> "
+            f"CASE WHEN size(toks) < {k} THEN array() "
+            f"ELSE transform(sequence(1, size(toks) - {k} + 1), i -> "
             f"named_struct('start', CAST(i AS BIGINT), "
-            f"'h', cast(conv(substr(md5(array_join(slice(toks, i, {SUB_K}), "
+            f"'h', cast(conv(substr(md5(array_join(slice(toks, i, {k}), "
             f"' ')), 1, 15), 16, 10) as bigint))) END"
         )).alias("s"),
     ).select("doc_id", "s.start", "s.h")
@@ -1191,7 +1192,7 @@ def _substring_covered(
         starts.join(dup_h, "h")
         .select(
             "doc_id",
-            F.explode(F.expr(f"sequence(start, start + {SUB_K - 1})")).alias("pos"),
+            F.explode(F.expr(f"sequence(start, start + {k - 1})")).alias("pos"),
         )
         .distinct()
     )
@@ -1217,28 +1218,30 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sub_common_sql(rel: str = "documents") -> str:
+def _sub_common_sql(rel: str = "documents", k: int = SUB_K) -> str:
     """The shared position/shingle/cover/span CTE chain, over any
     (doc_id, text) relation ``rel`` (the capstone runs it over the
-    doc-dedup survivor set instead of the raw table)."""
-    return _SUB_COMMON_TPL.replace("__REL__", rel)
+    doc-dedup survivor set instead of the raw table) at span length
+    ``k`` (the sensitivity sweep varies it)."""
+    return _sub_common_tpl(k).replace("__REL__", rel)
 
 
-_SUB_COMMON_TPL = f"""toks AS (
+def _sub_common_tpl(k: int) -> str:
+    return f"""toks AS (
   SELECT doc_id, {TOKS_D} AS toks FROM __REL__
 ), pos_tok AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS tok
   FROM toks, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
 ), starts AS (
   SELECT doc_id, CAST(u.i AS BIGINT) AS start,
-         {portable_hash64_sql(f"array_to_string(toks[u.i:u.i+{SUB_K - 1}], ' ')")} AS h
-  FROM toks, LATERAL (SELECT unnest(range(1, len(toks) - {SUB_K} + 2)) AS i) u
+         {portable_hash64_sql(f"array_to_string(toks[u.i:u.i+{k - 1}], ' ')")} AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(toks) - {k} + 2)) AS i) u
 ), dup AS (
   SELECT h FROM starts GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
 ), cov AS (
   SELECT DISTINCT s.doc_id, u.p AS pos
   FROM starts s JOIN dup USING (h),
-       LATERAL (SELECT unnest(range(s.start, s.start + {SUB_K})) AS p) u
+       LATERAL (SELECT unnest(range(s.start, s.start + {k})) AS p) u
 ), spans AS (
   SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
          COUNT(*) AS n_tokens,
@@ -1531,4 +1534,64 @@ SPECS += [
               PIPELINE_DEDUP_E2E_ORACLE,
               "staged exact -> near-canonical -> substring dedup, per-source accounting",
               ("dedup", "pipeline", "capstone", "iterative")),
+]
+
+
+# --- substring span-length sensitivity sweep ----------------------------------
+# The tuning readout for the substring pass (the dedup_lsh_eval
+# counterpart): how much would each span-length threshold K remove?
+# Short K over-removes (common phrases); long K under-removes. One row
+# per K with corpus-level span/token/char totals — the table you read
+# before picking the production threshold. Each K is an independent run
+# of the verified cover machinery over the same scan; Ks are unioned so
+# one query answers the sweep.
+
+SUB_K_SWEEP = (10, 20, 40)
+
+
+def dedup_substring_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for k in SUB_K_SWEEP:
+        pos_tok, covered = _substring_covered(spark, sf_dir, k=k)
+        cov_tok = covered.join(pos_tok, ["doc_id", "pos"])
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        spans = (
+            cov_tok.withColumn("grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("doc_id", "grp")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                (F.sum(F.length("tok")) + F.count("*") - 1).alias("n_chars"),
+            )
+        )
+        row = spans.agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("doc_id").alias("docs_affected"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens_removed"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_removed"),
+        ).selectExpr(f"CAST({k} AS BIGINT) AS k", "n_spans", "docs_affected",
+                     "tokens_removed", "chars_removed")
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _k_sweep_oracle() -> str:
+    parts = []
+    for k in SUB_K_SWEEP:
+        parts.append(f"""
+SELECT CAST({k} AS BIGINT) AS k, COUNT(*) AS n_spans,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens_removed,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS chars_removed
+FROM (WITH {_sub_common_sql(k=k)} SELECT * FROM spans)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+DEDUP_SUBSTRING_K_SWEEP_ORACLE = _k_sweep_oracle()
+
+
+SPECS += [
+    QuerySpec("dedup_substring_k_sweep", dedup_substring_k_sweep,
+              DEDUP_SUBSTRING_K_SWEEP_ORACLE,
+              "span-length threshold sweep: removal volume at K in {10,20,40}",
+              ("dedup", "substring", "audit", "eval")),
 ]

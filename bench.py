@@ -284,6 +284,7 @@ HEADLINE = [
     "q_pipe_syntax",
     "q_listagg_timeline",
     "ts_journey_topk",
+    "dedup_substring_k_sweep",
 ]
 
 
