@@ -781,3 +781,130 @@ SPECS += [
               "capstone: real decode -> integer features -> exact cosine top-k",
               ("multimodal", "similarity", "capstone")),
 ]
+
+
+# --- content-defined chunking (CDC) storage dedup -----------------------------
+# The STORAGE-layer dedup primitive (the restic/borg/LBFS device) next
+# to the token-level families: payloads split at CONTENT-DEFINED
+# boundaries — a position ends a chunk when the hash of its trailing
+# CDC_W-char window is ≡ 0 mod CDC_DIV — so an insertion early in a
+# payload shifts only the chunk it lands in, not every fixed-size block
+# after it. Chunks dedupe across payloads by content hash; the rollup
+# is the dedup-ratio readout a content-addressed store reports.
+# Spark side is the production shape: one linear scan per payload in
+# Arrow batches (mapInPandas), chunk bytes never shuffle — only
+# (doc_id, chunk_hash, len) rows do. The window hash is the portable
+# md5-prefix family, so the oracle replays boundary detection, chunk
+# reassembly and the dedup rollup exactly in SQL.
+
+CDC_W = 8     # rolling window (chars)
+CDC_DIV = 64  # boundary divisor -> expected ~64-char chunks
+
+
+def _cdc_chunks(text: str) -> list[str]:
+    """Split text at content-defined boundaries (trailing-window hash
+    ≡ 0 mod CDC_DIV). Mirrors the SQL rule character-for-character."""
+    import hashlib
+
+    chunks, start = [], 0
+    n = len(text)
+    for i in range(CDC_W, n + 1):  # i = 1-based position ending a window
+        h = int(hashlib.md5(
+            text[i - CDC_W:i].encode("utf-8")).hexdigest()[:15], 16)
+        if h % CDC_DIV == 0:
+            chunks.append(text[start:i])
+            start = i
+    if start < n:
+        chunks.append(text[start:])
+    return chunks
+
+
+def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source, text in zip(
+                    pdf["doc_id"], pdf["source"], pdf["text"]):
+                for c in _cdc_chunks(text):
+                    rows.append((int(doc_id), source,
+                                 hashlib.md5(c.encode("utf-8")).hexdigest(),
+                                 len(c)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "source", "chunk_hash", "chunk_len"])
+
+    chunks = docs.mapInPandas(
+        run, "doc_id bigint, source string, chunk_hash string, chunk_len bigint")
+    per_src = chunks.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_hash").alias("n_unique_chunks"),
+        F.sum("chunk_len").alias("chars_total"),
+    )
+    uniq = (
+        chunks.groupBy("source", "chunk_hash")
+        .agg(F.max("chunk_len").alias("l"))
+        .groupBy("source").agg(F.sum("l").alias("chars_unique"))
+    )
+    return (
+        per_src.join(uniq, "source")
+        .selectExpr(
+            "source", "n_chunks", "n_unique_chunks", "chars_total",
+            "chars_unique",
+            "(chars_total - chars_unique) * 1000000 div chars_total"
+            " AS savings_ppm",
+        )
+    )
+
+
+MM_CDC_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, source, text, u.i AS i,
+         CASE WHEN CAST(concat('0x', substr(md5(
+                  substr(text, u.i - {CDC_W} + 1, {CDC_W})), 1, 15)) AS BIGINT)
+                  % {CDC_DIV} = 0
+              THEN 1 ELSE 0 END AS is_b
+  FROM documents,
+       LATERAL (SELECT unnest(range({CDC_W}, length(text) + 1)) AS i) u
+), bounds AS (
+  SELECT doc_id, source, text, i FROM pos WHERE is_b = 1
+), marks AS (
+  SELECT doc_id, source, text, i,
+         COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS prev
+  FROM bounds
+), tails AS (
+  SELECT d.doc_id, d.source, d.text, length(d.text) AS i,
+         COALESCE((SELECT MAX(b.i) FROM bounds b WHERE b.doc_id = d.doc_id), 0)
+           AS prev
+  FROM documents d
+  WHERE length(d.text) >
+        COALESCE((SELECT MAX(b.i) FROM bounds b WHERE b.doc_id = d.doc_id), 0)
+), chunks AS (
+  SELECT doc_id, source, md5(substr(text, prev + 1, i - prev)) AS chunk_hash,
+         CAST(i - prev AS BIGINT) AS chunk_len
+  FROM (SELECT * FROM marks UNION ALL SELECT * FROM tails)
+), per_src AS (
+  SELECT source, COUNT(*) AS n_chunks,
+         CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_unique_chunks,
+         CAST(SUM(chunk_len) AS BIGINT) AS chars_total
+  FROM chunks GROUP BY 1
+), uniq AS (
+  SELECT source, CAST(SUM(l) AS BIGINT) AS chars_unique FROM (
+    SELECT source, chunk_hash, MAX(chunk_len) AS l
+    FROM chunks GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT source, n_chunks, n_unique_chunks, chars_total, chars_unique,
+       (chars_total - chars_unique) * 1000000 // chars_total AS savings_ppm
+FROM per_src JOIN uniq USING (source)
+"""
+
+
+SPECS += [
+    QuerySpec("mm_cdc_dedup", mm_cdc_dedup, MM_CDC_ORACLE,
+              "content-defined chunking + cross-payload chunk dedup rollup",
+              ("multimodal", "dedup", "storage")),
+]

@@ -285,6 +285,7 @@ HEADLINE = [
     "q_listagg_timeline",
     "ts_journey_topk",
     "dedup_substring_k_sweep",
+    "mm_cdc_dedup",
 ]
 
 

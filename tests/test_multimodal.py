@@ -114,3 +114,26 @@ def test_audio_chunks_tile_payload_exactly(spark):
         for r in rows[:-1]:
             assert r.byte_len == full
         assert r.sample_rate in (8000, 16000, 44100)
+
+
+def test_cdc_insertion_locality():
+    """The CDC selling point vs fixed-size blocks: a prefix insertion
+    perturbs only the chunks up to the first content-defined boundary —
+    the chunk sequence RE-SYNCHRONIZES and the tail is byte-identical.
+    (A fixed-size chunker would shift every block after the edit.)"""
+    from apache_flink_datastream_api_spark.operators.multimodal import (
+        _cdc_chunks)
+
+    base = ("the quick brown fox jumps over the lazy dog " * 30)
+    edited = "INSERTED PREFIX >>> " + base
+    a, b = _cdc_chunks(base), _cdc_chunks(edited)
+    assert len(a) > 3, "fixture must produce several chunks"
+    # chunk multisets share a long common suffix
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    assert k >= len(a) - 2, (
+        f"only {k} trailing chunks survived a prefix edit "
+        f"(expected all but the first 1-2)")
+    # and reassembly is lossless
+    assert "".join(a) == base and "".join(b) == edited
