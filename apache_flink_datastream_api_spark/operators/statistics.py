@@ -3267,3 +3267,96 @@ SPECS += [
               "iterative degree-threshold peel: collapse trajectory over 8 rounds",
               ("graph", "iterative")),
 ]
+
+
+# --- Holt double-exponential smoothing (per-user, exact integers) ------------
+# The classical-forecasting recurrence next to q_forecast_baseline's
+# naive/seasonal baselines: level+trend smoothing with alpha = beta =
+# 1/4, over each user's OBSERVATION-INDEXED daily cents series. A true
+# sequential recurrence (state t depends on t-1), so the batch form is
+# the per-key applyInPandas automaton (the w9/CEP pattern — state
+# bounded per key, keys distribute); all arithmetic is scaled 64-bit
+# integers with TRUNCATING division (Spark `div` / DuckDB `//` both
+# truncate toward zero; the Python helper mirrors it), so the oracle
+# replays the recurrence exactly as a recursive CTE stepping every
+# user's series in lockstep.
+#   l_t = (Y_t + 3*(l_{t-1} + b_{t-1})) tdiv 4      (Y in micro-cents)
+#   b_t = ((l_t - l_{t-1}) + 3*b_{t-1}) tdiv 4
+#   forecast = l_n + b_n
+
+HOLT_SCALE = 1_000_000
+
+
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id",
+                    "CAST(unix_millis(ts) div 86400000 AS BIGINT) AS d",
+                    "CAST(round(value * 100) AS BIGINT) AS cents")
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        return -((-a) // d) if a < 0 else a // d
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        uid = int(pdf["user_id"].iloc[0])
+        lvl = trend = None
+        n = 0
+        for c in pdf["cents"]:
+            y = int(c) * HOLT_SCALE
+            if lvl is None:
+                lvl, trend = y, 0
+            else:
+                prev = lvl
+                lvl = tdiv(y + 3 * (lvl + trend), 4)
+                trend = tdiv((lvl - prev) + 3 * trend, 4)
+            n += 1
+        return pd.DataFrame([(uid, n, lvl, trend, lvl + trend)], columns=[
+            "user_id", "n_days", "level_micro", "trend_micro",
+            "forecast_micro"])
+
+    return daily.groupBy("user_id").applyInPandas(
+        fn,
+        "user_id bigint, n_days bigint, level_micro bigint, "
+        "trend_micro bigint, forecast_micro bigint",
+    )
+
+
+TS_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT user_id, cents * {HOLT_SCALE} AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS idx,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_days
+  FROM daily
+), step(user_id, idx, lvl, trend, n_days) AS (
+  SELECT user_id, idx, y, CAST(0 AS BIGINT), n_days
+  FROM series WHERE idx = 1
+  UNION ALL
+  SELECT s.user_id, s.idx,
+         (s.y + 3 * (r.lvl + r.trend)) // 4,
+         (((s.y + 3 * (r.lvl + r.trend)) // 4) - r.lvl + 3 * r.trend) // 4,
+         r.n_days
+  FROM step r JOIN series s
+    ON s.user_id = r.user_id AND s.idx = r.idx + 1
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       lvl AS level_micro, trend AS trend_micro,
+       lvl + trend AS forecast_micro
+FROM step WHERE idx = n_days
+"""
+
+
+SPECS += [
+    QuerySpec("ts_holt_forecast", ts_holt_forecast, TS_HOLT_ORACLE,
+              "Holt level+trend smoothing per user, integer-exact recurrence",
+              ("timeseries", "forecast", "stateful")),
+]

@@ -286,6 +286,7 @@ HEADLINE = [
     "ts_journey_topk",
     "dedup_substring_k_sweep",
     "mm_cdc_dedup",
+    "ts_holt_forecast",
 ]
 
 

@@ -155,6 +155,8 @@ REPRESENTATIVES = [
     "text_lm_score",
     # driver-held integer model, per-epoch delta rollups (kmeans shape)
     "ml_perceptron_langid",
+    # per-user sequential Holt recurrence via applyInPandas automaton
+    "ts_holt_forecast",
 ]
 
 
