@@ -779,3 +779,58 @@ SPECS += [
               "Morton z-shard vs hash layout: per-shard min/max span readout",
               ("scale", "layout")),
 ]
+
+
+# --- dynamic partition pruning roundtrip --------------------------------------
+# The optimizer property that makes partitioned 100 TB fact tables
+# servable: when a fact partitioned on the join key joins a dim with a
+# SELECTIVE filter, Catalyst injects a runtime
+# ``dynamicpruningexpression`` subquery into the scan's
+# PartitionFilters, so only the dim-surviving partitions are ever read
+# — static pruning can't do this because the surviving keys are data,
+# not literals. Both sides are real parquet roundtrips (a
+# constant-foldable in-memory dim would defeat the point);
+# tests/test_plans.py pins the dynamicpruning subquery's presence.
+
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="dpp_")
+    fact_dir = os.path.join(base, "orders")
+    dim_dir = os.path.join(base, "dim")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact_dir)
+    (
+        orders.select("o_orderpriority").distinct()
+        .selectExpr(
+            "o_orderpriority AS p",
+            "CAST(o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'"
+            " AS INT) AS hot")
+        .write.mode("overwrite").parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where("hot = 1")
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.p)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .alias("revenue_cents"),
+        )
+    )
+
+
+DPP_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+GROUP BY o_orderpriority
+"""
+
+
+SPECS += [
+    QuerySpec("dpp_partitioned_join", dpp_partitioned_join, DPP_ORACLE,
+              "runtime dynamic partition pruning through a parquet roundtrip",
+              ("io", "optimizer")),
+]

@@ -287,6 +287,7 @@ HEADLINE = [
     "dedup_substring_k_sweep",
     "mm_cdc_dedup",
     "ts_holt_forecast",
+    "dpp_partitioned_join",
 ]
 
 

@@ -507,3 +507,15 @@ def test_shuffle_budget(spark, name):
     assert n <= SHUFFLE_BUDGETS[name], (
         f"{name}: {n} wide Exchange nodes > budget {SHUFFLE_BUDGETS[name]}\n{plan}"
     )
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """The partitioned-fact x filtered-dim join must carry a runtime
+    dynamicpruningexpression in the fact scan's PartitionFilters — the
+    property that turns a full 100 TB scan into reading only the
+    dim-surviving partitions."""
+    from apache_flink_datastream_api_spark.operators.io_roundtrip import (
+        dpp_partitioned_join)
+
+    plan = explain_string(dpp_partitioned_join(spark, SF_DIR), "formatted")
+    assert "dynamicpruning" in plan.lower(), plan
