@@ -1574,3 +1574,58 @@ SPECS += [
               "LISTAGG WITHIN GROUP ordered string agg (per-cohort timeline)",
               ("relational", "spark4", "sql-surface")),
 ]
+
+
+# --- NULL three-valued-logic semantics pin ------------------------------------
+# The parity corner engines disagree on most often, pinned as one
+# integer row: = vs null-safe equality (Spark <=> ≡ DuckDB IS NOT
+# DISTINCT FROM), NULL's own GROUP BY / DISTINCT group, the NOT IN
+# (..., NULL) trap (never true under 3VL), and COUNT vs COUNT(col).
+# Inputs derive NULLs deterministically from orders (every 10th key).
+
+def q_null_semantics_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "orders").selectExpr(
+        "CASE WHEN o_orderkey % 10 = 0 THEN NULL"
+        " ELSE o_orderkey % 5 END AS v")
+    return v.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.sum(F.expr("CAST(v = v AS BIGINT)")).alias("eq_self_true"),
+        F.sum(F.expr("CAST(v <=> v AS BIGINT)")).alias("nullsafe_self_true"),
+        F.countDistinct("v").alias("n_distinct_nonnull"),
+        F.expr("CAST(COUNT(DISTINCT v) + MAX(CAST(v IS NULL AS INT))"
+               " AS BIGINT)").alias("n_groups_with_null"),
+        F.sum(F.expr("CAST(v NOT IN (1, NULL) AS BIGINT)"))
+        .alias("not_in_null_trap"),
+        F.sum(F.expr("CAST(coalesce(v, -1) AS BIGINT)")).alias("coalesce_sum"),
+    )
+
+
+Q_NULL_SEMANTICS_ORACLE = """
+WITH vals AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+         ELSE o_orderkey % 5 END AS v
+  FROM orders
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(v) AS n_nonnull,
+       CAST(COALESCE(SUM(CAST(v = v AS BIGINT)), 0) AS BIGINT)
+         AS eq_self_true,
+       CAST(SUM(CAST(v IS NOT DISTINCT FROM v AS BIGINT)) AS BIGINT)
+         AS nullsafe_self_true,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_nonnull,
+       CAST(COUNT(DISTINCT v) + MAX(CAST(v IS NULL AS INT)) AS BIGINT)
+         AS n_groups_with_null,
+       CAST(COALESCE(SUM(CAST(v NOT IN (1, NULL) AS BIGINT)), 0) AS BIGINT)
+         AS not_in_null_trap,
+       CAST(SUM(COALESCE(v, -1)) AS BIGINT) AS coalesce_sum
+FROM vals
+"""
+
+
+SPECS += [
+    QuerySpec("q_null_semantics_pin", q_null_semantics_pin,
+              Q_NULL_SEMANTICS_ORACLE,
+              "3VL parity matrix: null-safe eq, NULL groups, NOT IN trap",
+              ("relational", "semantics-pin")),
+]

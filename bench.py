@@ -288,6 +288,7 @@ HEADLINE = [
     "mm_cdc_dedup",
     "ts_holt_forecast",
     "dpp_partitioned_join",
+    "q_null_semantics_pin",
 ]
 
 
