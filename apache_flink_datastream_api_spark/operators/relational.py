@@ -1629,3 +1629,54 @@ SPECS += [
               "3VL parity matrix: null-safe eq, NULL groups, NOT IN trap",
               ("relational", "semantics-pin")),
 ]
+
+
+# --- datetime & float->int conversion semantics pin ---------------------------
+# Documents-by-assertion the cross-engine conventions every other oracle
+# in this repo silently relies on:
+# - day-of-week numbering differs (Spark dayofweek: Sunday=1; DuckDB
+#   dayofweek: Sunday=0) — the PORTABLE form is ISO dow, spelled
+#   weekday(ts)+1 in Spark and isodow(ts) in DuckDB;
+# - week-of-year is ISO on both (weekofyear ≡ week);
+# - round() is half-away-from-zero on both;
+# - CAST(double AS BIGINT) DIVERGES (Spark truncates toward zero, DuckDB
+#   rounds) — the portable form pins Spark CAST against DuckDB trunc().
+# All outputs are integer sums over events, so any convention drift
+# breaks the hash loudly.
+
+def q_datetime_semantics_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("CAST(weekday(ts) + 1 AS BIGINT)")).alias("sum_iso_dow"),
+        F.sum(F.expr("CAST(weekofyear(ts) AS BIGINT)")).alias("sum_iso_week"),
+        F.sum(F.expr("CAST(day(ts) AS BIGINT)")).alias("sum_dom"),
+        F.sum(F.expr("CAST(hour(ts) AS BIGINT)")).alias("sum_hour"),
+        F.sum(F.expr("CAST(round(value) AS BIGINT)")).alias("sum_round0"),
+        F.sum(F.expr("CAST(floor(value) AS BIGINT)")).alias("sum_floor"),
+        F.sum(F.expr("CAST(ceil(value) AS BIGINT)")).alias("sum_ceil"),
+        # Spark CAST truncates; DuckDB CAST rounds -> oracle uses trunc()
+        F.sum(F.expr("CAST(value AS BIGINT)")).alias("sum_trunc"),
+    )
+
+
+Q_DATETIME_SEMANTICS_ORACLE = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(isodow(ts)) AS BIGINT) AS sum_iso_dow,
+       CAST(SUM(week(ts)) AS BIGINT) AS sum_iso_week,
+       CAST(SUM(day(ts)) AS BIGINT) AS sum_dom,
+       CAST(SUM(hour(ts)) AS BIGINT) AS sum_hour,
+       CAST(SUM(CAST(round(value) AS BIGINT)) AS BIGINT) AS sum_round0,
+       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+       CAST(SUM(CAST(ceil(value) AS BIGINT)) AS BIGINT) AS sum_ceil,
+       CAST(SUM(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_trunc
+FROM events
+"""
+
+
+SPECS += [
+    QuerySpec("q_datetime_semantics_pin", q_datetime_semantics_pin,
+              Q_DATETIME_SEMANTICS_ORACLE,
+              "ISO dow/week + rounding + the CAST-truncates-vs-rounds pin",
+              ("relational", "semantics-pin", "temporal")),
+]

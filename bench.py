@@ -289,6 +289,7 @@ HEADLINE = [
     "ts_holt_forecast",
     "dpp_partitioned_join",
     "q_null_semantics_pin",
+    "q_datetime_semantics_pin",
 ]
 
 
