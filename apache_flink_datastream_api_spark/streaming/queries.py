@@ -1482,3 +1482,28 @@ if _protobuf_available():
                   "per-key ValueState aggregation on Spark 4 transformWithStateInPandas",
                   ("streaming", "stateful", "spark4")),
     ]
+
+
+# --- X10: online Holt smoothing through the real engine -----------------------
+
+def x10_holt_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.statistics import TS_HOLT_ORACLE  # shared oracle
+    from .state import holt_smoother
+
+    stream = _events_stream(spark, sf_dir).selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    return run_available_now(holt_smoother(stream), spark, mode="update")
+
+
+from ..operators.statistics import TS_HOLT_ORACLE as _TS_HOLT_ORACLE  # noqa: E402
+
+SPECS += [
+    QuerySpec(
+        "x10_holt_stream", x10_holt_stream,
+        # identical semantics to the batch operator -> shared oracle
+        _TS_HOLT_ORACLE,
+        "online Holt level+trend smoothing in keyed streaming state",
+        ("streaming", "stateful", "forecast")),
+]

@@ -570,3 +570,88 @@ def zscore_alerts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- X10: online Holt level+trend smoothing in keyed state -------------------
+# The migrate-your-ProcessFunction story: the batch Holt recurrence
+# (operators/statistics.ts_holt_forecast) running ONLINE — keyed state
+# carries (last_day, open-day cents, level, trend, n_days) across
+# micro-batches; each batch folds completed days through the exact
+# integer recurrence and emits the CURRENT smoothed state per user with
+# the still-open day provisionally folded (so a bounded replay's final
+# emit equals the batch operator row for row — the oracle is shared).
+
+HOLT_STATE = StructType(
+    [
+        StructField("last_day", LongType()),
+        StructField("day_cents", LongType()),
+        StructField("lvl", LongType()),
+        StructField("trend", LongType()),
+        StructField("n_days", LongType()),
+    ]
+)
+
+_HOLT_SCALE = 1_000_000
+
+
+def _tdiv(a: int, d: int) -> int:
+    """Truncating division (Spark div / DuckDB // semantics)."""
+    return -((-a) // d) if a < 0 else a // d
+
+
+def _holt_fold(lvl, trend, n_days, cents):
+    y = cents * _HOLT_SCALE
+    if n_days == 0:
+        return y, 0, 1
+    prev = lvl
+    lvl = _tdiv(y + 3 * (lvl + trend), 4)
+    trend = _tdiv((lvl - prev) + 3 * trend, 4)
+    return lvl, trend, n_days + 1
+
+
+def make_holt_smoother(key_name: str):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = _sorted(pdfs)
+        last_day, day_cents, lvl, trend, n_days = (
+            state.get if state.exists else (None, 0, 0, 0, 0))
+        for ts, c in zip(rows["ts_ms"], rows["cents"]):
+            d = int(ts) // 86_400_000
+            if last_day is None:
+                last_day, day_cents = d, 0
+            elif d != last_day:
+                lvl, trend, n_days = _holt_fold(lvl, trend, n_days, day_cents)
+                last_day, day_cents = d, 0
+            day_cents += int(c)
+        state.update((last_day, day_cents, lvl, trend, n_days))
+        # provisional fold of the still-open day for the emit
+        if last_day is not None:
+            e_lvl, e_trend, e_n = _holt_fold(lvl, trend, n_days, day_cents)
+            yield pd.DataFrame(
+                [(key[0], e_n, e_lvl, e_trend, e_lvl + e_trend)],
+                columns=[key_name, "n_days", "level_micro", "trend_micro",
+                         "forecast_micro"])
+
+    return fn
+
+
+def holt_smoother(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """X10 streaming operator: df must contain (key_col, ts_ms, cents).
+    Output: (key_col, n_days, level_micro, trend_micro, forecast_micro)."""
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("n_days", LongType()),
+            StructField("level_micro", LongType()),
+            StructField("trend_micro", LongType()),
+            StructField("forecast_micro", LongType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        make_holt_smoother(key_col),
+        outputStructType=out_schema,
+        stateStructType=HOLT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -290,6 +290,7 @@ HEADLINE = [
     "dpp_partitioned_join",
     "q_null_semantics_pin",
     "q_datetime_semantics_pin",
+    "x10_holt_stream",
 ]
 
 
