@@ -908,3 +908,178 @@ SPECS += [
               "content-defined chunking + cross-payload chunk dedup rollup",
               ("multimodal", "dedup", "storage")),
 ]
+
+
+# --- video: scene-change detection over real decoded frame sequences --------
+# The video twin of the decode family (ref has no media ops; this is the
+# LLM-pipeline extension mandate): each sampled doc carries a short
+# "video" — SCENE_FRAMES genuine PPM P6 payloads, one per frame, whose
+# pixel rule shifts by +40 at a per-doc cut frame. The operator decodes
+# every frame with the REAL parser and emits the exact sum-of-absolute-
+# differences between consecutive frames plus the thresholded cut flag —
+# the standard SAD shot-boundary detector. The oracle replays the pixel
+# rule (including the mod-256 wraparound, where |Δ| is 216 not 40) so
+# the whole decode→diff→threshold path is hash-checked.
+#
+# Scale: frames for one doc never leave their mapInPandas batch (the
+# SAD is computed where the payload lives — no shuffle carries pixels);
+# sampling is a pushed-down filter; output is one thin row per frame
+# transition. A real detector swaps _ppm_parse for an ffmpeg frame
+# iterator — batch shape and schema are unchanged.
+
+SCENE_FRAMES = 6
+SCENE_SHIFT = 40
+SCENE_DOC_MOD = 7  # deterministic corpus sample: doc_id % 7 == 3
+SCENE_SCHEMA = "doc_id bigint, frame_idx int, sad bigint, is_cut int"
+
+
+def _ppm_frame_synthesize(doc_id: int, f: int, cut: int, w: int, h: int) -> bytes:
+    header = f"P6\n{w} {h}\n255\n".encode()
+    n = w * h * 3
+    shift = SCENE_SHIFT if f >= cut else 0
+    pix = (doc_id * 31 + np.arange(n, dtype=np.int64) + shift) % 256
+    return header + pix.astype(np.uint8).tobytes()
+
+
+def detect_scene_changes(df: DataFrame) -> DataFrame:
+    """(doc_id) → per-transition SAD + cut flag over real decoded frames.
+
+    Threshold: mean absolute channel difference > 20, i.e.
+    sad > 20 * 3 * w * h."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 1 + (d * 7) % 16
+                h = 1 + (d * 13) % 12
+                cut = 1 + d % (SCENE_FRAMES - 1)
+                frames = [
+                    _ppm_parse(_ppm_frame_synthesize(d, f, cut, w, h))
+                    .astype(np.int64)
+                    for f in range(SCENE_FRAMES)
+                ]
+                thresh = 20 * 3 * w * h
+                for f in range(1, SCENE_FRAMES):
+                    sad = int(np.abs(frames[f] - frames[f - 1]).sum())
+                    rows.append((d, f, sad, int(sad > thresh)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "sad", "is_cut"])
+
+    return df.select("doc_id").mapInPandas(run, SCENE_SCHEMA)
+
+
+def mm_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % SCENE_DOC_MOD == 3)
+    return detect_scene_changes(docs)
+
+
+MM_SCENE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         1 + (doc_id * 7) % 16 AS w,
+         1 + (doc_id * 13) % 12 AS h,
+         1 + doc_id % {SCENE_FRAMES - 1} AS cut
+  FROM documents WHERE doc_id % {SCENE_DOC_MOD} = 3
+), px AS (
+  SELECT doc_id, w, h, f,
+         abs(((doc_id * 31 + k
+               + CASE WHEN f >= cut THEN {SCENE_SHIFT} ELSE 0 END) % 256)
+             - ((doc_id * 31 + k
+               + CASE WHEN f - 1 >= cut THEN {SCENE_SHIFT} ELSE 0 END) % 256))
+           AS dv
+  FROM dims,
+       LATERAL (SELECT unnest(range(1, {SCENE_FRAMES})) AS f) ff,
+       LATERAL (SELECT unnest(range(w * h * 3)) AS k) kk
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(SUM(dv) AS BIGINT) AS sad,
+       CAST(CASE WHEN SUM(dv) > 20 * 3 * MAX(w) * MAX(h)
+            THEN 1 ELSE 0 END AS INT) AS is_cut
+FROM px GROUP BY doc_id, f
+"""
+
+
+SPECS += [
+    QuerySpec("mm_scene_detect", mm_scene_detect, MM_SCENE_ORACLE,
+              "SAD shot-boundary detection over real decoded PPM frame sequences",
+              ("multimodal", "codec", "video")),
+]
+
+
+# --- audio: per-chunk DSP features over real decoded WAV payloads -----------
+# The feature-extraction stage after chunk_audio: decode the REAL WAV
+# container (stdlib wave, same payloads as mm_wav_codec_roundtrip),
+# window into fixed 64-sample chunks, and emit the classic integer DSP
+# trio per chunk — energy (sum of squares), zero-crossing count (sign
+# flips across consecutive samples inside the chunk), and peak
+# amplitude. Every stat is exact 64-bit integer arithmetic, so the
+# oracle recomputes them from the sample rule (recomputing v(i-1)
+# arithmetically instead of LAG keeps the oracle windowless).
+#
+# Scale: one mapInPandas stage, payloads never shuffle, output is thin
+# (doc, chunk) rows; a real pipeline swaps the synthesized payload for
+# a lakehouse binary column and nothing else changes.
+
+AUDIO_CHUNK = 64
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, chunk_idx int, n_samples int, energy bigint, "
+    "zero_crossings int, peak int"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                _, samples = _wav_parse(_wav_synthesize(d))
+                v = samples.astype(np.int64)
+                for c in range(-(-len(v) // AUDIO_CHUNK)):
+                    ch = v[c * AUDIO_CHUNK:(c + 1) * AUDIO_CHUNK]
+                    neg = ch < 0
+                    rows.append((
+                        d, c, len(ch),
+                        int((ch * ch).sum()),
+                        int((neg[1:] != neg[:-1]).sum()),
+                        int(np.abs(ch).max()),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "chunk_idx", "n_samples", "energy",
+                "zero_crossings", "peak"])
+
+    return df.select("doc_id").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_audio_features(load_table(spark, sf_dir, "documents"))
+
+
+MM_AUDIO_FEATURES_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 160 + doc_id % 160 AS n FROM documents
+), samp AS (
+  SELECT doc_id, i // {AUDIO_CHUNK} AS c,
+         ((doc_id * 17 + i * 7) % 65536) - 32768 AS v,
+         CASE WHEN i % {AUDIO_CHUNK} > 0 THEN
+           ((doc_id * 17 + (i - 1) * 7) % 65536) - 32768 END AS pv
+  FROM dims, LATERAL (SELECT unnest(range(n)) AS i)
+)
+SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN (pv < 0) <> (v < 0) THEN 1 ELSE 0 END) AS INT)
+         AS zero_crossings,
+       CAST(MAX(abs(v)) AS INT) AS peak
+FROM samp GROUP BY doc_id, c
+"""
+
+
+SPECS += [
+    QuerySpec("mm_audio_features", mm_audio_features, MM_AUDIO_FEATURES_ORACLE,
+              "per-chunk energy / zero-crossing / peak over real decoded WAV",
+              ("multimodal", "codec", "audio")),
+]

@@ -254,6 +254,8 @@ HEADLINE = [
     "q_funnel_any_order",
     "mm_ppm_codec_roundtrip",
     "mm_wav_codec_roundtrip",
+    "mm_scene_detect",
+    "mm_audio_features",
     "mm_ann_pipeline",
     "q_try_semantics",
     "pipeline_epoch_mixture",
