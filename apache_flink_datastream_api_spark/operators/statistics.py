@@ -3360,3 +3360,102 @@ SPECS += [
               "Holt level+trend smoothing per user, integer-exact recurrence",
               ("timeseries", "forecast", "stateful")),
 ]
+
+
+# --- label-propagation community detection (synchronous, 3 rounds) ----------
+# The community-structure companion to graph_kcore_peel on the same
+# co-purchase graph (parts sharing an order basket). Classic synchronous
+# LPA: every node starts in its own community (label = part key); each
+# round it adopts the most frequent label among its neighbors, ties
+# broken toward the SMALLEST label so the fixture is deterministic
+# (async LPA's tie coin-flips are the non-reproducible part — the
+# synchronous min-tie variant is the one you can oracle-check). Output
+# is the convergence trajectory: communities collapse round over round.
+#
+# Scale: each round is one equi-join (edges ⋈ labels on the neighbor
+# key) + one (node, label) count + one argmax — all key-partitioned
+# shuffles on node id; the argmax is max(struct(cnt, -label)), no
+# window. localCheckpoint between rounds truncates the lineage exactly
+# like the k-core peel. Rounds are bounded (3), not run-to-convergence:
+# at 100 TB you budget rounds, checkpoint state, and measure the
+# community histogram per round — which is precisely the emitted shape.
+
+LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    edges = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS pa, y AS pb))))")).alias("p"))
+        .select("p.pa", "p.pb").distinct()
+    )
+    e = (
+        edges.selectExpr("pa AS u", "pb AS v")
+        .unionAll(edges.selectExpr("pb AS u", "pa AS v"))
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select("u").distinct().withColumn("label", F.col("u"))
+    rounds = []
+    for r in range(1, LPA_ROUNDS + 1):
+        nb = e.join(labels.selectExpr("u AS v", "label"), "v")
+        counts = nb.groupBy("u", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("u")
+            .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("m"))
+            .selectExpr("u", "-m.nl AS label")
+            .localCheckpoint(eager=True)
+        )
+        sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
+        rounds.append(sizes.agg(
+            F.lit(r).alias("round"),
+            F.count("*").alias("n_communities"),
+            F.max("sz").alias("largest_size"),
+        ))
+    out = rounds[0]
+    for nxt in rounds[1:]:
+        out = out.unionAll(nxt)
+    return out
+
+
+def _lpa_oracle() -> str:
+    parts = ["""WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), ed AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+), e0 AS MATERIALIZED (
+  SELECT pa AS u, pb AS v FROM ed UNION ALL SELECT pb, pa FROM ed
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT u, u AS label FROM e0
+)"""]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f""", c{r} AS MATERIALIZED (
+  SELECT e.u, l.label, COUNT(*) AS c
+  FROM e0 e JOIN l{r-1} l ON e.v = l.u GROUP BY 1, 2
+), l{r} AS MATERIALIZED (
+  SELECT u, label FROM c{r}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, label ASC) = 1
+)""")
+    selects = [
+        f"SELECT {r} AS round,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_communities,"
+        f" CAST(MAX(sz) AS BIGINT) AS largest_size FROM"
+        f" (SELECT label, COUNT(*) AS sz FROM l{r} GROUP BY 1)"
+        for r in range(1, LPA_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+Q_LPA_ORACLE = _lpa_oracle()
+
+
+SPECS += [
+    QuerySpec("graph_label_propagation", graph_label_propagation, Q_LPA_ORACLE,
+              "synchronous min-tie LPA communities: collapse trajectory over 3 rounds",
+              ("graph", "iterative")),
+]
