@@ -1601,3 +1601,94 @@ SPECS += [
               "brute-force KNN over int8-quantized vectors, integer-exact",
               ("similarity", "ann")),
 ]
+
+
+# --- scalable k-means seeding: deterministic farthest-point init ------------
+# The missing stage BEFORE emb_kmeans_lloyd: Lloyd iterations need K seed
+# centers, and at scale you pick them with a distance-based sweep
+# (k-means++ / k-means|| family), not a random sample. This is the
+# deterministic max-variant: seed with the smallest vec_id, then K-1
+# rounds of "adopt the point farthest from its nearest chosen center"
+# (ties toward the smallest vec_id). Distances are exact integer squared
+# L2 over the int8-quantized vectors (emb_quantize_int8's rule), so the
+# trajectory hash-matches; the random-k-means++ D²-sampling swap-in only
+# changes the argmax into a weighted draw.
+#
+# Scale: the per-round work is ONE narrow map over all vectors (min-dist
+# update against a single literal center — no join, no shuffle) plus a
+# distributed argmax that Catalyst executes as TakeOrderedAndProject
+# (limit 1) — per-partition top-1 then a K-row driver merge. Driver state
+# is K center vectors (bounded, K=5), the same contract as
+# emb_kmeans_lloyd's collected centroids.
+
+KMEANS_INIT_K = 5
+_QI8 = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+
+
+def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr("vec_id", f"{_QI8} AS q").localCheckpoint(eager=True)
+
+    def dist_to(center: list[int]):
+        c = F.array(*[F.lit(int(x)).cast("long") for x in center])
+        return F.aggregate(
+            F.zip_with("q", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, int(seed.vec_id), 0)]
+    cur = q.withColumn("md", dist_to(seed.q))
+    for r in range(1, KMEANS_INIT_K):
+        pick = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        chosen.append((r, int(pick.vec_id), int(pick.md)))
+        cq = q.where(F.col("vec_id") == int(pick.vec_id)).collect()[0].q
+        cur = cur.withColumn("md", F.least(F.col("md"), dist_to(cq)))
+    return spark.createDataFrame(
+        chosen, "sel_round int, vec_id bigint, min_dist bigint")
+
+
+def _kmeans_init_oracle() -> str:
+    dist = ("CAST(p.qq + c.qq - 2 * CAST(list_dot_product("
+            "CAST(p.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])) AS BIGINT)"
+            " AS BIGINT)")
+    parts = [f"""WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT)) AS q
+  FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, q,
+         CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+              AS BIGINT) AS qq
+  FROM qv
+), c0 AS MATERIALIZED (
+  SELECT vec_id, q, qq FROM n ORDER BY vec_id LIMIT 1
+), m1 AS MATERIALIZED (
+  SELECT p.vec_id, p.q, p.qq, {dist} AS md FROM n p, c0 c
+)"""]
+    for r in range(1, KMEANS_INIT_K):
+        parts.append(f""", c{r} AS MATERIALIZED (
+  SELECT vec_id, q, qq, md FROM m{r} ORDER BY md DESC, vec_id LIMIT 1
+)""")
+        if r < KMEANS_INIT_K - 1:
+            parts.append(f""", m{r+1} AS MATERIALIZED (
+  SELECT p.vec_id, p.q, p.qq, LEAST(p.md, {dist}) AS md FROM m{r} p, c{r} c
+)""")
+    selects = ["SELECT CAST(0 AS INT) AS sel_round, vec_id,"
+               " CAST(0 AS BIGINT) AS min_dist FROM c0"]
+    selects += [
+        f"SELECT CAST({r} AS INT) AS sel_round, vec_id,"
+        f" CAST(md AS BIGINT) AS min_dist FROM c{r}"
+        for r in range(1, KMEANS_INIT_K)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+EMB_KMEANS_INIT_ORACLE = _kmeans_init_oracle()
+
+
+SPECS += [
+    QuerySpec("emb_kmeans_pp_init", emb_kmeans_pp_init, EMB_KMEANS_INIT_ORACLE,
+              "deterministic farthest-point k-means seeding, integer-exact trajectory",
+              ("similarity", "ann", "iterative")),
+]
