@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as X
-from ..functions.hashing import portable_hash64_sql
+from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..registry import QuerySpec
 from ..sources.tables import load_table, spread_small_source
 
@@ -1643,4 +1643,77 @@ SPECS += [
               ML_PERCEPTRON_ORACLE,
               "integer batch perceptron on hashed token features (lang=='en')",
               ("text", "ml", "iterative")),
+]
+
+
+# --- n-gram novelty: eval-memorization audit against the train split --------
+# The train/eval contamination question asked from the EVAL side: for
+# each held-out doc, how many of its word 5-grams already appear
+# anywhere in the train split? (pipeline_decontaminate answers the
+# train-side "drop contaminated train docs" form; this emits the graded
+# per-doc novelty report you run on a benchmark or a generation sample
+# to detect memorization.) Split is the deterministic doc_id % 10 device
+# (8/2 train/eval). Novelty = 1 - seen-fraction, reported in exact ppm.
+#
+# Scale: both sides reduce to DISTINCT 60-bit shingle hashes before the
+# join, so the wide operation is one equi-join on the hash key (never
+# strings), map-side-combined counts after — the same shape as the
+# dedup family. The train gram set is corpus-scale: a shuffle hash join
+# on h is the right plan (broadcast would not survive 100 TB).
+
+NOVELTY_K = 5
+NOVELTY_TRAIN_MOD = 8  # doc_id % 10 < 8 → train, else eval
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", f"{X.tokens_spark('text')} AS toks")
+    grams = toks.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(
+            F.expr(X.shingles_spark("toks", NOVELTY_K)))).alias("shingle"),
+    ).where(F.col("shingle").isNotNull()).select(
+        "doc_id", portable_hash64("shingle").alias("h"))
+    train_set = (grams.where(F.col("doc_id") % 10 < NOVELTY_TRAIN_MOD)
+                 .select("h").distinct())
+    test = grams.where(F.col("doc_id") % 10 >= NOVELTY_TRAIN_MOD)
+    joined = test.join(
+        train_set.withColumn("seen", F.lit(1)), "h", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.coalesce(F.col("seen"), F.lit(0))).alias("n_seen"))
+        .selectExpr(
+            "doc_id", "n_grams", "CAST(n_seen AS BIGINT) AS n_seen",
+            "(n_grams - n_seen) * 1000000 div n_grams AS novelty_ppm")
+    )
+
+
+TEXT_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {X.tokens_duck('text')} AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, unnest({X.shingles_duck('toks', NOVELTY_K)}) AS shingle
+  FROM toks
+), h AS (
+  SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM grams
+), train_set AS (
+  SELECT DISTINCT h FROM h WHERE doc_id % 10 < {NOVELTY_TRAIN_MOD}
+), test AS (
+  SELECT * FROM h WHERE doc_id % 10 >= {NOVELTY_TRAIN_MOD}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_seen,
+       CAST((COUNT(*) - SUM(CASE WHEN s.h IS NULL THEN 0 ELSE 1 END))
+            * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM test t LEFT JOIN train_set s ON t.h = s.h
+GROUP BY t.doc_id
+"""
+
+
+SPECS += [
+    QuerySpec("text_ngram_novelty", text_ngram_novelty, TEXT_NOVELTY_ORACLE,
+              "per-eval-doc 5-gram novelty vs the train split, exact ppm",
+              ("text", "dedup", "trainprep")),
 ]

@@ -244,6 +244,7 @@ HEADLINE = [
     "dedup_prefix_filter_join",
     "graph_degree_assortativity",
     "graph_kcore_peel",
+    "graph_label_propagation",
     "q_basket_triples",
     "q_pandas_udaf_median",
     "dedup_incremental",
@@ -269,6 +270,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_substring_audit",
     "text_bpe_encode",
+    "text_ngram_novelty",
     "knn_recall_report",
     "knn_recall_report_approx",
     "mm_image_decode",
@@ -276,6 +278,7 @@ HEADLINE = [
     "mm_feature_extract",
     "dedup_substring_clean",
     "knn_int8_cosine",
+    "emb_kmeans_pp_init",
     "x8_dedup_stream",
     "text_lm_score",
     "text_bpe_vocab",
