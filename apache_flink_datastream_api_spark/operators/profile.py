@@ -360,3 +360,77 @@ SPECS += [
               "quasi-identifier equivalence-class k-anonymity audit",
               ("profile", "governance", "audit")),
 ]
+
+
+# --- l-diversity audit (the release gate after k-anonymity) -----------------
+# k-anonymity (above) only bounds CLASS SIZE; a class of 50 people who all
+# share one salary band still leaks the sensitive value. Distinct
+# l-diversity is the standard next gate: within every quasi-identifier
+# class (nation × market segment), the sensitive attribute (account
+# balance, bucketed to 5000-currency bands like a published salary band)
+# must take at least L distinct values. Emit the risky classes with
+# their diversity, the dominant band's share (homogeneity-attack
+# exposure, exact ppm), and the corpus rollup broadcast onto each row —
+# the same report shape as dq_k_anonymity so the two run as one suite.
+#
+# Scale: two keyed aggregations (class×band, then class) + a 1-row
+# broadcast — no window, no skew risk beyond the natural QI classes.
+
+LDIV_L = 3
+
+
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", "c_mktsegment",
+        "CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS band")
+    per_band = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").alias("n"))
+    classes = per_band.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("l_diversity"),
+        F.sum("n").alias("class_size"),
+        F.max("n").alias("dominant_n"),
+    ).selectExpr(
+        "c_nationkey", "c_mktsegment", "l_diversity", "class_size",
+        "dominant_n * 1000000 div class_size AS dominant_ppm")
+    totals = classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.expr(f"CAST(l_diversity < {LDIV_L} AS BIGINT)"))
+        .alias("n_risky_classes"),
+    )
+    return (
+        classes.where(f"l_diversity < {LDIV_L}")
+        .crossJoin(F.broadcast(totals))
+        .select("c_nationkey", "c_mktsegment", "l_diversity", "class_size",
+                "dominant_ppm", "n_classes", "n_risky_classes")
+    )
+
+
+DQ_L_DIVERSITY_ORACLE = f"""
+WITH per_band AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS band, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+), classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS l_diversity,
+         CAST(SUM(n) AS BIGINT) AS class_size,
+         CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT) AS dominant_ppm
+  FROM per_band GROUP BY 1, 2
+), totals AS (
+  SELECT COUNT(*) AS n_classes,
+         CAST(SUM(CAST(l_diversity < {LDIV_L} AS BIGINT)) AS BIGINT)
+           AS n_risky_classes
+  FROM classes
+)
+SELECT c_nationkey, c_mktsegment, l_diversity, class_size, dominant_ppm,
+       n_classes, n_risky_classes
+FROM classes, totals
+WHERE l_diversity < {LDIV_L}
+"""
+
+
+SPECS += [
+    QuerySpec("dq_l_diversity", dq_l_diversity, DQ_L_DIVERSITY_ORACLE,
+              "distinct l-diversity of sensitive bands within QI classes",
+              ("profile", "governance", "audit")),
+]

@@ -428,6 +428,8 @@ def test_registry_wide_plan_hygiene(spark):
         "text_bpe_vocab",               # per-round argmax broadcasts (BPE chain)
         "ml_perceptron_langid",         # 1-row final-accuracy aggregate broadcast
         "dq_k_anonymity",               # 1-row corpus-totals broadcast
+        "dq_l_diversity",               # 1-row corpus-totals broadcast
+        "q_cuped_adjustment",           # 1-row global-moments broadcast
         "ts_journey_topk",              # 1-row query-size broadcast (qn)
     }
     violations = []
