@@ -3459,3 +3459,119 @@ SPECS += [
               "synchronous min-tie LPA communities: collapse trajectory over 3 rounds",
               ("graph", "iterative")),
 ]
+
+
+# --- Holt-Winters: additive seasonal triple smoothing (period 7) ------------
+# Completes the classical-smoothing ladder (EWMA → Holt → Holt-Winters):
+# level + trend + a weekly additive seasonal component, alpha = beta =
+# gamma = 1/4, over each user's observation-indexed daily cents series.
+# Same integer-exact contract as ts_holt_forecast (micro-scaled 64-bit
+# ints, truncating division mirrored across all three engines); the
+# seasonal lag makes the state a bounded ring of the last 7 seasonal
+# terms, which the oracle carries as a LIST column through the recursive
+# CTE — the recurrence is replayed exactly, not approximated.
+# Init: first observation seeds the level; seasonal terms warm up from 0
+# until a full period of history exists (s_prev = 0 while t <= 7).
+#
+# Scale: per-key applyInPandas automaton (the w9/CEP/ts_holt pattern) —
+# state is O(period) per user, keys distribute, no global order.
+
+HW_PERIOD = 7
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id",
+                    "CAST(unix_millis(ts) div 86400000 AS BIGINT) AS d",
+                    "CAST(round(value * 100) AS BIGINT) AS cents")
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        return -((-a) // d) if a < 0 else a // d
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from collections import deque
+
+        pdf = pdf.sort_values("d")
+        uid = int(pdf["user_id"].iloc[0])
+        ring: deque[int] = deque()
+        lvl = trend = None
+        n = 0
+        for c in pdf["cents"]:
+            y = int(c) * HOLT_SCALE
+            if lvl is None:
+                lvl, trend, s = y, 0, 0
+            else:
+                sprev = ring[0] if len(ring) == HW_PERIOD else 0
+                prev = lvl
+                lvl = tdiv(y - sprev + 3 * (lvl + trend), 4)
+                trend = tdiv((lvl - prev) + 3 * trend, 4)
+                s = tdiv((y - lvl) + 3 * sprev, 4)
+            ring.append(s)
+            if len(ring) > HW_PERIOD:
+                ring.popleft()
+            n += 1
+        season = ring[0] if len(ring) == HW_PERIOD else 0
+        return pd.DataFrame(
+            [(uid, n, lvl, trend, season, lvl + trend + season)],
+            columns=["user_id", "n_days", "level_micro", "trend_micro",
+                     "season_micro", "forecast_micro"])
+
+    return daily.groupBy("user_id").applyInPandas(
+        fn,
+        "user_id bigint, n_days bigint, level_micro bigint, "
+        "trend_micro bigint, season_micro bigint, forecast_micro bigint",
+    )
+
+
+def _hw_oracle() -> str:
+    sprev = f"CASE WHEN len(r.slist) = {HW_PERIOD} THEN r.slist[1] ELSE 0 END"
+    lexp = f"(s.y - ({sprev}) + 3 * (r.lvl + r.trend)) // 4"
+    bexp = f"(({lexp}) - r.lvl + 3 * r.trend) // 4"
+    sexp = f"(s.y - ({lexp}) + 3 * ({sprev})) // 4"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), series AS (
+  SELECT user_id, cents * {HOLT_SCALE} AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS idx,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_days
+  FROM daily
+), step(user_id, idx, lvl, trend, slist, n_days) AS (
+  SELECT user_id, idx, y, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)], n_days
+  FROM series WHERE idx = 1
+  UNION ALL
+  SELECT s.user_id, s.idx, {lexp}, {bexp},
+         CASE WHEN len(r.slist) = {HW_PERIOD}
+              THEN r.slist[2:{HW_PERIOD}] || [{sexp}]
+              ELSE r.slist || [{sexp}] END,
+         r.n_days
+  FROM step r JOIN series s
+    ON s.user_id = r.user_id AND s.idx = r.idx + 1
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+       lvl AS level_micro, trend AS trend_micro,
+       CASE WHEN len(slist) = {HW_PERIOD} THEN slist[1] ELSE 0 END
+         AS season_micro,
+       lvl + trend
+         + CASE WHEN len(slist) = {HW_PERIOD} THEN slist[1] ELSE 0 END
+         AS forecast_micro
+FROM step WHERE idx = n_days
+"""
+
+
+TS_HW_ORACLE = _hw_oracle()
+
+
+SPECS += [
+    QuerySpec("ts_holt_winters", ts_holt_winters, TS_HW_ORACLE,
+              "additive seasonal Holt-Winters per user, integer-exact recurrence",
+              ("timeseries", "forecast", "stateful")),
+]
