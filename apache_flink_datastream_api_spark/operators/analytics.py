@@ -1835,3 +1835,110 @@ SPECS += [
               "top 3-itemsets by support, basket-bounded map-side generation",
               ("analytics", "basket")),
 ]
+
+
+# --- CUPED variance-reduced experiment readout ------------------------------
+# The standard production upgrade to q_ab_readout: adjust each user's
+# experiment-period metric Y by their PRE-period metric X
+# (Yadj = Y - theta*(X - mean(X)), theta = cov(X,Y)/var(X)) so
+# between-user variance that existed before the experiment stops
+# polluting the uplift estimate. Periods split at a fixed experiment
+# start (Jan 16); variant is the same portable-hash assignment as
+# q_ab_readout (A/A on driver data — the adjusted means should agree).
+#
+# Exactness: every aggregate is an exact BIGINT sum over whole currency
+# units (n*Sxy and Sx*Sy stay ~3000x under int64 at sf0.1; a 100 TB run
+# lifts these four moments to DECIMAL(38) — same plan), and every float
+# is derived AFTER aggregation from those integers through one shared
+# scalar expression string, so both engines evaluate the identical IEEE
+# expression tree — no accumulation-order divergence.
+#
+# Scale: one user_id shuffle for per-user reduction, one variant
+# aggregation, a 1-row global-moments broadcast. theta is the classic
+# "driver-scale scalar derived from distributed moments".
+
+CUPED_SPLIT_MS = 1_705_363_200_000  # 2024-01-16 00:00 UTC
+
+_CUPED_THETA = (
+    "(CAST(g_n * gsum_xy - gsum_x * gsum_y AS DOUBLE)"
+    " / CAST(g_n * gsum_xx - gsum_x * gsum_x AS DOUBLE))"
+)
+_CUPED_COLS = (
+    "round(CAST(sum_y AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_y",
+    f"round({_CUPED_THETA}, 6) AS theta",
+    f"round((CAST(sum_y AS DOUBLE) - {_CUPED_THETA} * (CAST(sum_x AS DOUBLE)"
+    " - CAST(n_users AS DOUBLE)"
+    " * (CAST(gsum_x AS DOUBLE) / CAST(g_n AS DOUBLE))))"
+    " / CAST(n_users AS DOUBLE), 6) AS adj_mean_y",
+)
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        f"CASE WHEN unix_millis(ts) < {CUPED_SPLIT_MS}"
+        " THEN CAST(floor(value) AS BIGINT) ELSE 0 END AS x",
+        f"CASE WHEN unix_millis(ts) >= {CUPED_SPLIT_MS}"
+        " THEN CAST(floor(value) AS BIGINT) ELSE 0 END AS y",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum("x").alias("x"), F.sum("y").alias("y"))
+    g = per_user.agg(
+        F.count("*").alias("g_n"),
+        F.sum("x").alias("gsum_x"),
+        F.sum("y").alias("gsum_y"),
+        F.sum(F.expr("x * x")).alias("gsum_xx"),
+        F.sum(F.expr("x * y")).alias("gsum_xy"),
+    )
+    v = per_user.withColumn(
+        "variant",
+        F.pmod(portable_hash64(F.col("user_id").cast("string")), F.lit(2))
+        .cast("bigint"),
+    ).groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+    )
+    return v.crossJoin(F.broadcast(g)).selectExpr(
+        "variant", "n_users", "sum_x", "sum_y", *_CUPED_COLS)
+
+
+def _cuped_oracle() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_ms(ts) < {CUPED_SPLIT_MS}
+                  THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_ms(ts) >= {CUPED_SPLIT_MS}
+                  THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), g AS (
+  SELECT COUNT(*) AS g_n,
+         CAST(SUM(x) AS BIGINT) AS gsum_x,
+         CAST(SUM(y) AS BIGINT) AS gsum_y,
+         CAST(SUM(x * x) AS BIGINT) AS gsum_xx,
+         CAST(SUM(x * y) AS BIGINT) AS gsum_xy
+  FROM pu
+), v AS (
+  SELECT ((({h}) % 2) + 2) % 2 AS variant,
+         COUNT(*) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM pu GROUP BY 1
+)
+SELECT variant, n_users, sum_x, sum_y,
+       {", ".join(_CUPED_COLS)}
+FROM v, g
+"""
+
+
+SPECS += [
+    QuerySpec("q_cuped_adjustment", q_cuped_adjustment, _cuped_oracle(),
+              "CUPED pre-period covariate adjustment, exact moments + shared IEEE exprs",
+              ("analytics", "experiment")),
+]
