@@ -1193,3 +1193,84 @@ SPECS += [
               "sqrt-scaled epoch allocation per lang slice under a token budget",
               ("trainprep", "mixture")),
 ]
+
+
+# --- curriculum ordering: staged difficulty schedule with global positions --
+# The curriculum-learning prep step: rank the corpus easy → hard in
+# coarse STAGES (here a readability proxy — average token length in
+# centichars, fixed config thresholds), but shuffle WITHIN each stage
+# (portable 60-bit hash of doc_id) so batches stay i.i.d. inside a
+# stage. Every doc gets its exact global training position. The
+# position is NOT one global window: order key (stage, h, doc_id) is
+# sharded by (stage, hash-bucket) — row_number inside each shard, plus
+# a broadcast cumsum of the ~192 per-shard counts (3 stages × 64
+# buckets), the same two-pass prefix sum as pipeline_pack_sequences.
+# Bucket = top bits of the hash, so shard order == order-key order and
+# the sharded result equals the naive global window (the oracle).
+
+CURR_EASY_MAX = 540    # difficulty < 540  → stage 0
+CURR_MED_MAX = 556     # difficulty < 556  → stage 1, else stage 2
+CURR_BUCKETS = 64
+CURR_BUCKET_WIDTH = (1 << 60) // CURR_BUCKETS
+
+
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr(
+        "doc_id",
+        f"length(text) * 100 div size({TOKS_S}) AS difficulty",
+    ).withColumn(
+        "stage",
+        F.expr(f"CAST(CASE WHEN difficulty < {CURR_EASY_MAX} THEN 0 "
+               f"WHEN difficulty < {CURR_MED_MAX} THEN 1 ELSE 2 END AS INT)"),
+    ).withColumn(
+        "h", portable_hash64(F.col("doc_id").cast("string"))
+    ).withColumn(
+        "hbucket", F.expr(f"h div {CURR_BUCKET_WIDTH}")
+    )
+    in_shard = Window.partitionBy("stage", "hbucket").orderBy("h", "doc_id")
+    local = base.withColumn(
+        "local_pos", F.row_number().over(in_shard) - 1)
+    shard_w = Window.orderBy("stage", "hbucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    shard_bases = (
+        base.groupBy("stage", "hbucket").agg(F.count("*").alias("n"))
+        .withColumn("shard_base",
+                    F.coalesce(F.sum("n").over(shard_w), F.lit(0)))
+        .select("stage", "hbucket", "shard_base")
+    )
+    return (
+        local.join(F.broadcast(shard_bases), ["stage", "hbucket"])
+        .selectExpr("doc_id", "stage", "difficulty",
+                    "CAST(shard_base + local_pos AS BIGINT) AS global_pos")
+    )
+
+
+CURRICULUM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) * 100 // len({TOKS_D}) AS BIGINT) AS difficulty,
+         {portable_hash64_sql('CAST(doc_id AS VARCHAR)')} AS h
+  FROM documents
+), staged AS (
+  SELECT doc_id, difficulty,
+         CAST(CASE WHEN difficulty < {CURR_EASY_MAX} THEN 0
+              WHEN difficulty < {CURR_MED_MAX} THEN 1 ELSE 2 END AS INT)
+           AS stage, h
+  FROM base
+)
+SELECT doc_id, stage, difficulty,
+       CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT)
+         AS global_pos
+FROM staged
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_curriculum_order", pipeline_curriculum_order,
+              CURRICULUM_ORACLE,
+              "staged easy→hard curriculum with sharded-prefix-sum positions",
+              ("pipeline", "trainprep")),
+]

@@ -245,6 +245,10 @@ HEADLINE = [
     "graph_degree_assortativity",
     "graph_kcore_peel",
     "graph_label_propagation",
+    "dq_l_diversity",
+    "ts_holt_winters",
+    "q_cuped_adjustment",
+    "pipeline_curriculum_order",
     "q_basket_triples",
     "q_pandas_udaf_median",
     "dedup_incremental",
