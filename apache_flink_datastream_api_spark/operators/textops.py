@@ -1717,3 +1717,92 @@ SPECS += [
               "per-eval-doc 5-gram novelty vs the train split, exact ppm",
               ("text", "dedup", "trainprep")),
 ]
+
+
+# --- snippet-to-source quote attribution --------------------------------------
+# Memorization / quote auditing: given short query snippets (here: the
+# first QA_TOKENS tokens of every QA_MOD-th doc), find the OTHER corpus
+# documents that contain most of the snippet's word-3-gram shingles —
+# asymmetric containment |Q ∩ D| / |Q|, the direction whole-doc Jaccard
+# (dedup_ngram_jaccard) cannot see when |D| >> |Q|. 100 TB shape: the
+# snippet shingle set is tiny by construction (queries x ~10 shingles),
+# so it BROADCASTS and the corpus shingle table streams against it
+# map-side — one shuffle for the (qid, doc) rollup, never a self-join.
+
+QA_TOKENS = 12   # snippet length in tokens
+QA_K = 3         # word shingle width
+QA_MOD = 10      # every QA_MOD-th doc contributes a query snippet
+QA_MIN_OVERLAP = 2  # >=2 shared shingles (1 is md5-collision / stopword noise)
+QA_TOP = 3       # attributions reported per snippet
+
+
+def text_quote_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
+    sh = X.shingles_spark("toks", QA_K)
+    csh = toked.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(sh))).alias("shingle")
+    ).select("doc_id", portable_hash64("shingle").alias("sh_h"))
+    qsh = (
+        toked.where(F.col("doc_id") % QA_MOD == 0)
+        .selectExpr("doc_id AS qid", f"slice(toks, 1, {QA_TOKENS}) AS toks")
+        .select("qid", F.explode(F.array_distinct(F.expr(sh))).alias("shingle"))
+        .select("qid", portable_hash64("shingle").alias("sh_h"))
+    )
+    qn = qsh.groupBy("qid").agg(F.count("*").alias("nq"))
+    hits = (
+        csh.join(F.broadcast(qsh),
+                 (csh.sh_h == qsh.sh_h) & (csh.doc_id != qsh.qid))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= QA_MIN_OVERLAP)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), "doc_id")
+    return (
+        hits.join(F.broadcast(qn), "qid")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= QA_TOP)
+        .selectExpr(
+            "qid", "doc_id AS source_doc", "rank",
+            "nq AS n_snippet_shingles", "c AS n_overlap",
+            "c * 1000000 div nq AS containment_ppm",
+        )
+    )
+
+
+TEXT_QUOTE_ATTRIBUTION_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), csh AS (
+  SELECT DISTINCT doc_id, {portable_hash64_sql('shingle')} AS sh_h FROM (
+    SELECT doc_id, unnest({X.shingles_duck('toks', QA_K)}) AS shingle FROM toked)
+), qsh AS (
+  SELECT DISTINCT qid, {portable_hash64_sql('shingle')} AS sh_h FROM (
+    SELECT doc_id AS qid,
+           unnest({X.shingles_duck(f'(toks[1:{QA_TOKENS}])', QA_K)}) AS shingle
+    FROM toked WHERE doc_id % {QA_MOD} = 0)
+), qn AS (
+  SELECT qid, COUNT(*) AS nq FROM qsh GROUP BY 1
+), hits AS (
+  SELECT q.qid, c.doc_id, COUNT(*) AS c
+  FROM csh c JOIN qsh q ON c.sh_h = q.sh_h AND c.doc_id <> q.qid
+  GROUP BY 1, 2 HAVING COUNT(*) >= {QA_MIN_OVERLAP}
+), ranked AS (
+  SELECT qid, doc_id, c, nq,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, doc_id) AS rank
+  FROM hits JOIN qn USING (qid)
+)
+SELECT qid, doc_id AS source_doc, rank,
+       nq AS n_snippet_shingles, c AS n_overlap,
+       c * 1000000 // nq AS containment_ppm
+FROM ranked WHERE rank <= {QA_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("text_quote_attribution", text_quote_attribution,
+              TEXT_QUOTE_ATTRIBUTION_ORACLE,
+              "snippet-to-source attribution via broadcast containment join",
+              ("text", "dedup")),
+]

@@ -300,6 +300,8 @@ HEADLINE = [
     "q_null_semantics_pin",
     "q_datetime_semantics_pin",
     "x10_holt_stream",
+    # round 3 (cont.): attribution, link prediction, survival, kNN classify
+    "text_quote_attribution",
 ]
 
 
