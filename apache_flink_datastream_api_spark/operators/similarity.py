@@ -1692,3 +1692,65 @@ SPECS += [
               "deterministic farthest-point k-means seeding, integer-exact trajectory",
               ("similarity", "ann", "iterative")),
 ]
+
+
+# --- kNN majority-vote label assignment ---------------------------------------
+# The labeling capstone over the integer-exact ladder: classify each query
+# vector by the majority label of its knn_int8_cosine top-10, tie-broken
+# by smaller label id. Because the neighbor ranking is integer-exact, the
+# vote counts — and therefore the predicted labels — hash-match the
+# oracle, turning "kNN classification" into a driver-checked result
+# instead of a trust-the-recall-test claim. 100 TB shape: the neighbor
+# table is query-bounded (|Q| x K rows), so the label joins broadcast;
+# nothing here rescans the corpus beyond the underlying kNN.
+
+
+def ml_knn_label_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb = knn_int8_cosine(spark, sf_dir)
+    lbl = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "CAST(label AS BIGINT) AS label")
+    votes = (
+        nb.join(lbl.selectExpr("vec_id AS neighbor_id", "label"), "neighbor_id")
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), "label")
+    truth = lbl.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS qid", "label AS true_label")
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .join(F.broadcast(truth), "qid")
+        .selectExpr(
+            "qid", "true_label", "label AS predicted_label", "votes",
+            "CAST(label = true_label AS INT) AS correct",
+        )
+    )
+
+
+ML_KNN_LABEL_ORACLE = f"""
+WITH nb AS ({KNN_INT8_ORACLE}
+), lbl AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+), votes AS (
+  SELECT nb.qid, l.label, COUNT(*) AS votes
+  FROM nb JOIN lbl l ON l.vec_id = nb.neighbor_id
+  GROUP BY 1, 2
+), pred AS (
+  SELECT qid, label, votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, label) AS r
+  FROM votes
+)
+SELECT p.qid, t.label AS true_label, p.label AS predicted_label, p.votes,
+       CAST(p.label = t.label AS INT) AS correct
+FROM pred p JOIN lbl t ON t.vec_id = p.qid
+WHERE p.r = 1
+"""
+
+
+SPECS += [
+    QuerySpec("ml_knn_label_assign", ml_knn_label_assign, ML_KNN_LABEL_ORACLE,
+              "kNN majority-vote classification over the int8-exact neighbors",
+              ("similarity", "ann", "ml")),
+]

@@ -302,6 +302,7 @@ HEADLINE = [
     "x10_holt_stream",
     # round 3 (cont.): attribution, link prediction, survival, kNN classify
     "text_quote_attribution",
+    "ml_knn_label_assign",
 ]
 
 
