@@ -3575,3 +3575,112 @@ SPECS += [
               "additive seasonal Holt-Winters per user, integer-exact recurrence",
               ("timeseries", "forecast", "stateful")),
 ]
+
+
+# --- link prediction on the co-purchase graph ---------------------------------
+# Common-neighbors / Jaccard link prediction: score non-adjacent part
+# pairs by how many co-purchase neighbors they share. The wedge join
+# (two edges through a shared center) is the textbook LP candidate
+# generator; unconstrained it is sum(deg(w)^2) pairs, so production
+# systems bound the centers. We bound by a DATA-RELATIVE cap — wedge
+# centers must sit in the bottom degree decile (exact discrete
+# percentile, computed identically on both engines) — which adapts to
+# graph density instead of hard-coding a constant that silently goes
+# degenerate at a different scale (a fixed cap=30 admits ZERO vertices
+# at sf0.01, where min co-purchase degree is ~87). Niche-part wedges are
+# also the informative ones: hub parts co-occur with everything.
+# Top-20 via orderBy+limit => TakeOrderedAndProject (distributed top-k).
+
+LP_CENTER_PCTL = 0.1  # wedge centers: bottom degree decile
+LP_TOP = 20
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    edges = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS pa, y AS pb))))")).alias("p"))
+        .select("p.pa", "p.pb").distinct()
+    )
+    und = edges.selectExpr("pa AS u", "pb AS v").unionAll(
+        edges.selectExpr("pb AS u", "pa AS v"))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    n = deg.agg(F.count("*").alias("n"))
+    # exact discrete percentile: the d value at 1-based rank ceil(p * n)
+    # in the (d)-sorted degree list; ties in the sort cannot change it.
+    cap = (
+        deg.withColumn("rn", F.row_number().over(Window.orderBy("d", "u")))
+        .crossJoin(F.broadcast(n))
+        .where(F.expr(f"rn = CAST(ceil({LP_CENTER_PCTL} * n) AS BIGINT)"))
+        .selectExpr("d AS dcap")
+    )
+    centers = (
+        und.join(deg, "u").crossJoin(F.broadcast(cap))
+        .where(F.col("d") <= F.col("dcap"))
+        .selectExpr("u AS w", "v")
+    )
+    b = centers.selectExpr("w", "v AS v2")
+    wedges = (
+        centers.join(b, (centers.w == b.w) & (centers.v < b.v2))
+        .groupBy(F.col("v").alias("u"), F.col("v2").alias("v"))
+        .agg(F.count("*").alias("cn"))
+    )
+    nonadj = wedges.join(
+        edges, (wedges.u == edges.pa) & (wedges.v == edges.pb), "left_anti")
+    return (
+        nonadj
+        .join(deg.selectExpr("u", "d AS du"), "u")
+        .join(deg.selectExpr("u AS v", "d AS dv"), "v")
+        .selectExpr("u", "v", "cn", "du", "dv",
+                    "cn * 1000000 div (du + dv - cn) AS jaccard_ppm")
+        .orderBy(F.desc("cn"), F.desc("jaccard_ppm"), "u", "v")
+        .limit(LP_TOP)
+    )
+
+
+GRAPH_LINK_PREDICTION_ORACLE = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+  FROM lineitem GROUP BY 1
+), edges AS (
+  SELECT DISTINCT p.pa, p.pb FROM baskets,
+  UNNEST(flatten(list_transform(parts, (x, i) ->
+    list_transform(parts[i+1:], y -> {{pa: x, pb: y}})))) AS t(p)
+), und AS (
+  SELECT pa AS u, pb AS v FROM edges UNION ALL SELECT pb, pa FROM edges
+), deg AS (
+  SELECT u, COUNT(*) AS d FROM und GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n FROM deg
+), cap AS (
+  SELECT d AS dcap FROM (
+    SELECT d, row_number() OVER (ORDER BY d, u) AS rn FROM deg) CROSS JOIN n
+  WHERE rn = CAST(ceil({LP_CENTER_PCTL} * n) AS BIGINT)
+), centers AS (
+  SELECT u AS w, v FROM und JOIN deg USING (u) CROSS JOIN cap
+  WHERE d <= dcap
+), wedges AS (
+  SELECT a.v AS u, b.v AS v, COUNT(*) AS cn
+  FROM centers a JOIN centers b ON a.w = b.w AND a.v < b.v
+  GROUP BY 1, 2
+), nonadj AS (
+  SELECT w.u, w.v, w.cn FROM wedges w
+  ANTI JOIN edges e ON w.u = e.pa AND w.v = e.pb
+)
+SELECT n.u, n.v, n.cn, da.d AS du, db.d AS dv,
+       n.cn * 1000000 // (da.d + db.d - n.cn) AS jaccard_ppm
+FROM nonadj n JOIN deg da ON da.u = n.u JOIN deg db ON db.u = n.v
+ORDER BY n.cn DESC, jaccard_ppm DESC, n.u, n.v LIMIT {LP_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("graph_link_prediction", graph_link_prediction,
+              GRAPH_LINK_PREDICTION_ORACLE,
+              "common-neighbor/Jaccard link prediction, decile-capped wedges",
+              ("graph", "iterative")),
+]

@@ -303,6 +303,7 @@ HEADLINE = [
     # round 3 (cont.): attribution, link prediction, survival, kNN classify
     "text_quote_attribution",
     "ml_knn_label_assign",
+    "graph_link_prediction",
 ]
 
 
