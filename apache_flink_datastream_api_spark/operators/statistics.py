@@ -2102,6 +2102,7 @@ FROM cells
 # tiny lifetime histogram, never the user table.
 
 _WEEK_MS = 7 * 86_400_000
+_DAY_MS = 86_400_000
 
 
 def q_discrete_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3683,4 +3684,124 @@ SPECS += [
               GRAPH_LINK_PREDICTION_ORACLE,
               "common-neighbor/Jaccard link prediction, decile-capped wedges",
               ("graph", "iterative")),
+]
+
+
+# --- Kaplan-Meier survival curve ----------------------------------------------
+# Time-to-conversion survival: S(h) = probability a user has NOT yet made
+# a first purchase h hours after their first event, within a 72-hour
+# conversion horizon; users converting later (or never) are right-CENSORED
+# at the horizon. S(h) = PRODUCT over hours h' <= h of
+# (at_risk - converted) / at_risk. The cumulative product is an ordered
+# recurrence, so both engines fold the SAME sorted hour list
+# left-to-right with init 1.0 — IEEE division/multiplication are
+# correctly rounded, so identical inputs + identical order => identical
+# doubles, floored to ppm. Scale: the hour histogram is horizon-bounded
+# (<= 73 rows no matter how many billions of users produced it), so the
+# collected fold list is driver-scale BY CONSTRUCTION — the heavy
+# lifting (per-user first-event/first-purchase rollup) stays a keyed
+# aggregate.
+
+_HOUR_MS = 3_600_000
+KM_HORIZON_H = 72
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_type")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts_ms").alias("start_ms"),
+            F.min(F.expr(
+                "CASE WHEN event_type = 'purchase' THEN ts_ms END"
+            )).alias("fp_ms"),
+        )
+        .selectExpr(
+            f"CASE WHEN fp_ms IS NOT NULL"
+            f" AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}"
+            f" THEN (fp_ms - start_ms) ELSE {KM_HORIZON_H * _HOUR_MS} END"
+            f" div {_HOUR_MS} AS dur_h",
+            f"CAST(NOT (fp_ms IS NOT NULL"
+            f" AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}) AS INT)"
+            " AS censored",
+        )
+    )
+    hist = users.groupBy("dur_h").agg(
+        F.count("*").alias("n_ending"),
+        F.sum("censored").alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("dur_h")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    curve = hist.withColumn("at_risk", F.sum("n_ending").over(w)).selectExpr(
+        "dur_h AS hour", "at_risk",
+        "n_ending - n_censored AS converted", "n_censored")
+    arr = curve.agg(F.expr(
+        "sort_array(collect_list(struct(hour, at_risk, converted, n_censored)))"
+    ).alias("a"))
+    return (
+        arr.select(F.posexplode("a").alias("pos", "x"), F.col("a"))
+        .selectExpr(
+            "x.hour AS hour", "x.at_risk AS at_risk",
+            "x.converted AS n_converted", "x.n_censored AS n_censored",
+            "CAST(floor(aggregate(slice(a, 1, pos + 1), CAST(1.0 AS DOUBLE),"
+            " (s, r) -> s * (CAST(r.at_risk - r.converted AS DOUBLE)"
+            " / CAST(r.at_risk AS DOUBLE))) * 1000000) AS BIGINT)"
+            " AS survival_ppm",
+        )
+    )
+
+
+Q_SURVIVAL_KM_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+), u AS (
+  SELECT user_id, MIN(ts_ms) AS start_ms,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts_ms END) AS fp_ms
+  FROM ev GROUP BY user_id
+), users AS (
+  SELECT CASE WHEN fp_ms IS NOT NULL
+              AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}
+              THEN (fp_ms - start_ms)
+              ELSE {KM_HORIZON_H * _HOUR_MS} END // {_HOUR_MS} AS dur_h,
+         CAST(NOT (fp_ms IS NOT NULL
+              AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}) AS INT)
+           AS censored
+  FROM u
+), hist AS (
+  SELECT dur_h, COUNT(*) AS n_ending,
+         CAST(SUM(censored) AS BIGINT) AS n_censored
+  FROM users GROUP BY 1
+), curve AS (
+  SELECT dur_h AS hour,
+         CAST(SUM(n_ending) OVER (ORDER BY dur_h DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS at_risk,
+         n_ending - n_censored AS converted, n_censored
+  FROM hist
+), arr AS (
+  SELECT list_sort(list({{'hour': hour, 'at_risk': at_risk,
+                          'converted': converted,
+                          'n_censored': n_censored}}))
+    AS a
+  FROM curve
+), ex AS (
+  SELECT unnest(a) AS x, generate_subscripts(a, 1) AS pos, a FROM arr
+)
+SELECT x.hour AS hour, x.at_risk AS at_risk,
+       x.converted AS n_converted, x.n_censored AS n_censored,
+       CAST(floor(list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(a[1:pos],
+             r -> CAST(r.at_risk - r.converted AS DOUBLE)
+                  / CAST(r.at_risk AS DOUBLE))),
+         (s, y) -> s * y) * 1000000) AS BIGINT) AS survival_ppm
+FROM ex
+"""
+
+
+SPECS += [
+    QuerySpec("q_survival_km", q_survival_km, Q_SURVIVAL_KM_ORACLE,
+              "Kaplan-Meier time-to-conversion curve, ordered-fold exact to ppm",
+              ("analytics", "stats", "survival")),
 ]

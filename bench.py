@@ -304,6 +304,7 @@ HEADLINE = [
     "text_quote_attribution",
     "ml_knn_label_assign",
     "graph_link_prediction",
+    "q_survival_km",
 ]
 
 
