@@ -310,3 +310,77 @@ SPECS += [
               "mergeable m-bit Bloom filter: build via bit_or words, probe, FPR",
               ("sketch", "membership")),
 ]
+
+
+# --- driver-visible sketch accuracy audit --------------------------------------
+# The sketch family above is rows-only by design (engine-internal hash
+# layouts can't be replayed in DuckDB) and its accuracy lives in
+# tests/test_sketches.py, invisible to the grading driver. This query
+# turns the GUARANTEES into a hash-matched result: Spark computes both
+# the sketch and the exact answer, then emits (metric, exact value,
+# within_bound) where within_bound asserts the sketch landed inside its
+# configured error envelope. The oracle reproduces the exact values and
+# the literal TRUE — so if a Spark upgrade or config change ever pushes
+# a sketch outside its bound, the driver's value hash FAILS instead of a
+# local test silently not running.
+#
+# Bounds audited (generous multiples of the configured knobs, so the
+# audit pins "sane", not "lucky"):
+# - HLL distinct users:            |approx - exact| <= 3 * RSD * exact
+# - KLL p50 / p90 of value:        rank error <= n / 100 (accuracy=10k
+#                                  guarantees n / 10_000)
+
+AUDIT_HLL_TOL = 3 * RSD     # 3 sigma of the configured rsd
+AUDIT_RANK_TOL_FRAC = 100   # rank error bound: n / 100
+
+
+def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hll = ev.agg(
+        F.approx_count_distinct("user_id", rsd=RSD).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    ).selectExpr(
+        "'hll_distinct_users' AS metric",
+        "exact AS exact_value",
+        f"abs(approx - exact) <= {AUDIT_HLL_TOL} * exact AS within_bound",
+    )
+
+    def pct_audit(p: float, name: str) -> DataFrame:
+        approx_row = ev.agg(
+            F.expr(f"approx_percentile(value, {p}, {PCT_ACCURACY})").alias("ap"))
+        # exact rank of the approx answer: #values <= ap, vs target p * n
+        return (
+            ev.crossJoin(F.broadcast(approx_row))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.expr("CAST(value <= ap AS BIGINT)")).alias("rank_of_ap"),
+            )
+            .selectExpr(
+                f"'{name}' AS metric",
+                "n AS exact_value",
+                f"abs(rank_of_ap - CAST(floor({p} * n) AS BIGINT))"
+                f" <= greatest(n div {AUDIT_RANK_TOL_FRAC}, 1) AS within_bound",
+            )
+        )
+
+    return hll.unionAll(pct_audit(0.5, "kll_value_p50")).unionAll(
+        pct_audit(0.9, "kll_value_p90"))
+
+
+SKETCH_AUDIT_ORACLE = """
+SELECT 'hll_distinct_users' AS metric,
+       COUNT(DISTINCT user_id) AS exact_value, TRUE AS within_bound
+FROM events
+UNION ALL
+SELECT 'kll_value_p50', COUNT(*), TRUE FROM events
+UNION ALL
+SELECT 'kll_value_p90', COUNT(*), TRUE FROM events
+"""
+
+
+SPECS += [
+    QuerySpec("sketch_accuracy_audit", sketch_accuracy_audit,
+              SKETCH_AUDIT_ORACLE,
+              "sketch error envelopes asserted as a hash-matched result",
+              ("sketch", "audit")),
+]

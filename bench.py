@@ -305,6 +305,7 @@ HEADLINE = [
     "ml_knn_label_assign",
     "graph_link_prediction",
     "q_survival_km",
+    "sketch_accuracy_audit",
 ]
 
 
