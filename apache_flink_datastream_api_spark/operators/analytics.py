@@ -1942,3 +1942,117 @@ SPECS += [
               "CUPED pre-period covariate adjustment, exact moments + shared IEEE exprs",
               ("analytics", "experiment")),
 ]
+
+
+# --- FIFO lot allocation --------------------------------------------------------
+# FIFO inventory matching as a cumulative-interval overlap join — the
+# set-based form of the row-at-a-time "walk lots until demand is filled"
+# loop (which cannot distribute). Receipts (l_returnflag = 'N') and
+# issues ('R'/'A') per part each get a cumulative-quantity interval
+# [lo, hi) via a per-part running sum ordered by (shipdate, orderkey,
+# linenumber); an issue consumes exactly the lots whose interval
+# overlaps its own, and the allocated quantity is the interval
+# intersection length. Shapes: two partitioned window sums + one
+# part-keyed equi-join with a range post-filter (per-part lot counts are
+# small, so the join fan-out is bounded); everything downstream is one
+# rollup. At 100 TB the join stays keyed on l_partkey — no global sort,
+# no driver loop, skewed hot parts split by AQE.
+
+_FIFO_ORD = "l_shipdate, l_orderkey, l_linenumber"
+
+
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey AS pk", "CAST(l_quantity AS BIGINT) AS qty",
+        "l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+
+    def cum(df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy("pk")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(
+            "lo", F.coalesce(F.sum("qty").over(w), F.lit(0))
+        ).selectExpr("pk", "lo", "lo + qty AS hi")
+
+    sup = cum(li.where("l_returnflag = 'N'"))
+    dem = cum(li.where("l_returnflag IN ('R', 'A')"))
+    d = dem.selectExpr("pk", "lo AS d_lo", "hi AS d_hi")
+    pairs = sup.join(
+        d,
+        (sup.pk == d.pk) & (sup.lo < d.d_hi) & (d.d_lo < sup.hi),
+    ).select(
+        sup.pk.alias("pk"),
+        F.expr("least(hi, d_hi) - greatest(lo, d_lo)").alias("alloc"),
+    )
+    totals = (
+        li.groupBy("pk")
+        .agg(
+            F.sum(F.expr("CASE WHEN l_returnflag = 'N' THEN qty ELSE 0 END"))
+            .alias("supply_qty"),
+            F.sum(F.expr("CASE WHEN l_returnflag IN ('R', 'A') THEN qty ELSE 0 END"))
+            .alias("demand_qty"),
+        )
+    )
+    return (
+        pairs.groupBy("pk")
+        .agg(F.count("*").alias("n_allocations"),
+             F.sum("alloc").alias("qty_allocated"))
+        .join(totals, "pk")
+        .selectExpr(
+            "pk AS l_partkey", "n_allocations", "qty_allocated",
+            "supply_qty", "demand_qty",
+            "demand_qty - qty_allocated AS qty_unfilled",
+            "supply_qty - qty_allocated AS qty_leftover",
+        )
+    )
+
+
+Q_FIFO_ALLOCATION_ORACLE = f"""
+WITH li AS (
+  SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qty,
+         l_returnflag, l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+), sup AS (
+  SELECT pk, COALESCE(SUM(qty) OVER (PARTITION BY pk
+           ORDER BY {_FIFO_ORD}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+         COALESCE(SUM(qty) OVER (PARTITION BY pk
+           ORDER BY {_FIFO_ORD}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + qty AS hi
+  FROM li WHERE l_returnflag = 'N'
+), dem AS (
+  SELECT pk, COALESCE(SUM(qty) OVER (PARTITION BY pk
+           ORDER BY {_FIFO_ORD}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS d_lo,
+         COALESCE(SUM(qty) OVER (PARTITION BY pk
+           ORDER BY {_FIFO_ORD}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + qty AS d_hi
+  FROM li WHERE l_returnflag IN ('R', 'A')
+), pairs AS (
+  SELECT s.pk, LEAST(s.hi, d.d_hi) - GREATEST(s.lo, d.d_lo) AS alloc
+  FROM sup s JOIN dem d ON s.pk = d.pk AND s.lo < d.d_hi AND d.d_lo < s.hi
+), totals AS (
+  SELECT pk,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN qty ELSE 0 END) AS BIGINT)
+           AS supply_qty,
+         CAST(SUM(CASE WHEN l_returnflag IN ('R', 'A') THEN qty ELSE 0 END)
+           AS BIGINT) AS demand_qty
+  FROM li GROUP BY 1
+)
+SELECT p.pk AS l_partkey, COUNT(*) AS n_allocations,
+       CAST(SUM(p.alloc) AS BIGINT) AS qty_allocated,
+       t.supply_qty, t.demand_qty,
+       t.demand_qty - CAST(SUM(p.alloc) AS BIGINT) AS qty_unfilled,
+       t.supply_qty - CAST(SUM(p.alloc) AS BIGINT) AS qty_leftover
+FROM pairs p JOIN totals t ON t.pk = p.pk
+GROUP BY p.pk, t.supply_qty, t.demand_qty
+"""
+
+
+SPECS += [
+    QuerySpec("q_fifo_allocation", q_fifo_allocation, Q_FIFO_ALLOCATION_ORACLE,
+              "FIFO lot matching via cumulative-interval overlap join",
+              ("analytics", "relational", "interval")),
+]

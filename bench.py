@@ -306,6 +306,7 @@ HEADLINE = [
     "graph_link_prediction",
     "q_survival_km",
     "sketch_accuracy_audit",
+    "q_fifo_allocation",
 ]
 
 
