@@ -18,7 +18,7 @@ string columns get NULL min/max (collation-portable numerics only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import QuerySpec
 from ..sources.tables import load_table
@@ -433,4 +433,115 @@ SPECS += [
     QuerySpec("dq_l_diversity", dq_l_diversity, DQ_L_DIVERSITY_ORACLE,
               "distinct l-diversity of sensitive bands within QI classes",
               ("profile", "governance", "audit")),
+]
+
+
+# --- t-closeness ----------------------------------------------------------------
+# The third leg of the re-identification trio (k-anonymity: class too
+# small; l-diversity: class too uniform; t-CLOSENESS: class distribution
+# too FAR from the population's, so membership itself leaks the sensitive
+# attribute). Distance is the Earth Mover's Distance over the ordered
+# acctbal bands — for ordered categories EMD(p, q) =
+# sum_j |cum_p(j) - cum_q(j)| / (m - 1). Everything stays integer: the
+# cumulative difference is scaled by class_size * N (both sums of
+# counts), so t_ppm = 1e6 * sum|.| / (class_size * N * (m-1)) is exact
+# integer division on both engines. Shapes: one grouped count, a
+# broadcast band-spine completion (missing bands MUST contribute zero
+# rows or the cumulative walk skips them), one per-class ordered window
+# over <= m band rows — class-partitioned, never global.
+
+TCLOSE_T_PPM = 250_000  # flag classes with EMD > 0.25
+
+
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", "c_mktsegment",
+        "CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS band")
+    per_band = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").alias("cnt"))
+    gband = cust.groupBy("band").agg(F.count("*").alias("g"))
+    classes = per_band.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("class_size"))
+    nrow = gband.agg(F.sum("g").alias("n_total"),
+                     F.count("*").alias("m_bands"))
+    # band spine: every class x every global band, zero-filled
+    spine = classes.crossJoin(F.broadcast(gband))
+    filled = (
+        spine.join(per_band, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        filled.crossJoin(F.broadcast(nrow))
+        .withColumn("cum_c", F.sum("cnt").over(w))
+        .withColumn("cum_g", F.sum("g").over(w))
+        .withColumn("dev", F.expr("abs(cum_c * n_total - cum_g * class_size)"))
+    )
+    return (
+        cum.groupBy("c_nationkey", "c_mktsegment", "class_size",
+                    "n_total", "m_bands")
+        .agg(F.sum("dev").alias("emd_scaled"))
+        .selectExpr(
+            "c_nationkey", "c_mktsegment", "class_size",
+            "emd_scaled * 1000000 div (class_size * n_total * (m_bands - 1))"
+            " AS t_ppm",
+        )
+        .selectExpr(
+            "c_nationkey", "c_mktsegment", "class_size", "t_ppm",
+            f"CAST(t_ppm > {TCLOSE_T_PPM} AS INT) AS risky",
+        )
+    )
+
+
+DQ_T_CLOSENESS_ORACLE = f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS band
+  FROM customer
+), per_band AS (
+  SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS cnt
+  FROM cust GROUP BY 1, 2, 3
+), gband AS (
+  SELECT band, COUNT(*) AS g FROM cust GROUP BY 1
+), classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS class_size
+  FROM per_band GROUP BY 1, 2
+), nrow AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n_total, COUNT(*) AS m_bands FROM gband
+), filled AS (
+  SELECT c.c_nationkey, c.c_mktsegment, c.class_size, b.band, b.g,
+         COALESCE(p.cnt, 0) AS cnt
+  FROM classes c CROSS JOIN gband b
+  LEFT JOIN per_band p
+    ON p.c_nationkey = c.c_nationkey AND p.c_mktsegment = c.c_mktsegment
+   AND p.band = b.band
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, class_size, n_total, m_bands,
+         abs(SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+               ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * n_total
+           - SUM(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+               ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * class_size) AS dev
+  FROM filled CROSS JOIN nrow
+), agg AS (
+  SELECT c_nationkey, c_mktsegment, class_size,
+         CAST(SUM(dev) AS BIGINT) * 1000000
+           // (class_size * MAX(n_total) * (MAX(m_bands) - 1)) AS t_ppm
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, class_size, CAST(t_ppm AS BIGINT) AS t_ppm,
+       CAST(t_ppm > {TCLOSE_T_PPM} AS INT) AS risky
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("dq_t_closeness", dq_t_closeness, DQ_T_CLOSENESS_ORACLE,
+              "t-closeness EMD audit over ordered sensitive bands, integer-exact",
+              ("profile", "governance")),
 ]

@@ -307,6 +307,7 @@ HEADLINE = [
     "q_survival_km",
     "sketch_accuracy_audit",
     "q_fifo_allocation",
+    "dq_t_closeness",
 ]
 
 
