@@ -431,6 +431,11 @@ def test_registry_wide_plan_hygiene(spark):
         "dq_l_diversity",               # 1-row corpus-totals broadcast
         "q_cuped_adjustment",           # 1-row global-moments broadcast
         "ts_journey_topk",              # 1-row query-size broadcast (qn)
+        "ml_knn_label_assign",          # composes knn_int8's 5-row probe broadcast
+        "sketch_accuracy_audit",        # 1-row approx-percentile broadcast per audit
+        "dq_t_closeness",               # band spine (|bands| rows) + 1-row totals
+        "graph_link_prediction",        # degree-cap scalar + vertex-count (1 row each)
+        "q_survival_km",                # observation-end bound (1 row)
     }
     violations = []
     for name, spec in all_queries().items():
