@@ -1806,3 +1806,122 @@ SPECS += [
               "snippet-to-source attribution via broadcast containment join",
               ("text", "dedup")),
 ]
+
+
+# --- multinomial Naive Bayes language-ID ---------------------------------------
+# The generative multiclass counterpart of the binary perceptron above:
+# add-1-smoothed multinomial NB trained on the 80% doc_id split,
+# scored on the held-out 20%, reported as a confusion matrix (same shape
+# as text_langid_confusion, so heuristic vs discriminative vs generative
+# are directly comparable). Float discipline: scores are sums of
+# ln-MICROS — each term is floor(ln(integer) * 1e6) where ln is
+# IEEE-correctly-rounded on an exact-integer argument and the floor
+# absorbs any last-ulp wobble (tests/test_round3_laws.py pins Spark and
+# DuckDB bit-equal over the entire realistic count range), so the
+# per-class scores the argmax compares are BIGINTs, not drifting
+# doubles. Shapes at 100 TB: the model is two grouped rollups
+# ((w, lang) counts and per-class totals); scoring is the test token
+# stream x |langs| broadcast classes with one (w, lang) equi-join —
+# map-side combinable all the way down.
+
+NB_TRAIN_MOD = 8   # doc_id % 10 < 8 trains, the rest scores
+_LNM_S = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        spark)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.expr(TOKS_S)).alias("w"),
+        (F.col("doc_id") % 10 < NB_TRAIN_MOD).alias("is_train"))
+    train, test = tok.where("is_train"), tok.where("NOT is_train")
+    cnt_wc = train.groupBy("w", F.col("lang").alias("c")).agg(
+        F.count("*").alias("cnt"))
+    class_stats = (
+        train.groupBy(F.col("lang").alias("c"))
+        .agg(F.count("*").alias("total_c"),
+             F.countDistinct("doc_id").alias("n_docs_c"))
+    )
+    vocab = train.agg(F.countDistinct("w").alias("v"))
+    classes = class_stats.crossJoin(F.broadcast(vocab)).selectExpr(
+        "c", _LNM_S.format(x="n_docs_c") + " AS prior_lnm",
+        _LNM_S.format(x="total_c + v") + " AS denom_lnm")
+    doc_len = test.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_toks"))
+    # token-occurrence evidence per (doc, class): unseen (w, c) pairs
+    # contribute lnm(0 + 1) = 0, so the left join's nulls drop out.
+    evidence = (
+        test.crossJoin(F.broadcast(classes.select("c")))
+        .join(cnt_wc, ["w", "c"], "left")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.expr(
+            _LNM_S.format(x="coalesce(cnt, 0) + 1"))).alias("ev_lnm"))
+    )
+    scored = (
+        evidence.join(F.broadcast(classes), "c")
+        .join(doc_len, "doc_id")
+        .selectExpr(
+            "doc_id", "lang AS true_lang", "c",
+            "prior_lnm + ev_lnm - n_toks * denom_lnm AS score_lnm")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_lnm"), "c")
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where("r = 1")
+        .groupBy("true_lang", F.col("c").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_LNM_D = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+ML_NB_LANGID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({TOKS_D}) AS w,
+         doc_id % 10 < {NB_TRAIN_MOD} AS is_train
+  FROM documents
+), train AS (SELECT * FROM tok WHERE is_train),
+test AS (SELECT * FROM tok WHERE NOT is_train),
+cnt_wc AS (
+  SELECT w, lang AS c, COUNT(*) AS cnt FROM train GROUP BY 1, 2
+), class_stats AS (
+  SELECT lang AS c, COUNT(*) AS total_c, COUNT(DISTINCT doc_id) AS n_docs_c
+  FROM train GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM train
+), classes AS (
+  SELECT c, {_LNM_D.format(x='n_docs_c')} AS prior_lnm,
+         {_LNM_D.format(x='total_c + v')} AS denom_lnm
+  FROM class_stats CROSS JOIN vocab
+), doc_len AS (
+  SELECT doc_id, lang, COUNT(*) AS n_toks FROM test GROUP BY 1, 2
+), evidence AS (
+  SELECT t.doc_id, k.c,
+         CAST(SUM({_LNM_D.format(x='COALESCE(n.cnt, 0) + 1')}) AS BIGINT)
+           AS ev_lnm
+  FROM test t CROSS JOIN (SELECT c FROM classes) k
+  LEFT JOIN cnt_wc n ON n.w = t.w AND n.c = k.c
+  GROUP BY 1, 2
+), scored AS (
+  SELECT e.doc_id, d.lang AS true_lang, e.c,
+         k.prior_lnm + e.ev_lnm - d.n_toks * k.denom_lnm AS score_lnm
+  FROM evidence e JOIN classes k ON k.c = e.c
+  JOIN doc_len d ON d.doc_id = e.doc_id
+), pred AS (
+  SELECT doc_id, true_lang, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_lnm DESC, c) AS r
+  FROM scored
+)
+SELECT true_lang, c AS pred_lang, COUNT(*) AS n_docs
+FROM pred WHERE r = 1 GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("ml_naive_bayes_langid", ml_naive_bayes_langid,
+              ML_NB_LANGID_ORACLE,
+              "add-1 multinomial NB language-ID confusion, ln-micros exact",
+              ("text", "ml", "langid")),
+]

@@ -308,6 +308,7 @@ HEADLINE = [
     "sketch_accuracy_audit",
     "q_fifo_allocation",
     "dq_t_closeness",
+    "ml_naive_bayes_langid",
 ]
 
 

@@ -119,3 +119,41 @@ def test_recall_reports_cover_query_set(spark):
         seen.setdefault(r.method, set()).add(r.qid)
     for method, qids in seen.items():
         assert qids == set(range(N_QUERIES)), method
+
+
+def test_ln_micros_cross_engine_bit_equal(spark, oracle_con):
+    """ml_naive_bayes_langid's float discipline rests on floor(ln(n)*1e6)
+    being bit-equal between Spark and DuckDB for every integer count the
+    model can produce. Pin it over the realistic range (class totals at
+    driver scale are ~1e5; headroom to 1e6): a libm/rounding divergence
+    in either engine fails HERE with the offending n, instead of as an
+    opaque confusion-matrix hash mismatch."""
+    n = 1_000_000
+    sp = dict(
+        spark.range(1, n + 1)
+        .selectExpr(
+            "id", "CAST(floor(ln(CAST(id AS DOUBLE)) * 1000000) AS BIGINT) lnm")
+        .rdd.map(lambda r: (r.id, r.lnm)).collect()
+    )
+    dk = oracle_con.execute(
+        f"SELECT i, CAST(floor(ln(CAST(i AS DOUBLE)) * 1000000) AS BIGINT)"
+        f" FROM range(1, {n + 1}) t(i)").fetchall()
+    bad = [(i, v, sp[i]) for i, v in dk if sp[i] != v]
+    assert not bad, f"ln-micros divergence at {bad[:5]}"
+
+
+def test_nb_confusion_covers_exactly_the_eval_split(spark):
+    """Every held-out doc appears in exactly one confusion cell: the
+    matrix total must equal the eval-split doc count (doc_id % 10 >= 8
+    among docs with at least one token)."""
+    from apache_flink_datastream_api_spark.operators.textops import NB_TRAIN_MOD
+    from apache_flink_datastream_api_spark.sources.tables import load_table
+
+    cells = _run(spark, "ml_naive_bayes_langid")
+    n_eval = (
+        load_table(spark, SF_DIR, "documents")
+        .where(f"doc_id % 10 >= {NB_TRAIN_MOD}")
+        .where("size(split(trim(lower(text)), ' +')) >= 1 AND trim(text) <> ''")
+        .count()
+    )
+    assert sum(r.n_docs for r in cells) == n_eval
