@@ -3805,3 +3805,89 @@ SPECS += [
               "Kaplan-Meier time-to-conversion curve, ordered-fold exact to ppm",
               ("analytics", "stats", "survival")),
 ]
+
+
+# --- matrix-profile-style motif discovery ---------------------------------------
+# Per-user motif: the pair of non-overlapping 5-day windows of the daily
+# spend series with minimal squared Euclidean distance — the matrix
+# profile's motif-of-length-w, computed EXACTLY because the series is
+# calendar-bounded (<= |days| points per user no matter how many events
+# produced them). Values are integer cents, distances integer cents², and
+# the argmin is a lexicographic struct-min (d2, i, j) — bit-identical on
+# both engines. Shapes at 100 TB: one keyed daily rollup (map-side
+# combinable), one collect_list per user bounded by the calendar, and the
+# O(|days|²) pair scan runs INSIDE the row as an array expression — no
+# self-join, no shuffle beyond the rollup.
+
+MOTIF_W = 5       # window length (days)
+MOTIF_MIN_N = 10  # need two disjoint windows
+
+
+def ts_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.expr("CAST(round(SUM(value) * 100) AS BIGINT)").alias("v_c"))
+        .select("user_id", F.unix_millis("day").alias("day_ms"), "v_c")
+    )
+    w, mn = MOTIF_W, MOTIF_MIN_N
+    return (
+        daily.groupBy("user_id")
+        .agg(F.expr("sort_array(collect_list(struct(day_ms, v_c)))").alias("arr"),
+             F.count("*").alias("n"))
+        .where(F.col("n") >= mn)
+        .selectExpr(
+            "user_id", "n AS n_days", "arr",
+            f"""array_min(flatten(transform(
+                  sequence(1, CAST(n AS INT) - {2 * w - 1}), i ->
+                transform(sequence(i + {w}, CAST(n AS INT) - {w - 1}), j ->
+                  struct(
+                    aggregate(sequence(0, {w - 1}), 0L, (s, k) ->
+                      s + (element_at(arr, i + k).v_c
+                           - element_at(arr, j + k).v_c)
+                        * (element_at(arr, i + k).v_c
+                           - element_at(arr, j + k).v_c)) AS d2,
+                    i AS i, j AS j))))) AS best""",
+        )
+        .selectExpr(
+            "user_id", "n_days",
+            "element_at(arr, best.i).day_ms AS motif_a_day_ms",
+            "element_at(arr, best.j).day_ms AS motif_b_day_ms",
+            "best.d2 AS dist2_c2",
+        )
+    )
+
+
+TS_MOTIF_ORACLE = f"""
+WITH d AS (
+  SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms,
+         CAST(round(SUM(value) * 100) AS BIGINT) AS v_c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, list_sort(list({{'day_ms': day_ms, 'v_c': v_c}})) AS arr,
+         COUNT(*) AS n
+  FROM d GROUP BY 1
+), p AS (
+  SELECT user_id, n, arr,
+    list_sort(flatten(list_transform(
+        generate_series(1, CAST(n AS INT) - {2 * MOTIF_W - 1}), i ->
+      list_transform(generate_series(i + {MOTIF_W},
+                                     CAST(n AS INT) - {MOTIF_W - 1}), j ->
+        {{d2: list_sum(list_transform(generate_series(0, {MOTIF_W - 1}), k ->
+               ((arr[i+k]).v_c - (arr[j+k]).v_c)
+               * ((arr[i+k]).v_c - (arr[j+k]).v_c))),
+         i: i, j: j}}))))[1] AS best
+  FROM s WHERE n >= {MOTIF_MIN_N}
+)
+SELECT user_id, n AS n_days, (arr[best.i]).day_ms AS motif_a_day_ms,
+       (arr[best.j]).day_ms AS motif_b_day_ms,
+       CAST(best.d2 AS BIGINT) AS dist2_c2
+FROM p
+"""
+
+
+SPECS += [
+    QuerySpec("ts_motif_discovery", ts_motif_discovery, TS_MOTIF_ORACLE,
+              "per-user minimal-distance window-pair motif, integer cents²",
+              ("timeseries", "stats")),
+]

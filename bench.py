@@ -309,6 +309,7 @@ HEADLINE = [
     "q_fifo_allocation",
     "dq_t_closeness",
     "ml_naive_bayes_langid",
+    "ts_motif_discovery",
 ]
 
 
