@@ -1680,3 +1680,69 @@ SPECS += [
               "ISO dow/week + rounding + the CAST-truncates-vs-rounds pin",
               ("relational", "semantics-pin", "temporal")),
 ]
+
+
+# --- recursive CTE hierarchy walk (Spark 4 SQL surface) ------------------------
+# WITH RECURSIVE landed in Spark 4 — the declarative form of the
+# iterative-join loops this repo hand-rolls for PageRank/k-core/label
+# propagation. Exercised here as the classic hierarchy walk: customers
+# form a synthetic referral forest (parent = c_custkey div 10; root is
+# custkey 0), and the recursion carries each customer's depth and
+# path-accumulated balance in exact cents to its root. Per-level
+# fan-out is 1 (a tree walk), so the recursion is depth-bounded at
+# ~log10(max key) with NO row explosion; both engines run the SAME
+# recursive SQL and hash-match. 100 TB note: each recursion step is a
+# self-equi-join on the parent key — the same shuffle shape as the
+# hand-rolled iterative operators, but planned by the engine.
+
+RECUR_MAX_DEPTH = 12  # log10 bound with slack; a cycle would hit this
+
+
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import temp_view
+
+    with temp_view(load_table(spark, sf_dir, "customer"), "cust_rec") as view:
+        result = spark.sql(f"""
+WITH RECURSIVE walk(custkey, anc, depth, path_cents) AS (
+  SELECT c_custkey, c_custkey div 10, 0,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+  FROM {view}
+  UNION ALL
+  SELECT w.custkey, p.c_custkey div 10, w.depth + 1,
+         w.path_cents + CAST(round(p.c_acctbal * 100) AS BIGINT)
+  FROM walk w JOIN {view} p ON p.c_custkey = w.anc
+  WHERE w.anc <> w.custkey AND w.depth < {RECUR_MAX_DEPTH}
+)
+SELECT custkey AS c_custkey, MAX(depth) AS depth,
+       MAX_BY(anc, depth) AS root_key,
+       MAX_BY(path_cents, depth) AS path_cents
+FROM walk GROUP BY custkey
+""")
+        result.localCheckpoint(eager=True)
+    return result
+
+
+Q_RECURSIVE_HIERARCHY_ORACLE = f"""
+WITH RECURSIVE walk(custkey, anc, depth, path_cents) AS (
+  SELECT c_custkey, c_custkey // 10, 0,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT w.custkey, p.c_custkey // 10, w.depth + 1,
+         w.path_cents + CAST(round(p.c_acctbal * 100) AS BIGINT)
+  FROM walk w JOIN customer p ON p.c_custkey = w.anc
+  WHERE w.anc <> w.custkey AND w.depth < {RECUR_MAX_DEPTH}
+)
+SELECT custkey AS c_custkey, CAST(MAX(depth) AS INT) AS depth,
+       MAX_BY(anc, depth) AS root_key,
+       MAX_BY(path_cents, depth) AS path_cents
+FROM walk GROUP BY custkey
+"""
+
+
+SPECS += [
+    QuerySpec("q_recursive_hierarchy", q_recursive_hierarchy,
+              Q_RECURSIVE_HIERARCHY_ORACLE,
+              "WITH RECURSIVE referral-forest walk with exact path rollup",
+              ("relational", "spark4", "iterative")),
+]

@@ -310,6 +310,7 @@ HEADLINE = [
     "dq_t_closeness",
     "ml_naive_bayes_langid",
     "ts_motif_discovery",
+    "q_recursive_hierarchy",
 ]
 
 

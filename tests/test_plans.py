@@ -432,6 +432,7 @@ def test_registry_wide_plan_hygiene(spark):
         "q_cuped_adjustment",           # 1-row global-moments broadcast
         "ts_journey_topk",              # 1-row query-size broadcast (qn)
         "ml_knn_label_assign",          # composes knn_int8's 5-row probe broadcast
+        "ml_naive_bayes_langid",        # |langs| class rows + 1-row vocab broadcast
         "sketch_accuracy_audit",        # 1-row approx-percentile broadcast per audit
         "dq_t_closeness",               # band spine (|bands| rows) + 1-row totals
         "graph_link_prediction",        # degree-cap scalar + vertex-count (1 row each)
