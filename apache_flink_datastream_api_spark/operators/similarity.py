@@ -1754,3 +1754,168 @@ SPECS += [
               "kNN majority-vote classification over the int8-exact neighbors",
               ("similarity", "ann", "ml")),
 ]
+
+
+# --- deflated power iteration: top-2 principal directions ----------------------
+# PCA-2 on the engine, completing the spectral family emb_power_iteration
+# opened: the SECOND eigendirection of the uncentered Gram matrix comes
+# from the same integer power iteration with Gram-Schmidt DEFLATION —
+# after every matvec, subtract the projection onto the (already
+# converged, integer-scaled) first component: w' = w - (w·v1) * v1 / |v1|²
+# in truncating integer division, identical on both engines. Component 1
+# replays emb_power_iteration's driver-rescaled loop; component 2 runs
+# the same loop + per-iteration deflation; BOTH final passes stay in the
+# plan (matvec -> [deflate] -> rescale against broadcast rows), and the
+# oracle replays every iteration symbolically. Scale: each iteration is
+# the two distributed Gram passes (row dot, (pos) rollup); the 64-long
+# intermediate vectors and the deflation coefficient are driver-scale.
+
+_PCA_Q8 = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))"
+
+
+def _pca_matvec(qv: DataFrame, v: list[int]) -> DataFrame:
+    varr = ", ".join(str(x) for x in v)
+    return (
+        qv.selectExpr(
+            "q",
+            f"aggregate(zip_with(q, array({varr}), (x, y) -> x * y), 0L,"
+            " (a, b) -> a + b) AS s")
+        .select(F.posexplode("q").alias("pos", "e"), "s")
+        .groupBy("pos")
+        .agg(F.sum(F.expr("CAST(e AS DECIMAL(38,0)) * s")).cast("long")
+             .alias("w"))
+    )
+
+
+def emb_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_PCA_Q8} AS q").localCheckpoint(eager=True)
+
+    def collect_w(df: DataFrame) -> list[int]:
+        rows = df.collect()
+        return [r.w for r in sorted(rows, key=lambda r: r.pos)]
+
+    def rescale(w: list[int]) -> list[int]:
+        m = max(abs(x) for x in w)
+        return [_tdiv(x * _PI_SCALE, m) for x in w]
+
+    # component 1: the emb_power_iteration loop, fully collected (its
+    # integer fixed point is the deflation axis for component 2)
+    v = [_PI_SCALE] * _PI_DIM
+    for _ in range(_PI_ITERS):
+        v = rescale(collect_w(_pca_matvec(qv, v)))
+    v1 = rescale(collect_w(_pca_matvec(qv, v)))
+    n1 = sum(x * x for x in v1)
+
+    def deflate(w: list[int]) -> list[int]:
+        c = sum(wi * vi for wi, vi in zip(w, v1))
+        return [wi - _tdiv(c * vi, n1) for wi, vi in zip(w, v1)]
+
+    u = [_PI_SCALE] * _PI_DIM
+    for _ in range(_PI_ITERS):
+        u = rescale(deflate(collect_w(_pca_matvec(qv, u))))
+
+    # final passes stay in the plan: comp1 re-derives from v (its last
+    # driver vector), comp2 deflates in-plan against the v1 literals.
+    v1arr = ", ".join(str(x) for x in v1)
+    w1 = _pca_matvec(qv, v)
+    m1 = w1.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    comp1 = (
+        w1.crossJoin(F.broadcast(m1))
+        .selectExpr("CAST(1 AS INT) AS component", "pos",
+                    f"w * {_PI_SCALE} div m AS v_scaled")
+    )
+    w2 = _pca_matvec(qv, u).selectExpr(
+        "pos", "w", f"element_at(array({v1arr}), pos + 1) AS v1e")
+    c2 = w2.agg(F.sum(F.expr("w * v1e")).alias("c"))
+    w2o = (
+        w2.crossJoin(F.broadcast(c2))
+        .selectExpr("pos", f"w - (c * v1e) div {n1} AS w")
+    )
+    m2 = w2o.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    comp2 = (
+        w2o.crossJoin(F.broadcast(m2))
+        .selectExpr("CAST(2 AS INT) AS component", "pos",
+                    f"w * {_PI_SCALE} div m AS v_scaled")
+    )
+    return comp1.unionAll(comp2)
+
+
+def _pca_oracle() -> str:
+    qd = ("list_transform(embedding,"
+          " v -> CAST(floor(CAST(v AS DOUBLE) * 127.0) AS BIGINT))")
+
+    def matvec(vtab: str, out: str) -> str:
+        return f"""{out}_s AS MATERIALIZED (
+  SELECT vec_id, CAST(SUM(CAST(qe AS HUGEINT) * v.e) AS BIGINT) AS s
+  FROM ex JOIN {vtab} v USING (pos) GROUP BY vec_id
+), {out} AS MATERIALIZED (
+  SELECT ex.pos,
+         CAST(SUM(CAST(ex.qe AS HUGEINT) * s.s) AS BIGINT) AS w
+  FROM ex JOIN {out}_s s USING (vec_id)
+  GROUP BY 1
+)"""
+
+    def rescale(wsrc: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT pos, CAST(w * {_PI_SCALE} // (SELECT MAX(abs(w)) FROM {wsrc})
+              AS BIGINT) AS e
+  FROM {wsrc}
+)"""
+
+    def deflate(wsrc: str, out: str) -> str:
+        # w' = w - (Σ w·v1) * v1 // |v1|², truncating like Spark's div
+        return f"""{out} AS MATERIALIZED (
+  SELECT w.pos,
+         CAST(w.w - CAST(
+           (SELECT CAST(SUM(CAST(w2.w AS HUGEINT) * vf2.e) AS HUGEINT)
+            FROM {wsrc} w2 JOIN v1f vf2 USING (pos)) * vf.e
+           // (SELECT CAST(SUM(CAST(e AS HUGEINT) * e) AS HUGEINT) FROM v1f)
+           AS BIGINT) AS BIGINT) AS w
+  FROM {wsrc} w JOIN v1f vf USING (pos)
+)"""
+
+    parts = [f"""qv AS MATERIALIZED (
+  SELECT vec_id, {qd} AS q FROM embeddings
+), ex AS MATERIALIZED (
+  SELECT vec_id, u.i AS pos, q[u.i] AS qe
+  FROM qv, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) u
+), v0 AS MATERIALIZED (
+  SELECT unnest(generate_series(1, {_PI_DIM})) AS pos, {_PI_SCALE} AS e
+)"""]
+    cur = "v0"
+    for it in range(_PI_ITERS):
+        parts.append(matvec(cur, f"w{it}"))
+        parts.append(rescale(f"w{it}", f"v{it + 1}"))
+        cur = f"v{it + 1}"
+    parts.append(matvec(cur, "wa"))
+    parts.append(rescale("wa", "v1f"))
+    # component 2: same loop with per-iteration deflation against v1f
+    parts.append("u0 AS MATERIALIZED (SELECT pos, e FROM v0)")
+    cur = "u0"
+    for it in range(_PI_ITERS):
+        parts.append(matvec(cur, f"x{it}"))
+        parts.append(deflate(f"x{it}", f"x{it}o"))
+        parts.append(rescale(f"x{it}o", f"u{it + 1}"))
+        cur = f"u{it + 1}"
+    parts.append(matvec(cur, "xf"))
+    parts.append(deflate("xf", "xfo"))
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(1 AS INT) AS component, pos - 1 AS pos,
+       w * {_PI_SCALE} // (SELECT MAX(abs(w)) FROM wa) AS v_scaled
+FROM wa
+UNION ALL
+SELECT CAST(2 AS INT) AS component, pos - 1 AS pos,
+       w * {_PI_SCALE} // (SELECT MAX(abs(w)) FROM xfo) AS v_scaled
+FROM xfo"""
+
+
+EMB_PCA_ORACLE = _pca_oracle()
+
+
+SPECS += [
+    QuerySpec("emb_pca_deflate", emb_pca_deflate, EMB_PCA_ORACLE,
+              "top-2 principal directions via deflated integer power iteration",
+              ("similarity", "ml", "iterative")),
+]

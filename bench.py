@@ -311,6 +311,7 @@ HEADLINE = [
     "ml_naive_bayes_langid",
     "ts_motif_discovery",
     "q_recursive_hierarchy",
+    "emb_pca_deflate",
 ]
 
 
