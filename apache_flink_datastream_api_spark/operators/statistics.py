@@ -3891,3 +3891,94 @@ SPECS += [
               "per-user minimal-distance window-pair motif, integer cents²",
               ("timeseries", "stats")),
 ]
+
+
+# --- grid hotspot detection (Getis-Ord-style neighbor smoothing) ----------------
+# The second spatial operator (geo_radius_join established the hashed
+# point cloud + cell blocking): aggregate the points into grid cells,
+# then smooth each cell with its 3x3 neighborhood and report the top
+# hotspots by smoothed weight. The neighborhood sum is the standard
+# scalable shape — explode each CELL (not each point) into its 9
+# neighbor coordinates and equi-join on the cell key, so the smoothing
+# is O(|cells| x 9) regardless of point count, map-side combinable, and
+# never a distance self-join. Weights are exact cents; the hotspot
+# share is integer ppm of the global total (1-row broadcast).
+
+_HOT_CELL = 100   # cell edge within the _GEO_BOX coordinate space
+HOT_TOP = 15
+
+
+def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.pmod(portable_hash64(F.concat(F.lit("gx#"),
+               F.col("c_custkey").cast("string"))), F.lit(_GEO_BOX)).alias("x"),
+        F.pmod(portable_hash64(F.concat(F.lit("gy#"),
+               F.col("c_custkey").cast("string"))), F.lit(_GEO_BOX)).alias("y"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    cells = (
+        pts.groupBy(
+            F.expr(f"x div {_HOT_CELL}").alias("cx"),
+            F.expr(f"y div {_HOT_CELL}").alias("cy"))
+        .agg(F.count("*").alias("n_points"), F.sum("cents").alias("cents"))
+    )
+    offsets = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    spread = cells.selectExpr(
+        "cx AS scx", "cy AS scy", "n_points", "cents",
+        f"explode(array({offsets})) AS o",
+    ).selectExpr("scx + o.dx AS cx", "scy + o.dy AS cy", "n_points", "cents")
+    total = cells.agg(F.sum("cents").alias("total_cents"))
+    nbr = (
+        spread.groupBy("cx", "cy")
+        .agg(F.sum("n_points").alias("nbr_points"),
+             F.sum("cents").alias("nbr_cents"))
+    )
+    return (
+        cells.join(nbr, ["cx", "cy"])
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "cx", "cy", "n_points", "cents", "nbr_points", "nbr_cents",
+            "nbr_cents * 1000000 div total_cents AS nbr_share_ppm")
+        .orderBy(F.desc("nbr_cents"), "cx", "cy")
+        .limit(HOT_TOP)
+    )
+
+
+GEO_HOTSPOTS_ORACLE = f"""
+WITH pts AS (
+  SELECT ({_GEO_X}) AS x, ({_GEO_Y}) AS y,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), cells AS (
+  SELECT x // {_HOT_CELL} AS cx, y // {_HOT_CELL} AS cy,
+         COUNT(*) AS n_points, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM pts GROUP BY 1, 2
+), total AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM cells
+), spread AS (
+  SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.n_points, c.cents
+  FROM cells c, (SELECT dx.g AS dx, dy.g AS dy
+                 FROM (SELECT unnest(generate_series(-1, 1)) AS g) dx,
+                      (SELECT unnest(generate_series(-1, 1)) AS g) dy) o
+), nbr AS (
+  SELECT cx, cy, CAST(SUM(n_points) AS BIGINT) AS nbr_points,
+         CAST(SUM(cents) AS BIGINT) AS nbr_cents
+  FROM spread GROUP BY 1, 2
+)
+SELECT c.cx, c.cy, c.n_points, c.cents, n.nbr_points, n.nbr_cents,
+       n.nbr_cents * 1000000 // total_cents AS nbr_share_ppm
+FROM cells c JOIN nbr n ON n.cx = c.cx AND n.cy = c.cy
+CROSS JOIN total
+ORDER BY n.nbr_cents DESC, c.cx, c.cy LIMIT {HOT_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("geo_grid_hotspots", geo_grid_hotspots, GEO_HOTSPOTS_ORACLE,
+              "3x3 neighbor-smoothed grid hotspots, exact cents",
+              ("analytics", "spatial")),
+]

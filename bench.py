@@ -312,6 +312,7 @@ HEADLINE = [
     "ts_motif_discovery",
     "q_recursive_hierarchy",
     "emb_pca_deflate",
+    "geo_grid_hotspots",
 ]
 
 
