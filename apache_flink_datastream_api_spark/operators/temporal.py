@@ -1911,3 +1911,115 @@ SPECS += [
               "merge overlapping fulfillment intervals per customer, no self-join",
               ("temporal", "interval", "window")),
 ]
+
+
+# --- Shapley-value channel attribution ------------------------------------------
+# The game-theoretic completion of the attribution family (last-touch and
+# position-based above are heuristics; Shapley is the axiomatically fair
+# split). Coalition value v(S) = number of converted users whose
+# pre-conversion touch-channel SET is contained in S. With 4 touch
+# channels the 16 coalitions enumerate exactly, and the Shapley value
+# phi_i = sum over S not containing i of |S|!(3-|S|)!/4! * (v(S+i)-v(S))
+# is EXACT INTEGER once scaled by 4! = 24 (the factorial weights 6/2/2/6
+# are integers). Everything driver-scale after one keyed rollup: user ->
+# 4-bit touch mask (one aggregate), mask -> profile counts (<= 16 rows),
+# coalition/marginal joins on broadcast 16-row tables. Sanity law the
+# oracle enforces by construction: sum_i phi_x24 = 24 * (v(full) - v({})).
+
+SHAP_CHANNELS = ("click", "error", "signup", "view")  # bit order, sorted
+
+
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_millis(ts) AS ts_ms")
+    fp = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id").agg(F.min("ts_ms").alias("fp_ms"))
+    )
+    bits = " + ".join(
+        f"MAX(CASE WHEN event_type = '{ch}' THEN {1 << i} ELSE 0 END)"
+        for i, ch in enumerate(SHAP_CHANNELS))
+    profiles = (
+        ev.join(fp, "user_id")
+        .where("event_type <> 'purchase' AND ts_ms < fp_ms")
+        .groupBy("user_id")
+        .agg(F.expr(f"{bits} AS mask"))
+        .groupBy("mask").agg(F.count("*").alias("n_conv"))
+    )
+    coalitions = spark.range(16).selectExpr("CAST(id AS INT) AS s")
+    v = (
+        coalitions.join(
+            F.broadcast(profiles),
+            F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    rows = []
+    for i, ch in enumerate(SHAP_CHANNELS):
+        bit = 1 << i
+        a = v.where(f"(s & {bit}) = 0").selectExpr("s", "v AS v_s")
+        b = v.selectExpr(f"s - {bit} AS s", "v AS v_si")
+        rows.append(
+            a.join(F.broadcast(b), "s")
+            .selectExpr(
+                f"'{ch}' AS channel",
+                "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                " WHEN 2 THEN 2 ELSE 6 END * (v_si - v_s) AS term")
+            .groupBy("channel")
+            .agg(F.sum("term").alias("phi_x24"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    total = v.where("s = 15").selectExpr("v AS n_converted_touched")
+    return out.crossJoin(F.broadcast(total))
+
+
+_SHAP_BITS_D = " + ".join(
+    f"MAX(CASE WHEN event_type = '{ch}' THEN {1 << i} ELSE 0 END)"
+    for i, ch in enumerate(SHAP_CHANNELS))
+
+Q_ATTRIBUTION_SHAPLEY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), fp AS (
+  SELECT user_id, MIN(ts_ms) AS fp_ms FROM ev
+  WHERE event_type = 'purchase' GROUP BY 1
+), profiles AS (
+  SELECT mask, COUNT(*) AS n_conv FROM (
+    SELECT e.user_id, {_SHAP_BITS_D} AS mask
+    FROM ev e JOIN fp USING (user_id)
+    WHERE e.event_type <> 'purchase' AND e.ts_ms < fp.fp_ms
+    GROUP BY 1)
+  GROUP BY 1
+), coalitions AS (
+  SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS s
+), v AS (
+  SELECT s, CAST(COALESCE(SUM(n_conv), 0) AS BIGINT) AS v
+  FROM coalitions LEFT JOIN profiles ON (mask & s) = mask
+  GROUP BY 1
+), chans AS (
+  SELECT * FROM (VALUES {", ".join(f"('{ch}', {1 << i})" for i, ch in enumerate(SHAP_CHANNELS))})
+    t(channel, bit)
+), phi AS (
+  SELECT c.channel,
+         CAST(SUM((CASE bit_count(a.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                   WHEN 2 THEN 2 ELSE 6 END) * (b.v - a.v)) AS BIGINT)
+           AS phi_x24
+  FROM chans c
+  JOIN v a ON (a.s & c.bit) = 0
+  JOIN v b ON b.s = a.s + c.bit
+  GROUP BY 1
+)
+SELECT channel, phi_x24,
+       (SELECT v FROM v WHERE s = 15) AS n_converted_touched
+FROM phi
+"""
+
+
+SPECS += [
+    QuerySpec("q_attribution_shapley", q_attribution_shapley,
+              Q_ATTRIBUTION_SHAPLEY_ORACLE,
+              "exact Shapley channel attribution over 4-bit coalitions",
+              ("analytics", "attribution")),
+]

@@ -313,6 +313,7 @@ HEADLINE = [
     "q_recursive_hierarchy",
     "emb_pca_deflate",
     "geo_grid_hotspots",
+    "q_attribution_shapley",
 ]
 
 

@@ -157,3 +157,16 @@ def test_nb_confusion_covers_exactly_the_eval_split(spark):
         .count()
     )
     assert sum(r.n_docs for r in cells) == n_eval
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Σ_i phi_x24 == 24 * v(all channels): the Shapley split must
+    distribute exactly the conversions the game explains. Untouched
+    converters never enter the profile table, so v(∅) = 0 BY
+    CONSTRUCTION and the full coalition's value is the whole pie."""
+    rows = _run(spark, "q_attribution_shapley")
+    assert sum(r.phi_x24 for r in rows) == 24 * rows[0].n_converted_touched
+    # and each channel's share is nonnegative: v is monotone (S ⊆ T ⇒
+    # v(S) <= v(T)) because containment in a larger coalition is weaker
+    for r in rows:
+        assert r.phi_x24 >= 0
