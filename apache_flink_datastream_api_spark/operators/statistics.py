@@ -3982,3 +3982,133 @@ SPECS += [
               "3x3 neighbor-smoothed grid hotspots, exact cents",
               ("analytics", "spatial")),
 ]
+
+
+# --- chain-ladder development-triangle completion --------------------------------
+# The actuarial estimator behind "how much LTV is still to come": build
+# the cohort x age cumulative-revenue triangle (cohort = user's signup
+# day, age = days since), estimate volume-weighted development
+# factors f_a = Σ cum(a+1) / Σ cum(a) over the cohorts that have BOTH
+# ages observed, and complete each younger cohort to the oldest age by
+# multiplying its latest known cumulative by the remaining factors.
+# Exactness: factors stay (num, den) BIGINT pairs; the per-cohort
+# completion folds the SAME age-sorted factor list left-to-right in
+# doubles (correctly-rounded ÷ and ×), floored to cents. Scale: the
+# triangle is calendar-bounded (|weeks|² cells), factors are a <= |ages|
+# row broadcast; only the cohort rollup touches the fact table.
+
+
+def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+    cohort = ev.where("event_type = 'signup'").groupBy("user_id").agg(
+        F.expr(f"MIN(ts_ms) div {_DAY_MS} AS cohort_w"))
+    bounds = ev.agg(F.expr(f"MAX(ts_ms) div {_DAY_MS} AS obs_w"))
+    cells = (
+        ev.where("event_type = 'purchase'")
+        .join(cohort, "user_id")
+        .groupBy("cohort_w",
+                 F.expr(f"ts_ms div {_DAY_MS} - cohort_w").alias("age"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_w").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # dense ages 0..max_age per cohort (missing days must carry the
+    # cumulative forward, or factor denominators skip cells)
+    spine = (
+        cells.groupBy("cohort_w").agg(F.lit(1).alias("one"))
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "cohort_w",
+            "explode(sequence(0, CAST(obs_w - cohort_w AS INT))) AS age")
+    )
+    tri = (
+        spine.join(cells, ["cohort_w", "age"], "left")
+        .withColumn("cents", F.coalesce(F.col("cents"), F.lit(0)))
+        .withColumn("cum", F.sum("cents").over(w_cum))
+    )
+    nxt = tri.selectExpr("cohort_w", "age - 1 AS age", "cum AS cum_next")
+    factors = (
+        tri.join(nxt, ["cohort_w", "age"])
+        .where("cum > 0")
+        .groupBy("age")
+        .agg(F.sum("cum_next").alias("num"), F.sum("cum").alias("den"))
+    )
+    farr = factors.agg(F.expr(
+        "sort_array(collect_list(struct(age, num, den)))").alias("fs"))
+    latest = (
+        tri.crossJoin(F.broadcast(bounds))
+        .where("age = obs_w - cohort_w")
+        .selectExpr("cohort_w", "age AS max_age_w", "cum AS cum_cents_known",
+                    "obs_w")
+    )
+    return (
+        latest.crossJoin(F.broadcast(farr))
+        .selectExpr(
+            f"cohort_w * {_DAY_MS} AS cohort_ms",
+            "max_age_w", "cum_cents_known",
+            "CAST(floor(cum_cents_known * aggregate("
+            " filter(fs, f -> f.age >= max_age_w), CAST(1.0 AS DOUBLE),"
+            " (s, f) -> s * (CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE))"
+            ")) AS BIGINT) AS ultimate_cents",
+        )
+    )
+
+
+Q_CHAIN_LADDER_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(ts_ms) // {_DAY_MS} AS cohort_w FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+), bounds AS (
+  SELECT MAX(ts_ms) // {_DAY_MS} AS obs_w FROM ev
+), cells AS (
+  SELECT c.cohort_w, e.ts_ms // {_DAY_MS} - c.cohort_w AS age,
+         CAST(SUM(e.cents) AS BIGINT) AS cents
+  FROM ev e JOIN cohort c USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), spine AS (
+  SELECT cohort_w, unnest(generate_series(0, CAST(obs_w - cohort_w AS INT)))
+           AS age
+  FROM (SELECT DISTINCT cohort_w FROM cells) CROSS JOIN bounds
+), tri AS (
+  SELECT cohort_w, age,
+         CAST(SUM(COALESCE(cents, 0)) OVER (PARTITION BY cohort_w
+           ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM spine LEFT JOIN cells USING (cohort_w, age)
+), factors AS (
+  SELECT t.age, CAST(SUM(n.cum) AS BIGINT) AS num,
+         CAST(SUM(t.cum) AS BIGINT) AS den
+  FROM tri t JOIN tri n ON n.cohort_w = t.cohort_w AND n.age = t.age + 1
+  WHERE t.cum > 0
+  GROUP BY 1
+), farr AS (
+  SELECT list_sort(list({{'age': age, 'num': num, 'den': den}})) AS fs
+  FROM factors
+), latest AS (
+  SELECT cohort_w, age AS max_age_w, cum AS cum_cents_known
+  FROM tri CROSS JOIN bounds WHERE age = obs_w - cohort_w
+)
+SELECT cohort_w * {_DAY_MS} AS cohort_ms, max_age_w, cum_cents_known,
+       CAST(floor(cum_cents_known * list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(list_filter(fs, f -> f.age >= max_age_w),
+             f -> CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE))),
+         (s, y) -> s * y)) AS BIGINT) AS ultimate_cents
+FROM latest CROSS JOIN farr
+"""
+
+
+SPECS += [
+    QuerySpec("q_chain_ladder", q_chain_ladder, Q_CHAIN_LADDER_ORACLE,
+              "chain-ladder cohort triangle completion, ordered-fold exact",
+              ("analytics", "forecast", "cohort")),
+]

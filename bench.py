@@ -314,6 +314,7 @@ HEADLINE = [
     "emb_pca_deflate",
     "geo_grid_hotspots",
     "q_attribution_shapley",
+    "q_chain_ladder",
 ]
 
 
