@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import QuerySpec
 from ..sources.tables import load_table
@@ -1081,5 +1081,111 @@ FROM samp GROUP BY doc_id, c
 SPECS += [
     QuerySpec("mm_audio_features", mm_audio_features, MM_AUDIO_FEATURES_ORACLE,
               "per-chunk energy / zero-crossing / peak over real decoded WAV",
+              ("multimodal", "codec", "audio")),
+]
+
+
+# --- audio fingerprint match (constellation hashing + offset voting) -----------
+# The Shazam-style retrieval loop on the REAL WAV codec path: per doc,
+# decode the PCM stream, take per-16-sample-chunk peak landmarks, and
+# hash LANDMARK PAIRS (anchor peak, target peak, chunk gap 1..3) into
+# 24-bit fingerprints — then match a probe snippet (doc 0's fingerprint
+# set) against the corpus by voting on the TIME OFFSET c_corpus -
+# c_probe. A true source aligns at one consistent offset (doc 0
+# self-matches with every fingerprint at offset 0); hash-collision
+# impostors scatter across offsets and score noise — which is exactly
+# the discrimination the top-5 readout demonstrates. Shapes: fingerprint
+# extraction is mapInPandas at ingest (one pass, no shuffle), the probe
+# set broadcasts, and matching is one equi-join on the 24-bit hash +
+# one (doc, offset) rollup — the inverted-index lookup shape that holds
+# at 100 TB of audio.
+
+FP_CHUNK = 16     # landmark granularity (samples per chunk)
+FP_MAX_DT = 3     # constellation fan-out: pair with the next 1..3 chunks
+FP_PROBE_DOC = 0  # the probe snippet's source
+FP_TOP = 5
+
+FP_SCHEMA = "doc_id bigint, c1 int, fp_hash bigint"
+
+
+def _fp_fingerprints(df: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                _, samples = _wav_parse(_wav_synthesize(d))
+                v = np.abs(samples.astype(np.int64))
+                peaks = [
+                    int(v[c * FP_CHUNK:(c + 1) * FP_CHUNK].max())
+                    for c in range(-(-len(v) // FP_CHUNK))
+                ]
+                for c1, p1 in enumerate(peaks):
+                    for dt in range(1, FP_MAX_DT + 1):
+                        if c1 + dt < len(peaks):
+                            p2 = peaks[c1 + dt]
+                            rows.append((
+                                d, c1,
+                                (p1 % 256) * 65536 + (p2 % 256) * 256 + dt))
+            yield pd.DataFrame(rows, columns=["doc_id", "c1", "fp_hash"])
+
+    return df.select("doc_id").mapInPandas(run, FP_SCHEMA)
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = _fp_fingerprints(load_table(spark, sf_dir, "documents"))
+    probe = fps.where(F.col("doc_id") == FP_PROBE_DOC).selectExpr(
+        "c1 AS qc1", "fp_hash")
+    votes = (
+        fps.join(F.broadcast(probe), "fp_hash")
+        .groupBy("doc_id", F.expr("c1 - qc1").alias("offset"))
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("votes"), "offset")
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where("r = 1")
+        .selectExpr("doc_id", "offset AS best_offset", "votes")
+        .orderBy(F.desc("votes"), "doc_id")
+        .limit(FP_TOP)
+    )
+
+
+MM_AUDIO_FP_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 160 + doc_id % 160 AS n FROM documents
+), samp AS (
+  SELECT doc_id, i // {FP_CHUNK} AS c,
+         abs(((doc_id * 17 + i * 7) % 65536) - 32768) AS v
+  FROM dims, LATERAL (SELECT unnest(range(n)) AS i)
+), peaks AS (
+  SELECT doc_id, c, MAX(v) AS p FROM samp GROUP BY 1, 2
+), fps AS (
+  SELECT a.doc_id, CAST(a.c AS INT) AS c1,
+         (a.p % 256) * 65536 + (b.p % 256) * 256 + (b.c - a.c) AS fp_hash
+  FROM peaks a JOIN peaks b
+    ON b.doc_id = a.doc_id AND b.c - a.c BETWEEN 1 AND {FP_MAX_DT}
+), probe AS (
+  SELECT c1 AS qc1, fp_hash FROM fps WHERE doc_id = {FP_PROBE_DOC}
+), votes AS (
+  SELECT f.doc_id, f.c1 - p.qc1 AS "offset", COUNT(*) AS votes
+  FROM fps f JOIN probe p USING (fp_hash)
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, "offset", votes,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY votes DESC, "offset") AS r
+  FROM votes
+)
+SELECT doc_id, "offset" AS best_offset, votes
+FROM best WHERE r = 1
+ORDER BY votes DESC, doc_id LIMIT {FP_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("mm_audio_fingerprint", mm_audio_fingerprint,
+              MM_AUDIO_FP_ORACLE,
+              "constellation-hash audio retrieval with offset voting",
               ("multimodal", "codec", "audio")),
 ]

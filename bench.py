@@ -315,6 +315,7 @@ HEADLINE = [
     "geo_grid_hotspots",
     "q_attribution_shapley",
     "q_chain_ladder",
+    "mm_audio_fingerprint",
 ]
 
 
