@@ -1189,3 +1189,79 @@ SPECS += [
               "constellation-hash audio retrieval with offset voting",
               ("multimodal", "codec", "audio")),
 ]
+
+
+# --- dominant-palette extraction over the real PPM codec ------------------------
+# The image-side feature that a dedup/search pipeline stores alongside
+# pHash: quantize every decoded pixel to a 4x4x4 RGB cube (2 bits per
+# channel) and keep each image's top-4 bins with exact counts and
+# coverage ppm. The Spark side decodes the REAL binary P6 payload with
+# the in-tree parser and builds the histogram inside one mapInPandas
+# pass (per-image work is bounded by the pixel count; no shuffle at
+# all); the oracle replays the synthesized raster formula pixel-by-pixel
+# in SQL. Tie-break (count DESC, bin ASC) keeps the rank deterministic.
+
+PALETTE_TOP = 4
+
+PALETTE_SCHEMA = ("doc_id bigint, rank int, r_bin int, g_bin int, b_bin int, "
+                  "n_pixels bigint, share_ppm bigint")
+
+
+def mm_palette_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = _ppm_parse(_ppm_synthesize(d)).astype(np.int64)
+                bins = (
+                    (img[:, :, 0] // 64) * 16
+                    + (img[:, :, 1] // 64) * 4
+                    + (img[:, :, 2] // 64)
+                ).ravel()
+                n = len(bins)
+                cnt = np.bincount(bins, minlength=64)
+                order = sorted(range(64), key=lambda b: (-cnt[b], b))
+                for r, b in enumerate(order[:PALETTE_TOP], start=1):
+                    if cnt[b] == 0:
+                        break
+                    rows.append((
+                        d, r, b // 16, (b // 4) % 4, b % 4,
+                        int(cnt[b]), int(cnt[b]) * 1_000_000 // n))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "rank", "r_bin", "g_bin", "b_bin",
+                "n_pixels", "share_ppm"])
+
+    return docs.select("doc_id").mapInPandas(run, PALETTE_SCHEMA)
+
+
+MM_PALETTE_ORACLE = f"""
+WITH {_PPM_DIMS_D}, pix AS (
+  SELECT doc_id,
+         ((doc_id * 31 + i * 3) % 256) // 64 AS r,
+         ((doc_id * 31 + i * 3 + 1) % 256) // 64 AS g,
+         ((doc_id * 31 + i * 3 + 2) % 256) // 64 AS b
+  FROM dims, LATERAL (SELECT unnest(range(w * h)) AS i)
+), hist AS (
+  SELECT doc_id, r * 16 + g * 4 + b AS bin, r, g, b, COUNT(*) AS n,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+  FROM pix GROUP BY 1, 2, 3, 4, 5
+), ranked AS (
+  SELECT doc_id, r, g, b, n, total,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bin) AS rank
+  FROM hist
+)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(r AS INT) AS r_bin, CAST(g AS INT) AS g_bin, CAST(b AS INT) AS b_bin,
+       n AS n_pixels, n * 1000000 // total AS share_ppm
+FROM ranked WHERE rank <= {PALETTE_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("mm_palette_extract", mm_palette_extract, MM_PALETTE_ORACLE,
+              "top-4 quantized-color palette per real decoded PPM image",
+              ("multimodal", "codec")),
+]

@@ -316,6 +316,7 @@ HEADLINE = [
     "q_attribution_shapley",
     "q_chain_ladder",
     "mm_audio_fingerprint",
+    "mm_palette_extract",
 ]
 
 
