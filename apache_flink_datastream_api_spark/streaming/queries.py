@@ -1507,3 +1507,73 @@ SPECS += [
         "online Holt level+trend smoothing in keyed streaming state",
         ("streaming", "stateful", "forecast")),
 ]
+
+
+# --- X11: online CUSUM drift alarms in keyed streaming state -------------------
+
+
+def x11_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .state import cusum_detector
+
+    stream = _events_stream(spark, sf_dir).selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    return run_available_now(cusum_detector(stream), spark, mode="update")
+
+
+def _cusum_oracle() -> str:
+    """Replays the per-key recurrence as a depth-bounded recursive CTE
+    (the w9_capped_session precedent). A list_reduce fold would be
+    terser, but DuckDB 1.0 resolves acc.<field> inconsistently when the
+    same expression also defines a sibling struct field — the recursive
+    CTE is explicit about evaluation order and engine-agnostic."""
+    from .state import CUSUM_H, CUSUM_SLACK, CUSUM_WARMUP
+
+    S, H, W = CUSUM_SLACK, CUSUM_H, CUSUM_WARMUP
+    v = "w.vals[CAST(st.i + 1 AS INT)]"
+    zed = "CAST(0 AS BIGINT)"
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), warm AS (
+  SELECT user_id, list(cents ORDER BY ts_ms, event_id) AS vals,
+         CAST(len(list(cents)) AS BIGINT) AS n,
+         CAST(list_sum((list(cents ORDER BY ts_ms, event_id))[1:{W}])
+              AS BIGINT) // {W} AS mu0
+  FROM ev GROUP BY user_id HAVING COUNT(*) >= {W}
+), step(user_id, i, s_pos, s_neg, n_alarms, first_alarm) AS (
+  SELECT user_id, CAST({W} AS BIGINT), {zed}, {zed}, {zed}, {zed}
+  FROM warm
+  UNION ALL
+  SELECT user_id, i + 1,
+         CASE WHEN alarm THEN 0 ELSE p END,
+         CASE WHEN alarm THEN 0 ELSE q END,
+         n_alarms + CASE WHEN alarm THEN 1 ELSE 0 END,
+         CASE WHEN first_alarm > 0 THEN first_alarm
+              WHEN alarm THEN i + 1 ELSE 0 END
+  FROM (
+    SELECT st.user_id, st.i, st.n_alarms, st.first_alarm,
+           greatest({zed}, st.s_pos + {v} - w.mu0 - {S}) AS p,
+           greatest({zed}, st.s_neg + w.mu0 - {v} - {S}) AS q,
+           (greatest({zed}, st.s_pos + {v} - w.mu0 - {S}) > {H}
+            OR greatest({zed}, st.s_neg + w.mu0 - {v} - {S}) > {H}) AS alarm
+    FROM step st JOIN warm w USING (user_id)
+    WHERE st.i < w.n)
+)
+SELECT s.user_id, w.n AS n_events, w.mu0 AS mu0_cents,
+       s.n_alarms, s.first_alarm AS first_alarm_idx, s.s_pos, s.s_neg
+FROM step s JOIN warm w USING (user_id) WHERE s.i = w.n
+"""
+
+
+X11_CUSUM_ORACLE = _cusum_oracle()
+
+SPECS += [
+    QuerySpec(
+        "x11_cusum_stream", x11_cusum_stream, X11_CUSUM_ORACLE,
+        "online per-user CUSUM drift alarms with post-alarm restart",
+        ("streaming", "stateful", "changepoint")),
+]

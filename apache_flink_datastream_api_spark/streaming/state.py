@@ -655,3 +655,88 @@ def holt_smoother(df: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- X11: online CUSUM drift alarms -----------------------------------------
+# Keyed online changepoint detection: after a 10-event warmup fixes the
+# per-user baseline mean mu0 (integer cents), every event folds into the
+# two one-sided CUSUM statistics s± = max(0, s± ± (x - mu0) - SLACK);
+# crossing H raises an alarm and RESTARTS both sides (the standard
+# post-alarm reset). All-integer arithmetic, so the streaming state and
+# the oracle's list-fold replay agree bit-for-bit. Pairs with the batch
+# q_cusum_changepoint (global daily series); this is the per-key online
+# form a monitoring pipeline runs.
+
+CUSUM_WARMUP = 10
+CUSUM_SLACK = 3_000   # cents
+CUSUM_H = 30_000      # cents
+
+CUSUM_STATE = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("warm_sum", LongType()),
+        StructField("mu0", LongType()),        # -1 until warmup completes
+        StructField("s_pos", LongType()),
+        StructField("s_neg", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm", LongType()),  # 0 = none yet
+    ]
+)
+
+
+def make_cusum_detector(key_name: str):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = _sorted(pdfs)
+        n_seen, warm_sum, mu0, s_pos, s_neg, n_alarms, first_alarm = (
+            state.get if state.exists else (0, 0, -1, 0, 0, 0, 0))
+        for c in rows["cents"]:
+            v = int(c)
+            n_seen += 1
+            if n_seen <= CUSUM_WARMUP:
+                warm_sum += v
+                if n_seen == CUSUM_WARMUP:
+                    mu0 = warm_sum // CUSUM_WARMUP
+                continue
+            p = max(0, s_pos + v - mu0 - CUSUM_SLACK)
+            q = max(0, s_neg + mu0 - v - CUSUM_SLACK)
+            if p > CUSUM_H or q > CUSUM_H:
+                n_alarms += 1
+                if first_alarm == 0:
+                    first_alarm = n_seen
+                s_pos, s_neg = 0, 0
+            else:
+                s_pos, s_neg = p, q
+        state.update((n_seen, warm_sum, mu0, s_pos, s_neg, n_alarms,
+                      first_alarm))
+        if n_seen >= CUSUM_WARMUP:
+            yield pd.DataFrame(
+                [(key[0], n_seen, mu0, n_alarms, first_alarm, s_pos, s_neg)],
+                columns=[key_name, "n_events", "mu0_cents", "n_alarms",
+                         "first_alarm_idx", "s_pos", "s_neg"])
+
+    return fn
+
+
+def cusum_detector(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """X11 streaming operator: df must contain (key_col, ts_ms, event_id,
+    cents). Output: final CUSUM state per key."""
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("n_events", LongType()),
+            StructField("mu0_cents", LongType()),
+            StructField("n_alarms", LongType()),
+            StructField("first_alarm_idx", LongType()),
+            StructField("s_pos", LongType()),
+            StructField("s_neg", LongType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        make_cusum_detector(key_col),
+        outputStructType=out_schema,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

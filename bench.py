@@ -317,6 +317,7 @@ HEADLINE = [
     "q_chain_ladder",
     "mm_audio_fingerprint",
     "mm_palette_extract",
+    "x11_cusum_stream",
 ]
 
 
