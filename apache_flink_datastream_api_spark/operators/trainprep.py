@@ -1274,3 +1274,76 @@ SPECS += [
               "staged easy→hard curriculum with sharded-prefix-sum positions",
               ("pipeline", "trainprep")),
 ]
+
+
+# --- weighted sampling without replacement (A-ES exponential keys) --------------
+# The weighted companion of pipeline_reservoir_sample: Efraimidis-
+# Spirakis assigns every doc the key u^(1/w) (u uniform, w = doc weight)
+# and keeps the top-K — one distributed pass, no sequential reservoir.
+# Ranking by u^(1/w) is ranking by ln(u)/w, and that stays INTEGER here:
+# u is the doc hash folded into [1, 1000003] (inside the ln-micros range
+# tests/test_round3_laws.py pins bit-equal across engines), so
+# key = (lnm(u) - lnm(1000003)) * 1e6 div w is exact BIGINT arithmetic —
+# monotone in the real-valued key, deterministic tie-breaks, and both
+# engines truncate negative division toward zero (verified). Same
+# sharded two-phase top-K as the reservoir: per-shard row_number, then
+# the K-bounded global pass.
+
+WS_K = 20
+WS_U_MOD = 1_000_003              # u domain (prime); inside the lnm pin range
+WS_LNM_MOD = 13_815_513           # floor(ln(1000003) * 1e6)
+_WS_LNM = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "source", "doc_id", "n_chars AS weight",
+        f"pmod({RES_H_S}, {WS_U_MOD}) + 1 AS u",
+    ).where("n_chars > 0").selectExpr(
+        "source", "doc_id", "weight",
+        f"({_WS_LNM.format(x='u')} - {WS_LNM_MOD}) * 1000000 div weight"
+        " AS key_micros",
+    )
+    local = Window.partitionBy(
+        F.pmod(F.col("doc_id"), F.lit(RES_SHARDS))
+    ).orderBy(F.desc("key_micros"), "doc_id")
+    cand = (
+        d.withColumn("lrk", F.row_number().over(local))
+        .where(F.col("lrk") <= WS_K)
+        .drop("lrk")
+    )
+    final = Window.orderBy(F.desc("key_micros"), "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(final))
+        .where(F.col("rk") <= WS_K)
+        .select("rk", "doc_id", "source", "weight", "key_micros")
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, n_chars AS weight,
+         ({portable_hash64_sql('CAST(doc_id AS VARCHAR)')}) % {WS_U_MOD} + 1
+           AS u
+  FROM documents WHERE n_chars > 0
+), keyed AS (
+  SELECT source, doc_id, weight,
+         ({_WS_LNM.format(x='u')} - {WS_LNM_MOD}) * 1000000 // weight
+           AS key_micros
+  FROM d
+), r AS (
+  SELECT source, doc_id, weight, key_micros,
+         row_number() OVER (ORDER BY key_micros DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT rk, doc_id, source, weight, key_micros FROM r WHERE rk <= {WS_K}
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_weighted_sample", pipeline_weighted_sample,
+              WEIGHTED_SAMPLE_ORACLE,
+              "Efraimidis-Spirakis weighted top-K sample, integer-exact keys",
+              ("trainprep", "sampling")),
+]

@@ -318,6 +318,7 @@ HEADLINE = [
     "mm_audio_fingerprint",
     "mm_palette_extract",
     "x11_cusum_stream",
+    "pipeline_weighted_sample",
 ]
 
 

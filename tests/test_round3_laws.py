@@ -128,7 +128,7 @@ def test_ln_micros_cross_engine_bit_equal(spark, oracle_con):
     driver scale are ~1e5; headroom to 1e6): a libm/rounding divergence
     in either engine fails HERE with the offending n, instead of as an
     opaque confusion-matrix hash mismatch."""
-    n = 1_000_000
+    n = 1_100_000  # covers NB counts AND pipeline_weighted_sample's u domain
     sp = dict(
         spark.range(1, n + 1)
         .selectExpr(
