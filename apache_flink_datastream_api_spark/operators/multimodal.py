@@ -1265,3 +1265,85 @@ SPECS += [
               "top-4 quantized-color palette per real decoded PPM image",
               ("multimodal", "codec")),
 ]
+
+
+# --- WebDataset-style TAR shard scan --------------------------------------------
+# Large multimodal training corpora ship as TAR shards (WebDataset): the
+# loader must slice members out of archives, not read loose files. This
+# operator exercises the REAL format end-to-end on the engine: each
+# shard's documents (shard = doc_id % 8) are packed into an in-memory
+# USTAR archive with stdlib tarfile (zeroed mtime/uid -> deterministic
+# bytes), then PARSED BACK with the real reader, emitting each member's
+# size, its byte offset inside the archive, and the md5 of the extracted
+# payload. The oracle knows nothing of tarfile — it reproduces the
+# offsets from the USTAR layout ARITHMETIC (512-byte header + payload
+# rounded up to 512-byte blocks, members in doc_id order) and the md5
+# from the source text, so a drift in either the packer or the parser
+# breaks the hash. Shapes: one applyInPandas per shard group (the
+# pack-verify unit a 100 TB pipeline parallelizes over), no other
+# shuffle.
+
+WDS_SHARDS = 8
+
+WDS_SCHEMA = ("shard int, member string, size_bytes bigint, "
+              "offset_data bigint, payload_md5 string")
+
+
+def mm_webdataset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import io
+    import tarfile
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "text", f"CAST(doc_id % {WDS_SHARDS} AS INT) AS shard")
+
+    def pack_and_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = ("" if text is None else str(text)).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(doc_id)}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+        buf.seek(0)
+        rows = []
+        with tarfile.open(fileobj=buf, mode="r") as tf:
+            for m in tf.getmembers():
+                data = tf.extractfile(m).read()
+                rows.append((
+                    shard, m.name, m.size, m.offset_data,
+                    hashlib.md5(data).hexdigest()))
+        return pd.DataFrame(rows, columns=[
+            "shard", "member", "size_bytes", "offset_data", "payload_md5"])
+
+    return docs.groupBy("shard").applyInPandas(pack_and_scan, WDS_SCHEMA)
+
+
+MM_WDS_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id % {WDS_SHARDS} AS INT) AS shard, doc_id,
+         COALESCE(text, '') AS text,
+         CAST(strlen(COALESCE(text, '')) AS BIGINT) AS size_bytes
+  FROM documents
+), layout AS (
+  SELECT shard, doc_id, size_bytes,
+         CAST(COALESCE(SUM(512 + ((size_bytes + 511) // 512) * 512)
+           OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 512
+           AS BIGINT) AS offset_data,
+         md5(text) AS payload_md5
+  FROM d
+)
+SELECT shard, doc_id || '.txt' AS member, size_bytes, offset_data, payload_md5
+FROM layout
+"""
+
+
+SPECS += [
+    QuerySpec("mm_webdataset_scan", mm_webdataset_scan, MM_WDS_ORACLE,
+              "TAR shard pack + real-parser scan vs USTAR layout arithmetic",
+              ("multimodal", "io", "codec")),
+]

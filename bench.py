@@ -319,6 +319,7 @@ HEADLINE = [
     "mm_palette_extract",
     "x11_cusum_stream",
     "pipeline_weighted_sample",
+    "mm_webdataset_scan",
 ]
 
 
