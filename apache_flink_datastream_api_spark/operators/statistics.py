@@ -4112,3 +4112,77 @@ SPECS += [
               "chain-ladder cohort triangle completion, ordered-fold exact",
               ("analytics", "forecast", "cohort")),
 ]
+
+
+# --- rolling regression beta (user spend vs market index) ------------------------
+# The rolling-OLS slope every quant/analytics stack ships: how sensitive
+# is each user's daily spend to the global daily index, over a trailing
+# 7-observation window. beta = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) stays
+# EXACT: x and y are integer cents, all five window sums are BIGINT
+# window aggregates (per-user partitions, ROWS frame — no global sort),
+# and the final slope is one integer ppm division. The index join is a
+# broadcast (calendar-bounded). Windows shorter than 7 observations or
+# with a degenerate denominator (constant index) are dropped.
+
+BETA_W = 7
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        f"user_id", f"unix_millis(ts) div {_DAY_MS} AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+    daily = ev.groupBy("user_id", "day").agg(F.sum("cents").alias("y"))
+    index = ev.groupBy("day").agg(F.sum("cents").alias("x"))
+    w = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(-(BETA_W - 1), 0)
+    )
+    joined = daily.join(F.broadcast(index), "day")
+    return (
+        joined
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxy", F.sum(F.expr("x * y")).over(w))
+        .withColumn("sxx", F.sum(F.expr("x * x")).over(w))
+        .where(f"n = {BETA_W} AND n * sxx - sx * sx <> 0")
+        .selectExpr(
+            "user_id", f"day * {_DAY_MS} AS day_ms",
+            "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+            " AS beta_ppm",
+        )
+    )
+
+
+Q_ROLLING_BETA_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) // {_DAY_MS} AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT user_id, day, CAST(SUM(cents) AS BIGINT) AS y
+  FROM ev GROUP BY 1, 2
+), idx AS (
+  SELECT day, CAST(SUM(cents) AS BIGINT) AS x FROM ev GROUP BY 1
+), win AS (
+  SELECT user_id, day,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM daily JOIN idx USING (day)
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN {BETA_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day * {_DAY_MS} AS day_ms,
+       (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS beta_ppm
+FROM win WHERE n = {BETA_W} AND n * sxx - sx * sx <> 0
+"""
+
+
+SPECS += [
+    QuerySpec("q_rolling_beta", q_rolling_beta, Q_ROLLING_BETA_ORACLE,
+              "trailing-7 rolling OLS slope vs the market index, exact ppm",
+              ("analytics", "stats", "timeseries")),
+]

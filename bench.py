@@ -320,6 +320,7 @@ HEADLINE = [
     "x11_cusum_stream",
     "pipeline_weighted_sample",
     "mm_webdataset_scan",
+    "q_rolling_beta",
 ]
 
 
