@@ -459,3 +459,91 @@ SPECS += [
               "GDPR erasure audit: purged/remaining per table, broadcast requests",
               ("pipeline", "governance")),
 ]
+
+
+# --- GDPR right-to-ACCESS export manifest ----------------------------------------
+# The read twin of pipeline_user_erasure: for every access request
+# (sampled as c_custkey % ACCESS_MOD = 0), enumerate what the export
+# package must contain — per table, the row count, the money totals in
+# exact cents, and an id checksum — INCLUDING data reachable only
+# through the FK chain (lineitem rows belong to a customer via their
+# orders; an export that walks only direct keys under-discloses).
+# Shapes: the request list broadcasts everywhere; lineitem joins through
+# orders on its own keys. The manifest is what the DPO signs off on and
+# what the erasure audit is later diffed against.
+
+ACCESS_MOD = 997
+
+
+def q_gdpr_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    requests = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.expr(f"c_custkey % {ACCESS_MOD} = 0"))
+        .select(F.col("c_custkey").alias("req_key"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(requests), F.col("c_custkey") == F.col("req_key"))
+        .groupBy("req_key")
+        .agg(F.count("*").alias("n_rows"),
+             F.expr("CAST(SUM(round(c_acctbal * 100)) AS BIGINT)").alias("cents"),
+             F.sum("c_custkey").alias("id_checksum"))
+        .selectExpr("req_key", "'customer' AS table_name",
+                    "n_rows", "cents", "id_checksum")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    ords = (
+        orders.join(F.broadcast(requests), F.col("o_custkey") == F.col("req_key"))
+        .groupBy("req_key")
+        .agg(F.count("*").alias("n_rows"),
+             F.expr("CAST(SUM(round(o_totalprice * 100)) AS BIGINT)").alias("cents"),
+             F.sum("o_orderkey").alias("id_checksum"))
+        .selectExpr("req_key", "'orders' AS table_name",
+                    "n_rows", "cents", "id_checksum")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(requests), F.col("o_custkey") == F.col("req_key"))
+        .groupBy("req_key")
+        .agg(F.count("*").alias("n_rows"),
+             F.expr("CAST(SUM(round(l_extendedprice * 100)) AS BIGINT)")
+             .alias("cents"),
+             F.sum("l_orderkey").alias("id_checksum"))
+        .selectExpr("req_key", "'lineitem' AS table_name",
+                    "n_rows", "cents", "id_checksum")
+    )
+    return cust.unionAll(ords).unionAll(li)
+
+
+Q_GDPR_ACCESS_ORACLE = f"""
+WITH requests AS (
+  SELECT c_custkey AS req_key FROM customer WHERE c_custkey % {ACCESS_MOD} = 0
+)
+SELECT req_key, 'customer' AS table_name, COUNT(*) AS n_rows,
+       CAST(SUM(round(c_acctbal * 100)) AS BIGINT) AS cents,
+       CAST(SUM(c_custkey) AS BIGINT) AS id_checksum
+FROM customer JOIN requests ON c_custkey = req_key GROUP BY 1
+UNION ALL
+SELECT req_key, 'orders', COUNT(*),
+       CAST(SUM(round(o_totalprice * 100)) AS BIGINT),
+       CAST(SUM(o_orderkey) AS BIGINT)
+FROM orders JOIN requests ON o_custkey = req_key GROUP BY 1
+UNION ALL
+SELECT req_key, 'lineitem', COUNT(*),
+       CAST(SUM(round(l_extendedprice * 100)) AS BIGINT),
+       CAST(SUM(l_orderkey) AS BIGINT)
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN requests ON o_custkey = req_key
+GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("q_gdpr_access_export", q_gdpr_access_export,
+              Q_GDPR_ACCESS_ORACLE,
+              "right-to-access export manifest incl. FK-reachable rows",
+              ("pipeline", "governance")),
+]

@@ -321,6 +321,7 @@ HEADLINE = [
     "pipeline_weighted_sample",
     "mm_webdataset_scan",
     "q_rolling_beta",
+    "q_gdpr_access_export",
 ]
 
 
