@@ -2056,3 +2056,103 @@ SPECS += [
               "FIFO lot matching via cumulative-interval overlap join",
               ("analytics", "relational", "interval")),
 ]
+
+
+# --- ABC-XYZ inventory classification matrix -------------------------------------
+# The planner's 2-D segmentation: ABC = cumulative revenue share (A: top
+# 70%, B: next 20%, C: tail), XYZ = demand variability as the squared
+# coefficient of variation of weekly order quantities (X steady, Y
+# swinging, Z erratic). Everything integer: revenue in cents, the
+# cumulative share threshold test multiplies through by the total
+# (no division), and cv² in ppm is (n·Σq² − (Σq)²) · 1e6 div (Σq)².
+# Shapes: two keyed rollups + one ordered prefix-sum over the part
+# aggregate (|parts| rows — TakeOrdered-scale, not fact-scale) + a 9-cell
+# matrix rollup.
+
+XYZ_X_PPM = 100_000   # cv² <= 0.1 -> X
+XYZ_Y_PPM = 400_000   # cv² <= 0.4 -> Y, else Z
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey AS pk",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        f"unix_millis(CAST(l_shipdate AS TIMESTAMP)) div {7 * 86_400_000}"
+        " AS wk",
+    )
+    weekly = li.groupBy("pk", "wk").agg(F.sum("qty").alias("q"))
+    var = (
+        weekly.groupBy("pk")
+        .agg(F.count("*").alias("n"), F.sum("q").alias("sq"),
+             F.sum(F.expr("q * q")).alias("sqq"))
+        .where("sq > 0")
+        .selectExpr(
+            "pk", "(n * sqq - sq * sq) * 1000000 div (sq * sq) AS cv2_ppm")
+    )
+    rev = li.groupBy("pk").agg(F.sum("cents").alias("cents"))
+    total = rev.agg(F.sum("cents").alias("total"))
+    wcum = Window.orderBy(F.desc("cents"), "pk").rowsBetween(
+        Window.unboundedPreceding, 0)
+    abc = (
+        rev.withColumn("cum", F.sum("cents").over(wcum))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "pk", "cents",
+            "CASE WHEN cum * 100 <= total * 70 THEN 'A'"
+            " WHEN cum * 100 <= total * 90 THEN 'B' ELSE 'C' END AS abc")
+    )
+    cls = abc.join(var, "pk").selectExpr(
+        "pk", "cents", "abc",
+        f"CASE WHEN cv2_ppm <= {XYZ_X_PPM} THEN 'X'"
+        f" WHEN cv2_ppm <= {XYZ_Y_PPM} THEN 'Y' ELSE 'Z' END AS xyz")
+    return (
+        cls.groupBy("abc", "xyz")
+        .agg(F.count("*").alias("n_parts"), F.sum("cents").alias("revenue_cents"))
+    )
+
+
+Q_ABC_XYZ_ORACLE = f"""
+WITH li AS (
+  SELECT l_partkey AS pk,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty,
+         epoch_ms(CAST(l_shipdate AS TIMESTAMP)) // {7 * 86_400_000} AS wk
+  FROM lineitem
+), weekly AS (
+  SELECT pk, wk, CAST(SUM(qty) AS BIGINT) AS q FROM li GROUP BY 1, 2
+), var AS (
+  SELECT pk, (COUNT(*) * CAST(SUM(q * q) AS BIGINT)
+              - CAST(SUM(q) AS BIGINT) * CAST(SUM(q) AS BIGINT)) * 1000000
+             // (CAST(SUM(q) AS BIGINT) * CAST(SUM(q) AS BIGINT)) AS cv2_ppm
+  FROM weekly GROUP BY 1 HAVING SUM(q) > 0
+), rev AS (
+  SELECT pk, CAST(SUM(cents) AS BIGINT) AS cents FROM li GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev
+), abc AS (
+  SELECT pk, cents,
+         CASE WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC, pk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                * 100 <= total * 70 THEN 'A'
+              WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC, pk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                * 100 <= total * 90 THEN 'B' ELSE 'C' END AS abc
+  FROM rev CROSS JOIN total
+), cls AS (
+  SELECT a.pk, a.cents, a.abc,
+         CASE WHEN v.cv2_ppm <= {XYZ_X_PPM} THEN 'X'
+              WHEN v.cv2_ppm <= {XYZ_Y_PPM} THEN 'Y' ELSE 'Z' END AS xyz
+  FROM abc a JOIN var v ON v.pk = a.pk
+)
+SELECT abc, xyz, COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM cls GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("q_abc_xyz_matrix", q_abc_xyz_matrix, Q_ABC_XYZ_ORACLE,
+              "ABC revenue x XYZ variability classification matrix",
+              ("analytics", "inventory")),
+]

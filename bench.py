@@ -322,6 +322,7 @@ HEADLINE = [
     "mm_webdataset_scan",
     "q_rolling_beta",
     "q_gdpr_access_export",
+    "q_abc_xyz_matrix",
 ]
 
 
