@@ -4190,3 +4190,91 @@ SPECS += [
               "trailing-7 rolling OLS slope vs the market index, exact ppm",
               ("analytics", "stats", "timeseries")),
 ]
+
+
+# --- SAX symbolization of daily series --------------------------------------------
+# Symbolic Aggregate approXimation: each user's daily-spend series is
+# PAA-compressed into 4 equal-count segments and each segment mean is
+# z-scored against the user's own mean/sd, then mapped to a 4-letter
+# alphabet at the Gaussian quartile breakpoints (-0.6745, 0, 0.6745).
+# The word is the shape signature time-series search engines index.
+# Exactness: the breakpoint test is multiplied through so the LHS is an
+# exact integer (seg_sum·n - seg_n·Σx) and the RHS b·seg_n·sqrt(n·Σx² -
+# (Σx)²) is one sqrt of an exact integer times a shared literal —
+# identical IEEE ops in identical order on both engines. One keyed
+# rollup + per-user array fold; the n<4 tail is dropped.
+
+SAX_SEGS = 4
+SAX_BP = 0.6745  # Gaussian quartile breakpoint
+
+
+def ts_sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.expr("CAST(round(SUM(value) * 100) AS BIGINT)").alias("v"))
+        .select("user_id", F.unix_millis("day").alias("day_ms"), "v")
+    )
+
+    def seg_sym(i: int) -> str:
+        lo = f"(({i} * n) div {SAX_SEGS})"
+        hi = f"((({i} + 1) * n) div {SAX_SEGS})"
+        seg_n = f"({hi} - {lo})"
+        seg_sum = (f"aggregate(slice(arr, {lo} + 1, {seg_n}), 0L,"
+                   " (s, x) -> s + x.v)")
+        lhs = f"CAST({seg_sum} * n - {seg_n} * sx AS DOUBLE)"
+        rhs = f"CAST({seg_n} AS DOUBLE) * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        return (f"CASE WHEN {lhs} < -{SAX_BP} * {rhs} THEN 'a'"
+                f" WHEN {lhs} < 0 THEN 'b'"
+                f" WHEN {lhs} < {SAX_BP} * {rhs} THEN 'c' ELSE 'd' END")
+
+    word = " || ".join(seg_sym(i) for i in range(SAX_SEGS))
+    return (
+        daily.groupBy("user_id")
+        .agg(F.expr("sort_array(collect_list(struct(day_ms, v)))").alias("arr"),
+             F.count("*").alias("n"),
+             F.sum("v").alias("sx"),
+             F.sum(F.expr("v * v")).alias("sxx"))
+        .where(f"n >= {SAX_SEGS}")
+        .selectExpr("user_id", "n AS n_days", f"{word} AS sax_word")
+    )
+
+
+def _sax_oracle() -> str:
+    def seg_sym(i: int) -> str:
+        lo = f"(({i} * n) // {SAX_SEGS})"
+        hi = f"((({i} + 1) * n) // {SAX_SEGS})"
+        seg_n = f"({hi} - {lo})"
+        seg_sum = f"CAST(list_sum(list_transform(arr[{lo} + 1:{hi}], x -> x.v)) AS BIGINT)"
+        lhs = f"CAST({seg_sum} * n - {seg_n} * sx AS DOUBLE)"
+        rhs = (f"CAST({seg_n} AS DOUBLE)"
+               f" * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))")
+        return (f"CASE WHEN {lhs} < -{SAX_BP} * {rhs} THEN 'a'"
+                f" WHEN {lhs} < 0 THEN 'b'"
+                f" WHEN {lhs} < {SAX_BP} * {rhs} THEN 'c' ELSE 'd' END")
+
+    word = " || ".join(seg_sym(i) for i in range(SAX_SEGS))
+    return f"""
+WITH daily AS (
+  SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms,
+         CAST(round(SUM(value) * 100) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, list_sort(list({{'day_ms': day_ms, 'v': v}})) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sx, CAST(SUM(v * v) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT user_id, n AS n_days, {word} AS sax_word
+FROM s WHERE n >= {SAX_SEGS}
+"""
+
+
+TS_SAX_ORACLE = _sax_oracle()
+
+
+SPECS += [
+    QuerySpec("ts_sax_symbolization", ts_sax_symbolization, TS_SAX_ORACLE,
+              "PAA + Gaussian-breakpoint SAX words per user series",
+              ("timeseries", "stats", "search")),
+]

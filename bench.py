@@ -323,6 +323,7 @@ HEADLINE = [
     "q_rolling_beta",
     "q_gdpr_access_export",
     "q_abc_xyz_matrix",
+    "ts_sax_symbolization",
 ]
 
 
