@@ -2156,3 +2156,119 @@ SPECS += [
               "ABC revenue x XYZ variability classification matrix",
               ("analytics", "inventory")),
 ]
+
+
+# --- stratified matching uplift (coarsened exact matching) ------------------------
+# The observational-causal counterpart of q_ab_readout / q_cuped_adjustment:
+# estimate the "treatment" effect by COMPARING ONLY WITHIN STRATA of a
+# pre-period covariate (coarsened exact matching with quintile bins of
+# first-half activity), then weight strata by their treated counts (the
+# ATT weighting). Strata where either arm is empty are reported but
+# excluded from the estimate — exactly the common-support rule. All
+# integer: per-stratum means in micros via exact cent/count sums; the
+# pooled ATT re-derives from the per-stratum integers. Shapes: one
+# keyed per-user rollup, quintile bounds from an ordered prefix over the
+# |users| aggregate, and a 5-row stratum table.
+
+CEM_BINS = 5
+
+
+def q_uplift_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+    mid = ev.agg(F.expr("(MIN(ts_ms) + MAX(ts_ms)) div 2 AS mid_ms"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN ts_ms < mid_ms THEN 1 ELSE 0 END"))
+            .alias("pre_n"),
+            F.sum(F.expr(
+                "CASE WHEN ts_ms >= mid_ms AND event_type = 'purchase'"
+                " THEN cents ELSE 0 END")).alias("post_cents"),
+        )
+        .withColumn("treated", F.pmod(
+            portable_hash64(F.col("user_id").cast("string")), F.lit(2)))
+    )
+    n_users = per_user.agg(F.count("*").alias("nu"))
+    wq = Window.orderBy("pre_n", "user_id")
+    binned = (
+        per_user.withColumn("rn", F.row_number().over(wq))
+        .crossJoin(F.broadcast(n_users))
+        .selectExpr(
+            "user_id", "treated", "post_cents",
+            f"least(CAST((rn - 1) * {CEM_BINS} div nu AS INT),"
+            f" {CEM_BINS - 1}) AS stratum",
+        )
+    )
+    return (
+        binned.groupBy("stratum")
+        .agg(
+            F.sum(F.expr("CASE WHEN treated = 1 THEN 1 ELSE 0 END")).alias("t_n"),
+            F.sum(F.expr("CASE WHEN treated = 0 THEN 1 ELSE 0 END")).alias("c_n"),
+            F.sum(F.expr("CASE WHEN treated = 1 THEN post_cents ELSE 0 END"))
+            .alias("t_cents"),
+            F.sum(F.expr("CASE WHEN treated = 0 THEN post_cents ELSE 0 END"))
+            .alias("c_cents"),
+        )
+        .selectExpr(
+            "stratum", "t_n", "c_n",
+            "CASE WHEN t_n > 0 AND c_n > 0 THEN"
+            " (t_cents * c_n - c_cents * t_n) * 1000000 div (t_n * c_n)"
+            " ELSE NULL END AS uplift_micro_cents",
+            "CAST(t_n > 0 AND c_n > 0 AS INT) AS on_support",
+        )
+    )
+
+
+from ..functions.hashing import portable_hash64_sql  # noqa: E402
+
+Q_UPLIFT_MATCHING_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), mid AS (
+  SELECT (MIN(ts_ms) + MAX(ts_ms)) // 2 AS mid_ms FROM ev
+), per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts_ms < mid_ms THEN 1 ELSE 0 END) AS BIGINT)
+           AS pre_n,
+         CAST(SUM(CASE WHEN ts_ms >= mid_ms AND event_type = 'purchase'
+                  THEN cents ELSE 0 END) AS BIGINT) AS post_cents,
+         ({portable_hash64_sql("CAST(user_id AS VARCHAR)")}) % 2 AS treated
+  FROM ev CROSS JOIN mid GROUP BY user_id
+), n_users AS (
+  SELECT COUNT(*) AS nu FROM per_user
+), binned AS (
+  SELECT user_id, treated, post_cents,
+         least(CAST((row_number() OVER (ORDER BY pre_n, user_id) - 1)
+                    * {CEM_BINS} // nu AS INT), {CEM_BINS - 1}) AS stratum
+  FROM per_user CROSS JOIN n_users
+), agg AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+         CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+         CAST(SUM(CASE WHEN treated = 1 THEN post_cents ELSE 0 END) AS BIGINT)
+           AS t_cents,
+         CAST(SUM(CASE WHEN treated = 0 THEN post_cents ELSE 0 END) AS BIGINT)
+           AS c_cents
+  FROM binned GROUP BY 1
+)
+SELECT stratum, t_n, c_n,
+       CASE WHEN t_n > 0 AND c_n > 0 THEN
+         (t_cents * c_n - c_cents * t_n) * 1000000 // (t_n * c_n)
+       ELSE NULL END AS uplift_micro_cents,
+       CAST(t_n > 0 AND c_n > 0 AS INT) AS on_support
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("q_uplift_matching", q_uplift_matching, Q_UPLIFT_MATCHING_ORACLE,
+              "coarsened-exact-matching uplift by pre-period strata",
+              ("analytics", "causal")),
+]

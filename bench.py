@@ -324,6 +324,7 @@ HEADLINE = [
     "q_gdpr_access_export",
     "q_abc_xyz_matrix",
     "ts_sax_symbolization",
+    "q_uplift_matching",
 ]
 
 
