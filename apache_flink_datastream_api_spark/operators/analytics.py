@@ -2272,3 +2272,107 @@ SPECS += [
               "coarsened-exact-matching uplift by pre-period strata",
               ("analytics", "causal")),
 ]
+
+
+# --- sequential pattern mining: brand -> brand order transitions -------------------
+# The ORDERED counterpart of q_copurchase_lift (same basket) and
+# q_event_transitions (event types): which brand do customers buy NEXT?
+# Each order is reduced to its dominant brand (max revenue, brand-name
+# tie-break), consecutive orders per customer form transitions via one
+# keyed lag, and each transition's lift against the independence
+# baseline n·c(a→b) / (c(a→*)·c(*→b)) is exact integer ppm. Top-20 by
+# support via orderBy+limit (TakeOrderedAndProject). Shapes: argmax per
+# order (one rollup + window over per-order brand groups), per-customer
+# lag (keyed window), one transition rollup — every step keyed, nothing
+# quadratic.
+
+SEQ_TOP = 20
+
+
+def q_brand_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_partkey",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wdom = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("cents"), "p_brand")
+    dom = (
+        ob.withColumn("r", F.row_number().over(wdom))
+        .where("r = 1")
+        .selectExpr("l_orderkey", "p_brand AS brand")
+    )
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey", "o_custkey", "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS od_ms")
+    seq = dom.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    wlag = Window.partitionBy("o_custkey").orderBy("od_ms", "o_orderkey")
+    trans = (
+        seq.withColumn("next_brand", F.lead("brand").over(wlag))
+        .where("next_brand IS NOT NULL")
+        .groupBy(F.col("brand").alias("b1"),
+                 F.col("next_brand").alias("b2"))
+        .agg(F.count("*").alias("support"))
+    )
+    tot = trans.agg(F.sum("support").alias("n"))
+    ma = trans.groupBy("b1").agg(F.sum("support").alias("ca"))
+    mb = trans.groupBy("b2").agg(F.sum("support").alias("cb"))
+    return (
+        trans.join(F.broadcast(ma), "b1").join(F.broadcast(mb), "b2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("b1", "b2", "support",
+                    "n * support * 1000000 div (ca * cb) AS lift_ppm")
+        .orderBy(F.desc("support"), "b1", "b2")
+        .limit(SEQ_TOP)
+    )
+
+
+Q_BRAND_SEQUENCE_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), ob AS (
+  SELECT l_orderkey, p_brand, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM li JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), dom AS (
+  SELECT l_orderkey, p_brand AS brand FROM (
+    SELECT l_orderkey, p_brand,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY cents DESC, p_brand) AS r
+    FROM ob) WHERE r = 1
+), seq AS (
+  SELECT o.o_custkey, epoch_ms(CAST(o.o_orderdate AS TIMESTAMP)) AS od_ms,
+         o.o_orderkey, d.brand
+  FROM dom d JOIN orders o ON d.l_orderkey = o.o_orderkey
+), trans AS (
+  SELECT brand AS b1,
+         lead(brand) OVER (PARTITION BY o_custkey
+                           ORDER BY od_ms, o_orderkey) AS b2
+  FROM seq
+), t AS (
+  SELECT b1, b2, COUNT(*) AS support FROM trans
+  WHERE b2 IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(support) AS BIGINT) AS n FROM t
+), ma AS (
+  SELECT b1, CAST(SUM(support) AS BIGINT) AS ca FROM t GROUP BY 1
+), mb AS (
+  SELECT b2, CAST(SUM(support) AS BIGINT) AS cb FROM t GROUP BY 1
+)
+SELECT t.b1, t.b2, t.support,
+       n * t.support * 1000000 // (ca * cb) AS lift_ppm
+FROM t JOIN ma USING (b1) JOIN mb USING (b2) CROSS JOIN tot
+ORDER BY t.support DESC, t.b1, t.b2 LIMIT {SEQ_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("q_brand_sequence", q_brand_sequence, Q_BRAND_SEQUENCE_ORACLE,
+              "next-brand sequential transitions with independence lift",
+              ("analytics", "basket", "sequence")),
+]

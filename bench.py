@@ -325,6 +325,7 @@ HEADLINE = [
     "q_abc_xyz_matrix",
     "ts_sax_symbolization",
     "q_uplift_matching",
+    "q_brand_sequence",
 ]
 
 
