@@ -4278,3 +4278,113 @@ SPECS += [
               "PAA + Gaussian-breakpoint SAX words per user series",
               ("timeseries", "stats", "search")),
 ]
+
+
+# --- integer Haar wavelet decomposition ---------------------------------------------
+# Multi-resolution analysis of the corpus's daily-revenue signal: the
+# UNNORMALIZED Haar transform (sum/difference pairs; the 2^(k/2)
+# normalizer is omitted so every coefficient stays an exact BIGINT —
+# the standard integer-wavelet trick). The calendar series is padded to
+# 32 slots, halved 5 times; each level's detail coefficients localize
+# WHEN the signal moved, the final approximation is the grand total.
+# Shapes: one daily rollup (fact-scale), then the whole transform runs
+# over a single collected 32-slot array — calendar-bounded no matter how
+# many events produced it.
+
+HAAR_N = 32  # padded series length (2^5)
+
+
+def q_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        f"unix_millis(ts) div {_DAY_MS} AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+    base = ev.groupBy("day").agg(F.sum("cents").alias("x"))
+    lo = base.agg(F.min("day").alias("d0"))
+    # dense padded series as ONE array column (collect first, then the
+    # spine projection — aggregates can't nest inside lambdas)
+    arr0 = (
+        base.crossJoin(F.broadcast(lo))
+        .selectExpr("CAST(day - d0 AS INT) AS i", "x")
+        .where(f"i < {HAAR_N}")
+        .agg(F.expr("collect_list(struct(i, x))").alias("pairs"))
+        .selectExpr(
+            f"transform(sequence(0, {HAAR_N - 1}), j -> "
+            "coalesce(aggregate(filter(pairs, s -> s.i = j), 0L,"
+            " (acc, s) -> acc + s.x), 0L)) AS a")
+    )
+    levels = []
+    cur = "a"
+    n = HAAR_N
+    sel = arr0
+    for lvl in range(1, 6):
+        half = n // 2
+        sel = sel.selectExpr(
+            "*",
+            f"transform(sequence(0, {half - 1}), i ->"
+            f" element_at({cur}, 2 * i + 1) + element_at({cur}, 2 * i + 2))"
+            f" AS a{lvl}",
+            f"transform(sequence(0, {half - 1}), i ->"
+            f" element_at({cur}, 2 * i + 1) - element_at({cur}, 2 * i + 2))"
+            f" AS d{lvl}",
+        )
+        levels.append((lvl, half))
+        cur, n = f"a{lvl}", half
+    parts = [
+        sel.select(F.lit(lvl).cast("int").alias("level"),
+                   F.posexplode(f"d{lvl}").alias("pos", "coeff"))
+        for lvl, _ in levels
+    ]
+    approx = sel.select(
+        F.lit(6).cast("int").alias("level"),
+        F.posexplode("a5").alias("pos", "coeff"))
+    out = parts[0]
+    for p in parts[1:] + [approx]:
+        out = out.unionAll(p)
+    return out
+
+
+def _haar_oracle() -> str:
+    lines = [f"""
+WITH base AS (
+  SELECT epoch_ms(ts) // {_DAY_MS} AS day,
+         CAST(round(SUM(value) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), lo AS (
+  SELECT MIN(day) AS d0 FROM base
+), a0 AS (
+  SELECT list(CAST(COALESCE(b.x, 0) AS BIGINT) ORDER BY s.j) AS a
+  FROM (SELECT unnest(generate_series(0, {HAAR_N - 1})) AS j) s
+  LEFT JOIN (SELECT CAST(day - d0 AS INT) AS i, x FROM base, lo) b
+    ON b.i = s.j
+)"""]
+    cur, n = "a", HAAR_N
+    for lvl in range(1, 6):
+        half = n // 2
+        lines.append(f""", l{lvl} AS (
+  SELECT list_transform(generate_series(0, {half - 1}), i ->
+           {cur}[2 * i + 1] + {cur}[2 * i + 2]) AS a,
+         list_transform(generate_series(0, {half - 1}), i ->
+           {cur}[2 * i + 1] - {cur}[2 * i + 2]) AS d
+  FROM {"a0" if lvl == 1 else f"l{lvl - 1}"}
+)""")
+        cur, n = "a", half
+    selects = [
+        f"""SELECT CAST({lvl} AS INT) AS level,
+       CAST(generate_subscripts(d, 1) - 1 AS INT) AS pos,
+       CAST(unnest(d) AS BIGINT) AS coeff FROM l{lvl}"""
+        for lvl in range(1, 6)
+    ]
+    selects.append(
+        """SELECT CAST(6 AS INT), CAST(generate_subscripts(a, 1) - 1 AS INT),
+       CAST(unnest(a) AS BIGINT) FROM l5""")
+    return "".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+Q_HAAR_ORACLE = _haar_oracle()
+
+
+SPECS += [
+    QuerySpec("q_haar_wavelet", q_haar_wavelet, Q_HAAR_ORACLE,
+              "integer Haar multi-resolution transform of the daily signal",
+              ("timeseries", "stats", "signal")),
+]

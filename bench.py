@@ -326,6 +326,7 @@ HEADLINE = [
     "ts_sax_symbolization",
     "q_uplift_matching",
     "q_brand_sequence",
+    "q_haar_wavelet",
 ]
 
 
