@@ -834,3 +834,63 @@ SPECS += [
               "runtime dynamic partition pruning through a parquet roundtrip",
               ("io", "optimizer")),
 ]
+
+
+# --- ANALYZE-style column statistics collection -------------------------------------
+# The stats pass a lakehouse optimizer feeds on (ANALYZE TABLE ... FOR
+# COLUMNS): per column — rows, nulls, exact NDV, min/max — over the
+# orders fact table, emitted as one narrow stats relation. Exact NDV is
+# deliberate (this is the stats-build job, where the exact pass is run
+# and then cached; the query-time estimator uses the HLL family in
+# operators/sketches.py). One aggregate pass, map-side combinable;
+# min/max of strings emitted as md5-stable VARCHARs.
+
+
+def maintenance_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def stat(col: str, kind: str) -> DataFrame:
+        val = (f"CAST(round({col} * 100) AS BIGINT)" if kind == "money"
+               else col)
+        return o.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.expr(f"CAST({col} IS NULL AS BIGINT)")).alias("n_nulls"),
+            F.countDistinct(col).alias("ndv"),
+            F.min(F.expr(val)).cast("string").alias("min_val"),
+            F.max(F.expr(val)).cast("string").alias("max_val"),
+        ).selectExpr(f"'{col}' AS column_name", "n_rows", "n_nulls", "ndv",
+                     "min_val", "max_val")
+
+    out = stat("o_custkey", "id")
+    for c, k in (("o_orderstatus", "str"), ("o_totalprice", "money"),
+                 ("o_orderpriority", "str")):
+        out = out.unionAll(stat(c, k))
+    return out
+
+
+def _colstats_oracle() -> str:
+    def stat(col: str, kind: str) -> str:
+        val = (f"CAST(round({col} * 100) AS BIGINT)" if kind == "money"
+               else col)
+        return f"""SELECT '{col}' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       COUNT(DISTINCT {col}) AS ndv,
+       CAST(MIN({val}) AS VARCHAR) AS min_val,
+       CAST(MAX({val}) AS VARCHAR) AS max_val
+FROM orders"""
+
+    return "\nUNION ALL\n".join([
+        stat("o_custkey", "id"), stat("o_orderstatus", "str"),
+        stat("o_totalprice", "money"), stat("o_orderpriority", "str")])
+
+
+MAINT_COLSTATS_ORACLE = _colstats_oracle()
+
+
+SPECS += [
+    QuerySpec("maintenance_column_stats", maintenance_column_stats,
+              MAINT_COLSTATS_ORACLE,
+              "ANALYZE-style exact column stats (rows/nulls/NDV/min/max)",
+              ("io", "maintenance")),
+]

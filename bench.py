@@ -327,6 +327,7 @@ HEADLINE = [
     "q_uplift_matching",
     "q_brand_sequence",
     "q_haar_wavelet",
+    "maintenance_column_stats",
 ]
 
 

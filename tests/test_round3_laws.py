@@ -170,3 +170,29 @@ def test_shapley_efficiency_axiom(spark):
     # v(S) <= v(T)) because containment in a larger coalition is weaker
     for r in rows:
         assert r.phi_x24 >= 0
+
+
+def test_haar_parseval_energy_conservation(spark):
+    """Unnormalized-Haar Parseval: 32·Σx² == Σ_l 2^(5-l)·Σd_l² + a²
+    (level-6 row is the final approximation). Ties the transform to the
+    raw daily series it decomposed — a coefficient indexing bug cannot
+    conserve energy."""
+    import pyspark.sql.functions as F
+    from apache_flink_datastream_api_spark.operators.statistics import (
+        _DAY_MS, HAAR_N)
+    from apache_flink_datastream_api_spark.sources.tables import load_table
+
+    rows = _run(spark, "q_haar_wavelet")
+    rhs = 0
+    for r in rows:
+        if r.level == 6:
+            rhs += r.coeff * r.coeff
+        else:
+            rhs += (1 << (5 - r.level)) * r.coeff * r.coeff
+    ev = load_table(spark, SF_DIR, "events").selectExpr(
+        f"unix_millis(ts) div {_DAY_MS} AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+    base = ev.groupBy("day").agg(F.sum("cents").alias("x"))
+    lo = base.agg(F.min("day").alias("d0")).collect()[0].d0
+    xs = [r.x for r in base.collect() if r.day - lo < HAAR_N]
+    assert HAAR_N * sum(x * x for x in xs) == rhs
