@@ -1555,3 +1555,64 @@ SPECS += [
               "order-aware top-k trajectory similarity on transition multisets",
               ("behavior", "similarity", "timeseries")),
 ]
+
+
+# --- Shannon entropy of per-user event mix -------------------------------------------
+# The ln-based diversity twin of q_simpson_diversity: per user,
+# H = -Σ p_t·ln(p_t) over event-type shares, plus the normalized
+# evenness H/ln(k). Exact-integer discipline via the pinned ln-micros
+# trick (tests/test_round3_laws.py): H_micro = Σ cnt·(lnm(n) - lnm(cnt))
+# div n — every term is a BIGINT product of a count with a pinned
+# lnm value, so the per-user features hash-match. One keyed rollup +
+# one per-user aggregate; nothing leaves the (user, type) grain until
+# the final rollup.
+
+_ENT_LNM = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+def q_entropy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mix = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    per_user = mix.groupBy("user_id").agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("k"))
+    return (
+        mix.join(per_user, "user_id")
+        .groupBy("user_id", "n", "k")
+        .agg(F.sum(F.expr(
+            f"cnt * ({_ENT_LNM.format(x='n')} - {_ENT_LNM.format(x='cnt')})"
+        )).alias("h_num"))
+        .selectExpr(
+            "user_id", "n AS n_events", "k AS n_types",
+            "h_num div n AS entropy_micro",
+            f"CASE WHEN k > 1 THEN (h_num div n) * 1000000"
+            f" div {_ENT_LNM.format(x='k')} ELSE 0 END AS evenness_ppm",
+        )
+    )
+
+
+Q_ENTROPY_ORACLE = f"""
+WITH mix AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS k
+  FROM mix GROUP BY 1
+), agg AS (
+  SELECT m.user_id, p.n, p.k,
+         CAST(SUM(m.cnt * ({_ENT_LNM.format(x='p.n')}
+                           - {_ENT_LNM.format(x='m.cnt')})) AS BIGINT) AS h_num
+  FROM mix m JOIN per_user p USING (user_id)
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, n AS n_events, k AS n_types,
+       h_num // n AS entropy_micro,
+       CASE WHEN k > 1 THEN (h_num // n) * 1000000
+            // {_ENT_LNM.format(x='k')} ELSE 0 END AS evenness_ppm
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("q_entropy_features", q_entropy_features, Q_ENTROPY_ORACLE,
+              "Shannon entropy + evenness of per-user event mix, lnm-exact",
+              ("behavior", "stats", "features")),
+]

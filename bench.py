@@ -328,6 +328,7 @@ HEADLINE = [
     "q_brand_sequence",
     "q_haar_wavelet",
     "maintenance_column_stats",
+    "q_entropy_features",
 ]
 
 
