@@ -4388,3 +4388,95 @@ SPECS += [
               "integer Haar multi-resolution transform of the daily signal",
               ("timeseries", "stats", "signal")),
 ]
+
+
+# --- Croston intermittent-demand forecast --------------------------------------------
+# The forecaster for SPARSE demand (most parts sell in a few scattered
+# weeks): classic Croston keeps two EWMAs — nonzero demand SIZE z and
+# inter-demand INTERVAL p — updated only when demand occurs; the rate
+# forecast is z/p per week. alpha = 1/5 keeps the recurrence integer:
+# z' = z + (d·1e6 - z) div 5 in micros (truncating div, identical on
+# both engines). Init: z = first demand, p = first interval; the fold
+# starts at the second occurrence. The Spark side folds each part's
+# (bounded) occurrence list with aggregate(); the oracle replays the
+# recurrence as a recursive CTE (the x11 precedent — DuckDB list_reduce
+# struct folds are avoided). One keyed rollup + per-part array fold.
+
+CROSTON_A = 5  # alpha = 1/5
+
+
+def q_forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey AS pk",
+        f"unix_millis(CAST(l_shipdate AS TIMESTAMP)) div {7 * 86_400_000}"
+        " AS wk",
+        "CAST(l_quantity AS BIGINT) AS qty")
+    weekly = (
+        li.groupBy("pk", "wk").agg(F.sum("qty").alias("d"))
+        .where("d > 0")
+    )
+    a = CROSTON_A
+    return (
+        weekly.groupBy("pk")
+        .agg(F.expr("sort_array(collect_list(struct(wk, d)))").alias("arr"),
+             F.count("*").alias("n"))
+        .where("n >= 2")
+        .selectExpr(
+            "pk", "n AS n_demands",
+            # state struct: (z_micro, p_micro, prev_wk)
+            f"""aggregate(
+                 slice(arr, 3, size(arr) - 2),
+                 struct(
+                   element_at(arr, 2).d * 1000000L AS z,
+                   (element_at(arr, 2).wk - element_at(arr, 1).wk)
+                     * 1000000L AS p,
+                   element_at(arr, 2).wk AS w),
+                 (s, x) -> struct(
+                   s.z + (x.d * 1000000L - s.z) div {a} AS z,
+                   s.p + ((x.wk - s.w) * 1000000L - s.p) div {a} AS p,
+                   x.wk AS w)) AS st""",
+        )
+        .selectExpr(
+            "pk AS l_partkey", "n_demands",
+            "st.z AS z_micro", "st.p AS p_micro",
+            "st.z * 1000 div st.p AS forecast_milli",
+        )
+    )
+
+
+Q_CROSTON_ORACLE = f"""
+WITH RECURSIVE weekly AS (
+  SELECT l_partkey AS pk,
+         epoch_ms(CAST(l_shipdate AS TIMESTAMP)) // {7 * 86_400_000} AS wk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1, 2 HAVING SUM(l_quantity) > 0
+), s AS (
+  SELECT pk, list_sort(list({{'wk': wk, 'd': d}})) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM weekly GROUP BY 1 HAVING COUNT(*) >= 2
+), step(pk, i, z, p, w) AS (
+  SELECT pk, CAST(2 AS BIGINT), (arr[2]).d * 1000000,
+         ((arr[2]).wk - (arr[1]).wk) * 1000000, (arr[2]).wk
+  FROM s
+  UNION ALL
+  SELECT st.pk, st.i + 1,
+         st.z + ((s.arr[CAST(st.i + 1 AS INT)]).d * 1000000 - st.z)
+           // {CROSTON_A},
+         st.p + (((s.arr[CAST(st.i + 1 AS INT)]).wk - st.w) * 1000000 - st.p)
+           // {CROSTON_A},
+         (s.arr[CAST(st.i + 1 AS INT)]).wk
+  FROM step st JOIN s USING (pk)
+  WHERE st.i < s.n
+)
+SELECT st.pk AS l_partkey, s.n AS n_demands,
+       st.z AS z_micro, st.p AS p_micro,
+       st.z * 1000 // st.p AS forecast_milli
+FROM step st JOIN s USING (pk) WHERE st.i = s.n
+"""
+
+
+SPECS += [
+    QuerySpec("q_forecast_croston", q_forecast_croston, Q_CROSTON_ORACLE,
+              "Croston intermittent-demand rate forecast, integer micros",
+              ("analytics", "forecast", "timeseries")),
+]

@@ -329,6 +329,7 @@ HEADLINE = [
     "q_haar_wavelet",
     "maintenance_column_stats",
     "q_entropy_features",
+    "q_forecast_croston",
 ]
 
 
