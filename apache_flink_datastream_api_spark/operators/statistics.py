@@ -4480,3 +4480,131 @@ SPECS += [
               "Croston intermittent-demand rate forecast, integer micros",
               ("analytics", "forecast", "timeseries")),
 ]
+
+
+# --- modularity of the LPA communities ------------------------------------------------
+# The quality score for graph_label_propagation's output: Newman
+# modularity Q = Σ_c (e_c/m − (d_c/2m)²), computed EXACTLY in ppm as
+# (4m·e_c − d_c²)·1e6 div 4m² per community (m undirected edges, e_c
+# intra-community edges, d_c total degree). Replays the same 3
+# synchronous min-tie LPA rounds (shared constants), then two keyed
+# rollups: intra-edge counts (join final labels onto both endpoints)
+# and degree sums. Top-10 communities by size, each row carrying its own
+# contribution and the global Q — the number a pipeline thresholds
+# before trusting the communities downstream.
+
+MOD_TOP = 10
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    edges = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS pa, y AS pb))))")).alias("p"))
+        .select("p.pa", "p.pb").distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.selectExpr("pa AS u", "pb AS v").unionAll(
+        edges.selectExpr("pb AS u", "pa AS v"))
+    labels = e.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(LPA_ROUNDS):
+        nb = e.join(labels.selectExpr("u AS v", "label"), "v")
+        counts = nb.groupBy("u", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("u")
+            .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("m"))
+            .selectExpr("u", "-m.nl AS label")
+            .localCheckpoint(eager=True)
+        )
+    m_row = edges.agg(F.count("*").alias("m"))
+    la = labels.selectExpr("u AS pa", "label AS label_a")
+    lb = labels.selectExpr("u AS pb", "label AS label_b")
+    intra = (
+        edges.join(la, "pa").join(lb, "pb")
+        .where("label_a = label_b")
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    dc = (
+        labels.join(deg, "u")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"), F.count("*").alias("size"))
+    )
+    per_c = (
+        dc.join(intra, "label", "left")
+        .withColumn("e_c", F.coalesce(F.col("e_c"), F.lit(0)))
+        .crossJoin(F.broadcast(m_row))
+        .selectExpr(
+            "label", "size", "e_c", "d_c",
+            "(4 * m * e_c - d_c * d_c) * 1000000 div (4 * m * m)"
+            " AS contribution_ppm",
+        )
+    )
+    q_row = per_c.agg(F.sum("contribution_ppm").alias("q_ppm_total"))
+    return (
+        per_c.crossJoin(F.broadcast(q_row))
+        .orderBy(F.desc("size"), "label")
+        .limit(MOD_TOP)
+    )
+
+
+def _modularity_oracle() -> str:
+    parts = ["""WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), ed AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+), e0 AS MATERIALIZED (
+  SELECT pa AS u, pb AS v FROM ed UNION ALL SELECT pb, pa FROM ed
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT u, u AS label FROM e0
+)"""]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f""", c{r} AS MATERIALIZED (
+  SELECT e.u, l.label, COUNT(*) AS c
+  FROM e0 e JOIN l{r-1} l ON e.v = l.u GROUP BY 1, 2
+), l{r} AS MATERIALIZED (
+  SELECT u, label FROM c{r}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, label ASC) = 1
+)""")
+    parts.append(f""", m_row AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed
+), intra AS (
+  SELECT la.label, COUNT(*) AS e_c
+  FROM ed JOIN l{LPA_ROUNDS} la ON la.u = ed.pa
+          JOIN l{LPA_ROUNDS} lb ON lb.u = ed.pb
+  WHERE la.label = lb.label
+  GROUP BY 1
+), deg AS (
+  SELECT u, COUNT(*) AS d FROM e0 GROUP BY 1
+), dc AS (
+  SELECT l.label, CAST(SUM(d.d) AS BIGINT) AS d_c, COUNT(*) AS size
+  FROM l{LPA_ROUNDS} l JOIN deg d USING (u) GROUP BY 1
+), per_c AS (
+  SELECT dc.label, dc.size, CAST(COALESCE(i.e_c, 0) AS BIGINT) AS e_c,
+         dc.d_c,
+         (4 * m * CAST(COALESCE(i.e_c, 0) AS BIGINT) - dc.d_c * dc.d_c)
+           * 1000000 // (4 * m * m) AS contribution_ppm
+  FROM dc LEFT JOIN intra i USING (label) CROSS JOIN m_row
+), q_row AS (
+  SELECT CAST(SUM(contribution_ppm) AS BIGINT) AS q_ppm_total FROM per_c
+)
+SELECT label, size, e_c, d_c, contribution_ppm, q_ppm_total
+FROM per_c CROSS JOIN q_row
+ORDER BY size DESC, label LIMIT {MOD_TOP}""")
+    return "".join(parts)
+
+
+GRAPH_MODULARITY_ORACLE = _modularity_oracle()
+
+
+SPECS += [
+    QuerySpec("graph_modularity", graph_modularity, GRAPH_MODULARITY_ORACLE,
+              "Newman modularity of the LPA communities, exact ppm",
+              ("graph", "iterative")),
+]

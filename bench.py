@@ -330,6 +330,7 @@ HEADLINE = [
     "maintenance_column_stats",
     "q_entropy_features",
     "q_forecast_croston",
+    "graph_modularity",
 ]
 
 
