@@ -437,6 +437,15 @@ def test_registry_wide_plan_hygiene(spark):
         "dq_t_closeness",               # band spine (|bands| rows) + 1-row totals
         "graph_link_prediction",        # degree-cap scalar + vertex-count (1 row each)
         "q_survival_km",                # observation-end bound (1 row)
+        "q_abc_xyz_matrix",             # revenue-total scalar (1 row)
+        "q_uplift_matching",            # midpoint + |users| count (1 row each)
+        "q_brand_sequence",             # transition-total scalar (1 row)
+        "emb_pca_deflate",              # max|w| + deflation coef rows (1 row each)
+        "q_attribution_shapley",        # full-coalition v row (1 row)
+        "geo_grid_hotspots",            # global cents total (1 row)
+        "q_chain_ladder",               # obs-end bound + |ages| factor array (1 row)
+        "q_haar_wavelet",               # min-day anchor (1 row)
+        "graph_modularity",             # m-edges scalar + global Q row (1 row each)
     }
     violations = []
     for name, spec in all_queries().items():
