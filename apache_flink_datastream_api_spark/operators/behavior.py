@@ -1616,3 +1616,89 @@ SPECS += [
               "Shannon entropy + evenness of per-user event mix, lnm-exact",
               ("behavior", "stats", "features")),
 ]
+
+
+# --- growth accounting (new / retained / resurrected / churned) -----------------------
+# The canonical product-analytics decomposition: for every week, active
+# users split into NEW (first week ever), RETAINED (active last week
+# too) and RESURRECTED (active before, but not last week); CHURNED is
+# last week's actives who went silent. The identity the readout must
+# satisfy (and the oracle enforces by construction):
+# active_w = new + retained + resurrected, and
+# active_w - active_{w-1} = new + resurrected - churned.
+# Shapes: one (user, week) dedup rollup, one keyed lag per user, one
+# week rollup — every step on its own key, fact-scale only at the first
+# aggregate.
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", f"unix_millis(ts) div {7 * DAY_MS} AS wk")
+    uw = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    flagged = (
+        uw.withColumn("prev_wk", F.lag("wk").over(w))
+        .selectExpr(
+            "user_id", "wk",
+            "CASE WHEN prev_wk IS NULL THEN 'new'"
+            " WHEN wk - prev_wk = 1 THEN 'retained'"
+            " ELSE 'resurrected' END AS status",
+        )
+    )
+    act = flagged.groupBy("wk").agg(
+        F.count("*").alias("active"),
+        F.sum(F.expr("CAST(status = 'new' AS BIGINT)")).alias("new_users"),
+        F.sum(F.expr("CAST(status = 'retained' AS BIGINT)")).alias("retained"),
+        F.sum(F.expr("CAST(status = 'resurrected' AS BIGINT)"))
+        .alias("resurrected"),
+    )
+    # churned in week w = active in w-1 and not in w
+    nxt = uw.selectExpr("user_id", "wk + 1 AS wk")
+    churn = (
+        nxt.join(uw.withColumn("is_now", F.lit(1)), ["user_id", "wk"], "left")
+        .where("is_now IS NULL")
+        .groupBy("wk").agg(F.count("*").alias("churned"))
+    )
+    return (
+        act.join(churn, "wk", "left")
+        .withColumn("churned", F.coalesce(F.col("churned"), F.lit(0)))
+        .selectExpr(f"wk * {7 * DAY_MS} AS week_ms", "active", "new_users",
+                    "retained", "resurrected", "churned")
+    )
+
+
+Q_GROWTH_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // {7 * DAY_MS} AS wk FROM events
+), flagged AS (
+  SELECT user_id, wk,
+         CASE WHEN lag(wk) OVER (PARTITION BY user_id ORDER BY wk) IS NULL
+              THEN 'new'
+              WHEN wk - lag(wk) OVER (PARTITION BY user_id ORDER BY wk) = 1
+              THEN 'retained' ELSE 'resurrected' END AS status
+  FROM uw
+), act AS (
+  SELECT wk, COUNT(*) AS active,
+         CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained,
+         CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+           AS BIGINT) AS resurrected
+  FROM flagged GROUP BY 1
+), churn AS (
+  SELECT p.wk + 1 AS wk, COUNT(*) AS churned
+  FROM uw p ANTI JOIN uw n ON n.user_id = p.user_id AND n.wk = p.wk + 1
+  GROUP BY 1
+)
+SELECT a.wk * {7 * DAY_MS} AS week_ms, a.active, a.new_users, a.retained,
+       a.resurrected, CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned
+FROM act a LEFT JOIN churn c ON c.wk = a.wk
+"""
+
+
+SPECS += [
+    QuerySpec("q_growth_accounting", q_growth_accounting, Q_GROWTH_ORACLE,
+              "weekly new/retained/resurrected/churned growth accounting",
+              ("behavior", "analytics", "growth")),
+]

@@ -331,6 +331,7 @@ HEADLINE = [
     "q_entropy_features",
     "q_forecast_croston",
     "graph_modularity",
+    "q_growth_accounting",
 ]
 
 

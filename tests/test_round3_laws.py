@@ -196,3 +196,17 @@ def test_haar_parseval_energy_conservation(spark):
     lo = base.agg(F.min("day").alias("d0")).collect()[0].d0
     xs = [r.x for r in base.collect() if r.day - lo < HAAR_N]
     assert HAAR_N * sum(x * x for x in xs) == rhs
+
+
+def test_growth_accounting_identity(spark):
+    """active_w - active_{w-1} == new_w + resurrected_w - churned_w for
+    every interior week: the decomposition must tile the MAU delta
+    exactly (the defining identity of growth accounting)."""
+    rows = sorted(_run(spark, "q_growth_accounting"),
+                  key=lambda r: r.week_ms)
+    for prev, cur in zip(rows, rows[1:]):
+        if cur.week_ms - prev.week_ms != 7 * 86_400_000:
+            continue
+        assert cur.active - prev.active == \
+            cur.new_users + cur.resurrected - cur.churned
+        assert cur.active == cur.new_users + cur.retained + cur.resurrected
