@@ -1828,7 +1828,10 @@ NB_TRAIN_MOD = 8   # doc_id % 10 < 8 trains, the rest scores
 _LNM_S = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
 
 
-def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared NB scoring relation: (doc_id, true_lang, c, score_lnm)
+    for every held-out doc x candidate class. Consumed by the confusion
+    matrix below and by ml_active_learning_batch."""
     docs = spread_small_source(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
         spark)
@@ -1858,13 +1861,17 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr(
             _LNM_S.format(x="coalesce(cnt, 0) + 1"))).alias("ev_lnm"))
     )
-    scored = (
+    return (
         evidence.join(F.broadcast(classes), "c")
         .join(doc_len, "doc_id")
         .selectExpr(
             "doc_id", "lang AS true_lang", "c",
             "prior_lnm + ev_lnm - n_toks * denom_lnm AS score_lnm")
     )
+
+
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _nb_scored(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_lnm"), "c")
     return (
         scored.withColumn("r", F.row_number().over(w))
@@ -1876,7 +1883,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LNM_D = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
 
-ML_NB_LANGID_ORACLE = f"""
+_NB_SCORED_CTES = f"""
 WITH tok AS (
   SELECT doc_id, lang, unnest({TOKS_D}) AS w,
          doc_id % 10 < {NB_TRAIN_MOD} AS is_train
@@ -1908,7 +1915,10 @@ cnt_wc AS (
          k.prior_lnm + e.ev_lnm - d.n_toks * k.denom_lnm AS score_lnm
   FROM evidence e JOIN classes k ON k.c = e.c
   JOIN doc_len d ON d.doc_id = e.doc_id
-), pred AS (
+)
+"""
+
+ML_NB_LANGID_ORACLE = _NB_SCORED_CTES + """, pred AS (
   SELECT doc_id, true_lang, c,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score_lnm DESC, c) AS r
@@ -1924,4 +1934,55 @@ SPECS += [
               ML_NB_LANGID_ORACLE,
               "add-1 multinomial NB language-ID confusion, ln-micros exact",
               ("text", "ml", "langid")),
+]
+
+
+# --- active-learning batch selection (margin / uncertainty sampling) ------------
+# What a labeling pipeline runs nightly: of the docs the current model
+# (the NB scorer above — shared relation, shared CTEs) is LEAST sure
+# about, pick the next annotation batch. Uncertainty = the lnm-score
+# margin between the top-2 classes; smallest margin = most uncertain.
+# Exact integers end-to-end, deterministic (margin, doc_id) tie-break,
+# top-20 via orderBy+limit (TakeOrderedAndProject). One extra window
+# over the |eval docs| x |langs| scored relation — no new corpus scan.
+
+AL_BATCH = 20
+
+
+def ml_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_lnm"), "c")
+    ranked = scored.withColumn("r", F.row_number().over(w)).where("r <= 2")
+    top1 = ranked.where("r = 1").selectExpr(
+        "doc_id", "true_lang", "c AS pred_1", "score_lnm AS s1")
+    top2 = ranked.where("r = 2").selectExpr(
+        "doc_id", "c AS pred_2", "score_lnm AS s2")
+    return (
+        top1.join(top2, "doc_id")
+        .selectExpr("doc_id", "true_lang", "pred_1", "pred_2",
+                    "s1 - s2 AS margin_lnm")
+        .orderBy("margin_lnm", "doc_id")
+        .limit(AL_BATCH)
+    )
+
+
+ML_ACTIVE_LEARNING_ORACLE = _NB_SCORED_CTES + f""", ranked AS (
+  SELECT doc_id, true_lang, c, score_lnm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_lnm DESC, c) AS r
+  FROM scored
+)
+SELECT a.doc_id, a.true_lang, a.c AS pred_1, b.c AS pred_2,
+       a.score_lnm - b.score_lnm AS margin_lnm
+FROM ranked a JOIN ranked b ON b.doc_id = a.doc_id AND b.r = 2
+WHERE a.r = 1
+ORDER BY margin_lnm, a.doc_id LIMIT {AL_BATCH}
+"""
+
+
+SPECS += [
+    QuerySpec("ml_active_learning_batch", ml_active_learning_batch,
+              ML_ACTIVE_LEARNING_ORACLE,
+              "margin-based uncertainty sampling batch off the NB scorer",
+              ("text", "ml", "trainprep")),
 ]

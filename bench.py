@@ -332,6 +332,7 @@ HEADLINE = [
     "q_forecast_croston",
     "graph_modularity",
     "q_growth_accounting",
+    "ml_active_learning_batch",
 ]
 
 
