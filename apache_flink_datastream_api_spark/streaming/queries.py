@@ -1577,3 +1577,65 @@ SPECS += [
         "online per-user CUSUM drift alarms with post-alarm restart",
         ("streaming", "stateful", "changepoint")),
 ]
+
+
+# --- X12: token-bucket admission control in keyed streaming state ---------------
+
+
+def x12_rate_limit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .state import token_bucket
+
+    stream = _events_stream(spark, sf_dir).selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id")
+    return run_available_now(token_bucket(stream), spark, mode="update")
+
+
+def _token_bucket_oracle() -> str:
+    from .state import TB_CAP_MILLI, TB_REFILL_MS
+
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+), s AS (
+  SELECT user_id, list(ts_ms ORDER BY ts_ms, event_id) AS ts,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1
+), step(user_id, i, tokens, last_ms, n_acc, n_drop) AS (
+  SELECT user_id, CAST(1 AS BIGINT),
+         CASE WHEN {TB_CAP_MILLI} >= 1000
+              THEN CAST({TB_CAP_MILLI - 1000} AS BIGINT)
+              ELSE CAST({TB_CAP_MILLI} AS BIGINT) END,
+         ts[1],
+         CAST(CASE WHEN {TB_CAP_MILLI} >= 1000 THEN 1 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN {TB_CAP_MILLI} >= 1000 THEN 0 ELSE 1 END AS BIGINT)
+  FROM s
+  UNION ALL
+  SELECT user_id, i + 1,
+         CASE WHEN refreshed >= 1000 THEN refreshed - 1000 ELSE refreshed END,
+         t,
+         n_acc + CASE WHEN refreshed >= 1000 THEN 1 ELSE 0 END,
+         n_drop + CASE WHEN refreshed >= 1000 THEN 0 ELSE 1 END
+  FROM (
+    SELECT st.user_id, st.i, st.n_acc, st.n_drop,
+           s.ts[CAST(st.i + 1 AS INT)] AS t,
+           least(CAST({TB_CAP_MILLI} AS BIGINT),
+                 st.tokens + (s.ts[CAST(st.i + 1 AS INT)] - st.last_ms)
+                   * 1000 // {TB_REFILL_MS}) AS refreshed
+    FROM step st JOIN s USING (user_id)
+    WHERE st.i < s.n)
+)
+SELECT st.user_id, s.n AS n_events, st.n_acc AS n_accepted,
+       st.n_drop AS n_dropped, st.tokens AS tokens_milli
+FROM step st JOIN s USING (user_id) WHERE st.i = s.n
+"""
+
+
+X12_TOKEN_BUCKET_ORACLE = _token_bucket_oracle()
+
+SPECS += [
+    QuerySpec(
+        "x12_rate_limit_stream", x12_rate_limit_stream,
+        X12_TOKEN_BUCKET_ORACLE,
+        "online token-bucket admission control per user",
+        ("streaming", "stateful", "ratelimit")),
+]

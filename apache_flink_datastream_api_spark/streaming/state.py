@@ -740,3 +740,75 @@ def cusum_detector(df: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- X12: token-bucket rate limiter -----------------------------------------
+# The admission-control primitive an ingest edge runs per key: a bucket
+# of capacity CAP millitokens refills continuously at 1 token per
+# REFILL_MS; each event needs 1000 millitokens or is DROPPED. Integer
+# throughout (refill = dt * 1000 div REFILL_MS, truncating), so the
+# accept/drop trajectory — not just the counts — is replayable by the
+# oracle's recursive CTE. The batch q_rate_limit_flags flags sliding-
+# window peaks; this is the online enforcement half.
+
+TB_CAP_MILLI = 3_000
+TB_REFILL_MS = 6 * 3_600_000  # 1 token per 6 h
+
+TB_STATE = StructType(
+    [
+        StructField("tokens", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_accepted", LongType()),
+        StructField("n_dropped", LongType()),
+    ]
+)
+
+
+def make_token_bucket(key_name: str):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = _sorted(pdfs)
+        tokens, last_ms, n_events, n_acc, n_drop = (
+            state.get if state.exists else (TB_CAP_MILLI, -1, 0, 0, 0))
+        for ts in rows["ts_ms"]:
+            t = int(ts)
+            if last_ms >= 0:
+                tokens = min(
+                    TB_CAP_MILLI,
+                    tokens + (t - last_ms) * 1000 // TB_REFILL_MS)
+            last_ms = t
+            n_events += 1
+            if tokens >= 1000:
+                n_acc += 1
+                tokens -= 1000
+            else:
+                n_drop += 1
+        state.update((tokens, last_ms, n_events, n_acc, n_drop))
+        yield pd.DataFrame(
+            [(key[0], n_events, n_acc, n_drop, tokens)],
+            columns=[key_name, "n_events", "n_accepted", "n_dropped",
+                     "tokens_milli"])
+
+    return fn
+
+
+def token_bucket(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """X12 streaming operator: df must contain (key_col, ts_ms, event_id)."""
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_accepted", LongType()),
+            StructField("n_dropped", LongType()),
+            StructField("tokens_milli", LongType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        make_token_bucket(key_col),
+        outputStructType=out_schema,
+        stateStructType=TB_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -333,6 +333,7 @@ HEADLINE = [
     "graph_modularity",
     "q_growth_accounting",
     "ml_active_learning_batch",
+    "x12_rate_limit_stream",
 ]
 
 
