@@ -1986,3 +1986,66 @@ SPECS += [
               "margin-based uncertainty sampling batch off the NB scorer",
               ("text", "ml", "trainprep")),
 ]
+
+
+# --- word burstiness (variance-to-mean ratio) ------------------------------------
+# Corpus-linguistics feature: function words spread evenly (VMR ~ 1,
+# Poisson), topical words BURST (VMR >> 1) — the signal behind stopword
+# discovery and keyword weighting. With per-doc counts c over N docs
+# (zeros implicit), VMR = ((N·Σc² - (Σc)²)) / (N·Σc) exactly in ppm —
+# zero-count docs vanish from both sums, so the (word, doc) grain never
+# materializes zeros. One tokenize pass + one word rollup + a 1-row N
+# broadcast; top-20 by (vmr_ppm, word).
+
+BURST_MIN_DF = 5
+BURST_TOP = 20
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    n_row = docs.agg(F.count("*").alias("n_docs"))
+    wd = (
+        docs.select("doc_id", F.explode(F.expr(TOKS_S)).alias("w"))
+        .groupBy("w", "doc_id").agg(F.count("*").alias("c"))
+    )
+    return (
+        wd.groupBy("w")
+        .agg(F.count("*").alias("df"), F.sum("c").alias("sc"),
+             F.sum(F.expr("c * c")).alias("scc"))
+        .where(f"df >= {BURST_MIN_DF}")
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            "w AS word", "df", "sc AS total_occurrences",
+            "(n_docs * scc - sc * sc) * 1000000 div (n_docs * sc) AS vmr_ppm")
+        .orderBy(F.desc("vmr_ppm"), "word")
+        .limit(BURST_TOP)
+    )
+
+
+TEXT_BURSTINESS_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), n_row AS (
+  SELECT COUNT(*) AS n_docs FROM docs
+), wd AS (
+  SELECT w, doc_id, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(toks) AS w FROM docs)
+  GROUP BY 1, 2
+), agg AS (
+  SELECT w, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM wd GROUP BY 1 HAVING COUNT(*) >= {BURST_MIN_DF}
+)
+SELECT w AS word, df, sc AS total_occurrences,
+       (n_docs * scc - sc * sc) * 1000000 // (n_docs * sc) AS vmr_ppm
+FROM agg CROSS JOIN n_row
+ORDER BY vmr_ppm DESC, word LIMIT {BURST_TOP}
+"""
+
+
+SPECS += [
+    QuerySpec("text_burstiness", text_burstiness, TEXT_BURSTINESS_ORACLE,
+              "word burstiness (variance-to-mean) — topical vs function words",
+              ("text", "stats")),
+]

@@ -334,6 +334,7 @@ HEADLINE = [
     "q_growth_accounting",
     "ml_active_learning_batch",
     "x12_rate_limit_stream",
+    "text_burstiness",
 ]
 
 
