@@ -2049,3 +2049,79 @@ SPECS += [
               "word burstiness (variance-to-mean) — topical vs function words",
               ("text", "stats")),
 ]
+
+
+# --- classifier calibration curve (margin-decile reliability) ---------------------
+# The third leg of the NB tooling (confusion matrix -> uncertainty batch
+# -> CALIBRATION): bucket the held-out docs into margin quintiles
+# (top-1 minus top-2 lnm score — the model's own confidence) and report
+# accuracy per bucket. A well-behaved scorer is monotone: wider margin,
+# higher accuracy; a flat curve means the confidence is noise and the
+# active-learning batch above is sampling blind. Quintile bounds come
+# from the exact sharded rank (row_number over the |eval| relation),
+# counts are integers, accuracy in ppm.
+
+CAL_BINS = 5
+
+
+def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _nb_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_lnm"), "c")
+    ranked = scored.withColumn("r", F.row_number().over(w)).where("r <= 2")
+    top1 = ranked.where("r = 1").selectExpr(
+        "doc_id", "true_lang", "c AS pred", "score_lnm AS s1")
+    top2 = ranked.where("r = 2").selectExpr("doc_id", "score_lnm AS s2")
+    m = top1.join(top2, "doc_id").selectExpr(
+        "doc_id", "CAST(pred = true_lang AS BIGINT) AS correct",
+        "s1 - s2 AS margin_lnm")
+    n_row = m.agg(F.count("*").alias("n"))
+    wq = Window.orderBy("margin_lnm", "doc_id")
+    return (
+        m.withColumn("rn", F.row_number().over(wq))
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            "correct", "margin_lnm",
+            f"least(CAST((rn - 1) * {CAL_BINS} div n AS INT),"
+            f" {CAL_BINS - 1}) AS bin")
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("correct").alias("n_correct"),
+             F.min("margin_lnm").alias("margin_lo"),
+             F.max("margin_lnm").alias("margin_hi"))
+        .selectExpr("bin", "n_docs", "n_correct", "margin_lo", "margin_hi",
+                    "n_correct * 1000000 div n_docs AS accuracy_ppm")
+    )
+
+
+ML_CALIBRATION_ORACLE = _NB_SCORED_CTES + f""", ranked AS (
+  SELECT doc_id, true_lang, c, score_lnm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_lnm DESC, c) AS r
+  FROM scored
+), m AS (
+  SELECT a.doc_id, CAST(a.c = a.true_lang AS BIGINT) AS correct,
+         a.score_lnm - b.score_lnm AS margin_lnm
+  FROM ranked a JOIN ranked b ON b.doc_id = a.doc_id AND b.r = 2
+  WHERE a.r = 1
+), n_row AS (
+  SELECT COUNT(*) AS n FROM m
+), binned AS (
+  SELECT correct, margin_lnm,
+         least(CAST((row_number() OVER (ORDER BY margin_lnm, doc_id) - 1)
+                    * {CAL_BINS} // n AS INT), {CAL_BINS - 1}) AS bin
+  FROM m CROSS JOIN n_row
+)
+SELECT bin, COUNT(*) AS n_docs, CAST(SUM(correct) AS BIGINT) AS n_correct,
+       CAST(MIN(margin_lnm) AS BIGINT) AS margin_lo,
+       CAST(MAX(margin_lnm) AS BIGINT) AS margin_hi,
+       CAST(SUM(correct) AS BIGINT) * 1000000 // COUNT(*) AS accuracy_ppm
+FROM binned GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("ml_calibration_curve", ml_calibration_curve,
+              ML_CALIBRATION_ORACLE,
+              "margin-quintile reliability curve for the NB scorer",
+              ("text", "ml", "audit")),
+]

@@ -335,6 +335,7 @@ HEADLINE = [
     "ml_active_learning_batch",
     "x12_rate_limit_stream",
     "text_burstiness",
+    "ml_calibration_curve",
 ]
 
 
