@@ -545,3 +545,79 @@ SPECS += [
               "t-closeness EMD audit over ordered sensitive bands, integer-exact",
               ("profile", "governance")),
 ]
+
+
+# --- join-key skew profiler ----------------------------------------------------------
+# The diagnostic that decides WHEN the skew toolkit (AQE skew-join,
+# skew_salted_user_totals' salting) is needed: profile a prospective
+# shuffle key's distribution BEFORE the join. Two readouts in one
+# relation: the top-5 hottest keys with their exact share of rows (the
+# rows that would land on one reducer), and the 32-bucket hash-partition
+# histogram's max/mean imbalance in ppm (what AQE would see). All
+# integer counts; the bucket hash is the portable md5 family so both
+# engines bucket identically. One grouped rollup per readout.
+
+SKEW_BUCKETS = 32
+SKEW_TOP = 5
+
+
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_suppkey AS k")
+    n_row = li.agg(F.count("*").alias("n"))
+    hot = (
+        li.groupBy("k").agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr("'hot_key' AS kind", "k AS key", "cnt",
+                    "cnt * 1000000 div n AS share_ppm")
+        .orderBy(F.desc("cnt"), "key")
+        .limit(SKEW_TOP)
+    )
+    buckets = (
+        li.select(F.pmod(portable_hash64(F.col("k").cast("string")),
+                         F.lit(SKEW_BUCKETS)).alias("b"))
+        .groupBy("b").agg(F.count("*").alias("cnt"))
+    )
+    imbalance = (
+        buckets.agg(F.max("cnt").alias("mx"), F.sum("cnt").alias("tot"),
+                    F.count("*").alias("nb"))
+        .selectExpr(
+            "'bucket_imbalance' AS kind", "CAST(nb AS BIGINT) AS key",
+            "mx AS cnt", "mx * nb * 1000000 div tot AS share_ppm")
+    )
+    return hot.unionAll(imbalance)
+
+
+from ..functions.hashing import portable_hash64_sql  # noqa: E402
+
+PROFILE_KEY_SKEW_ORACLE = f"""
+WITH li AS (
+  SELECT l_suppkey AS k FROM lineitem
+), n_row AS (
+  SELECT COUNT(*) AS n FROM li
+), hot AS (
+  SELECT 'hot_key' AS kind, k AS key, COUNT(*) AS cnt,
+         COUNT(*) * 1000000 // MAX(n) AS share_ppm
+  FROM li CROSS JOIN n_row GROUP BY k
+  ORDER BY cnt DESC, key LIMIT {SKEW_TOP}
+), buckets AS (
+  SELECT ({portable_hash64_sql('CAST(k AS VARCHAR)')}) % {SKEW_BUCKETS} AS b,
+         COUNT(*) AS cnt
+  FROM li GROUP BY 1
+)
+SELECT kind, key, cnt, share_ppm FROM hot
+UNION ALL
+SELECT 'bucket_imbalance', CAST(COUNT(*) AS BIGINT), CAST(MAX(cnt) AS BIGINT),
+       CAST(MAX(cnt) AS BIGINT) * COUNT(*) * 1000000
+         // CAST(SUM(cnt) AS BIGINT)
+FROM buckets
+"""
+
+
+SPECS += [
+    QuerySpec("profile_key_skew", profile_key_skew, PROFILE_KEY_SKEW_ORACLE,
+              "pre-join shuffle-key skew profile: hot keys + bucket imbalance",
+              ("profile", "skew")),
+]

@@ -336,6 +336,7 @@ HEADLINE = [
     "x12_rate_limit_stream",
     "text_burstiness",
     "ml_calibration_curve",
+    "profile_key_skew",
 ]
 
 
