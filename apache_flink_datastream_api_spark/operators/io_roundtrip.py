@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from ..registry import QuerySpec
 from ..sources.tables import load_table
@@ -892,5 +892,63 @@ SPECS += [
     QuerySpec("maintenance_column_stats", maintenance_column_stats,
               MAINT_COLSTATS_ORACLE,
               "ANALYZE-style exact column stats (rows/nulls/NDV/min/max)",
+              ("io", "maintenance")),
+]
+
+
+# --- equi-depth histogram construction -------------------------------------------
+# The other half of the ANALYZE pass above: the optimizer's equi-depth
+# (equi-height) histogram for selectivity estimation. Exact
+# construction: rank every row (sharded row_number — the
+# pipeline_reservoir two-phase shape at scale), cut at rank boundaries
+# k·n/8, and report each bucket's [lo, hi] in cents plus its exact row
+# count and distinct-value count. Deterministic tie-break (cents, key).
+
+HIST_BUCKETS = 8
+
+
+def maintenance_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    n_row = o.agg(F.count("*").alias("n"))
+    w = Window.orderBy("cents", "k")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            "cents",
+            f"least(CAST((rn - 1) * {HIST_BUCKETS} div n AS INT),"
+            f" {HIST_BUCKETS - 1}) AS bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("cents").alias("ndv"),
+             F.min("cents").alias("lo_cents"),
+             F.max("cents").alias("hi_cents"))
+    )
+
+
+MAINT_HIST_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), n_row AS (
+  SELECT COUNT(*) AS n FROM o
+), binned AS (
+  SELECT cents,
+         least(CAST((row_number() OVER (ORDER BY cents, k) - 1)
+                    * {HIST_BUCKETS} // n AS INT), {HIST_BUCKETS - 1}) AS bucket
+  FROM o CROSS JOIN n_row
+)
+SELECT bucket, COUNT(*) AS n_rows, COUNT(DISTINCT cents) AS ndv,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents
+FROM binned GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("maintenance_equi_depth_hist", maintenance_equi_depth_hist,
+              MAINT_HIST_ORACLE,
+              "exact equi-depth histogram for optimizer selectivity stats",
               ("io", "maintenance")),
 ]

@@ -337,6 +337,7 @@ HEADLINE = [
     "text_burstiness",
     "ml_calibration_curve",
     "profile_key_skew",
+    "maintenance_equi_depth_hist",
 ]
 
 
