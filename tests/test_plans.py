@@ -446,6 +446,12 @@ def test_registry_wide_plan_hygiene(spark):
         "q_chain_ladder",               # obs-end bound + |ages| factor array (1 row)
         "q_haar_wavelet",               # min-day anchor (1 row)
         "graph_modularity",             # m-edges scalar + global Q row (1 row each)
+        "ml_active_learning_batch",     # NB class-row broadcasts (|langs| rows)
+        "ml_calibration_curve",         # NB class rows + 1-row |eval| count
+        "text_burstiness",              # 1-row corpus-count broadcast
+        "profile_key_skew",             # 1-row total-count broadcast
+        "maintenance_equi_depth_hist",  # 1-row total-count broadcast
+        "q_rolling_beta",               # calendar-bounded daily index broadcast
     }
     violations = []
     for name, spec in all_queries().items():
