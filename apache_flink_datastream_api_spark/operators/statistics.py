@@ -3384,6 +3384,20 @@ SPECS += [
 LPA_ROUNDS = 3
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize to MEMORY_AND_DISK but KEEP lineage. Unlike
+    localCheckpoint, an evicted block recomputes from lineage instead of
+    failing the query — the difference matters late in a very long
+    session (the driver's sf0.1 sim runs ~400 queries in one JVM, and
+    truncated-lineage blocks can die there under block-manager
+    pressure)."""
+    from pyspark import StorageLevel
+
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
@@ -3395,21 +3409,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y -> struct(x AS pa, y AS pb))))")).alias("p"))
         .select("p.pa", "p.pb").distinct()
     )
-    e = (
+    e = _pin(
         edges.selectExpr("pa AS u", "pb AS v")
         .unionAll(edges.selectExpr("pb AS u", "pa AS v"))
-        .localCheckpoint(eager=True)
     )
     labels = e.select("u").distinct().withColumn("label", F.col("u"))
     rounds = []
     for r in range(1, LPA_ROUNDS + 1):
         nb = e.join(labels.selectExpr("u AS v", "label"), "v")
         counts = nb.groupBy("u", "label").agg(F.count("*").alias("c"))
-        labels = (
+        labels = _pin(
             counts.groupBy("u")
             .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("m"))
             .selectExpr("u", "-m.nl AS label")
-            .localCheckpoint(eager=True)
         )
         sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
         rounds.append(sizes.agg(
@@ -4506,19 +4518,18 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(slice(parts, i + 2, size(parts)), "
             "y -> struct(x AS pa, y AS pb))))")).alias("p"))
         .select("p.pa", "p.pb").distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = _pin(edges)
     e = edges.selectExpr("pa AS u", "pb AS v").unionAll(
         edges.selectExpr("pb AS u", "pa AS v"))
     labels = e.select("u").distinct().withColumn("label", F.col("u"))
     for _ in range(LPA_ROUNDS):
         nb = e.join(labels.selectExpr("u AS v", "label"), "v")
         counts = nb.groupBy("u", "label").agg(F.count("*").alias("c"))
-        labels = (
+        labels = _pin(
             counts.groupBy("u")
             .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("m"))
             .selectExpr("u", "-m.nl AS label")
-            .localCheckpoint(eager=True)
         )
     m_row = edges.agg(F.count("*").alias("m"))
     la = labels.selectExpr("u AS pa", "label AS label_a")
