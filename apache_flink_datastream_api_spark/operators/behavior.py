@@ -1702,3 +1702,70 @@ SPECS += [
               "weekly new/retained/resurrected/churned growth accounting",
               ("behavior", "analytics", "growth")),
 ]
+
+
+# --- temporal burstiness (Goh-Barabási B) ----------------------------------------
+# The temporal twin of text_burstiness: per user, the burstiness
+# parameter B = (σ - μ)/(σ + μ) of inter-event gaps — B→-1 periodic,
+# B≈0 Poisson, B→1 bursty. μ and σ² come from exact integer gap sums
+# (one lag + one rollup); σ is one IEEE sqrt of an exact integer and the
+# final ratio is floored to ppm — identical operation order on both
+# engines. Gaps in SECONDS (ms-squared sums overflow int64 over a 30-day span); users need >= 3 gaps.
+
+
+def q_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.expr(
+            "(ts_ms - lag(ts_ms) OVER (PARTITION BY user_id"
+            " ORDER BY ts_ms, event_id)) div 1000"))
+        .where("gap IS NOT NULL")
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("gap").alias("sg"),
+             F.sum(F.expr("gap * gap")).alias("sgg"))
+        .where("n >= 3")
+        .selectExpr(
+            "user_id", "n AS n_gaps", "sg div n AS mean_gap_s",
+            """CAST(floor(
+                 (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(n AS DOUBLE)
+                  - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+               / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(n AS DOUBLE)
+                  + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000) AS BIGINT) AS burstiness_ppm""",
+        )
+    )
+
+
+Q_IE_BURSTINESS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)) // 1000
+           AS gap
+  FROM events
+), agg AS (
+  SELECT user_id, COUNT(*) AS n, CAST(SUM(gap) AS BIGINT) AS sg,
+         CAST(SUM(gap * gap) AS BIGINT) AS sgg
+  FROM gaps WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 3
+)
+SELECT user_id, n AS n_gaps, sg // n AS mean_gap_s,
+       CAST(floor(
+         (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(n AS DOUBLE)
+          - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+       / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(n AS DOUBLE)
+          + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+       * 1000000) AS BIGINT) AS burstiness_ppm
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec("q_interevent_burstiness", q_interevent_burstiness,
+              Q_IE_BURSTINESS_ORACLE,
+              "Goh-Barabási inter-event burstiness per user, ppm-exact",
+              ("behavior", "stats", "timeseries")),
+]

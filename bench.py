@@ -338,6 +338,7 @@ HEADLINE = [
     "ml_calibration_curve",
     "profile_key_skew",
     "maintenance_equi_depth_hist",
+    "q_interevent_burstiness",
 ]
 
 
