@@ -1347,3 +1347,81 @@ SPECS += [
               "Efraimidis-Spirakis weighted top-K sample, integer-exact keys",
               ("trainprep", "sampling")),
 ]
+
+
+# --- k-fold cross-validation assignment + balance audit ---------------------------
+# The missing member of the split family (train/eval, exact stratified):
+# hash-deterministic k-fold assignment plus the audit a CV harness runs
+# before trusting fold metrics — does each fold's language mix track the
+# corpus mix? Deviation per (fold, lang) is the ppm gap between the
+# fold's lang share and the corpus's; the report carries each fold's
+# WORST deviation. Everything from two grouped rollups; the per-lang
+# corpus shares broadcast.
+
+KFOLD_K = 5
+
+
+def pipeline_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang",
+        f"size({X.tokens_spark('text')}) AS n_toks",
+        f"pmod({RES_H_S}, {KFOLD_K}) AS fold",
+    )
+    per_fl = docs.groupBy("fold", "lang").agg(
+        F.count("*").alias("n"), F.sum("n_toks").alias("toks"))
+    per_f = per_fl.groupBy("fold").agg(
+        F.sum("n").alias("fold_docs"), F.sum("toks").alias("fold_tokens"))
+    per_l = per_fl.groupBy("lang").agg(F.sum("n").alias("lang_docs"))
+    tot = per_l.agg(F.sum("lang_docs").alias("total_docs"))
+    dev = (
+        per_fl.join(per_f, "fold")
+        .join(F.broadcast(per_l), "lang")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "fold",
+            "abs(n * 1000000 div fold_docs"
+            " - lang_docs * 1000000 div total_docs) AS dev_ppm")
+        .groupBy("fold").agg(F.max("dev_ppm").alias("max_lang_dev_ppm"))
+    )
+    return (
+        per_f.join(dev, "fold")
+        .selectExpr("fold", "fold_docs", "fold_tokens", "max_lang_dev_ppm")
+    )
+
+
+PIPELINE_KFOLD_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, lang, len({X.tokens_duck('text')}) AS n_toks,
+         ({portable_hash64_sql('CAST(doc_id AS VARCHAR)')}) % {KFOLD_K}
+           AS fold
+  FROM documents
+), per_fl AS (
+  SELECT fold, lang, COUNT(*) AS n, CAST(SUM(n_toks) AS BIGINT) AS toks
+  FROM docs GROUP BY 1, 2
+), per_f AS (
+  SELECT fold, CAST(SUM(n) AS BIGINT) AS fold_docs,
+         CAST(SUM(toks) AS BIGINT) AS fold_tokens
+  FROM per_fl GROUP BY 1
+), per_l AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_docs FROM per_fl GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(lang_docs) AS BIGINT) AS total_docs FROM per_l
+), dev AS (
+  SELECT fold,
+         CAST(MAX(abs(n * 1000000 // fold_docs
+                      - lang_docs * 1000000 // total_docs)) AS BIGINT)
+           AS max_lang_dev_ppm
+  FROM per_fl JOIN per_f USING (fold) JOIN per_l USING (lang)
+  CROSS JOIN tot GROUP BY 1
+)
+SELECT fold, fold_docs, fold_tokens, max_lang_dev_ppm
+FROM per_f JOIN dev USING (fold)
+"""
+
+
+SPECS += [
+    QuerySpec("pipeline_kfold_assignments", pipeline_kfold_assignments,
+              PIPELINE_KFOLD_ORACLE,
+              "hash-deterministic k-fold split with stratification audit",
+              ("trainprep", "sampling")),
+]

@@ -339,6 +339,7 @@ HEADLINE = [
     "profile_key_skew",
     "maintenance_equi_depth_hist",
     "q_interevent_burstiness",
+    "pipeline_kfold_assignments",
 ]
 
 
