@@ -4619,3 +4619,111 @@ SPECS += [
               "Newman modularity of the LPA communities, exact ppm",
               ("graph", "iterative")),
 ]
+
+
+# --- rich-club coefficient -------------------------------------------------------------
+# Do the high-degree parts preferentially co-occur with each other?
+# φ(k) = 2·E_k / (N_k·(N_k − 1)) over the subgraph of nodes with degree
+# > k, evaluated at DATA-RELATIVE thresholds (the degree distribution's
+# quartiles, exact discrete percentiles — same scale-adaptive principle
+# as graph_link_prediction's wedge cap). One edge-filter join per
+# threshold against the broadcast quartile row; everything integer, the
+# density in ppm.
+
+RC_PCTLS = (0.25, 0.5, 0.75, 0.9)
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    edges = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS pa, y AS pb))))")).alias("p"))
+        .select("p.pa", "p.pb").distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.selectExpr("pa AS u").unionAll(edges.selectExpr("pb AS u"))
+        .groupBy("u").agg(F.count("*").alias("d"))
+    )
+    n_row = deg.agg(F.count("*").alias("n"))
+    wq = Window.orderBy("d", "u")
+    ranked = deg.withColumn("rn", F.row_number().over(wq)).crossJoin(
+        F.broadcast(n_row))
+    cuts = None
+    for p in RC_PCTLS:
+        c = ranked.where(
+            f"rn = CAST(ceil({p} * n) AS BIGINT)"
+        ).selectExpr(f"CAST({int(p * 100)} AS INT) AS pctl", "d AS k")
+        cuts = c if cuts is None else cuts.unionAll(c)
+    da = deg.selectExpr("u AS pa", "d AS da")
+    db = deg.selectExpr("u AS pb", "d AS db")
+    ek = (
+        edges.join(da, "pa").join(db, "pb")
+        .crossJoin(F.broadcast(cuts))
+        .where("da > k AND db > k")
+        .groupBy("pctl", "k").agg(F.count("*").alias("n_edges"))
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(cuts))
+        .where("d > k")
+        .groupBy("pctl", "k").agg(F.count("*").alias("n_nodes"))
+    )
+    return (
+        nk.join(ek, ["pctl", "k"], "left")
+        .withColumn("n_edges", F.coalesce(F.col("n_edges"), F.lit(0)))
+        .selectExpr(
+            "pctl", "k", "n_nodes", "n_edges",
+            "CASE WHEN n_nodes > 1 THEN"
+            " 2 * n_edges * 1000000 div (n_nodes * (n_nodes - 1))"
+            " ELSE 0 END AS phi_ppm")
+    )
+
+
+GRAPH_RICH_CLUB_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, c.l_partkey AS pb
+  FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+), deg AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT pa AS u FROM edges UNION ALL SELECT pb FROM edges)
+  GROUP BY 1
+), n_row AS (
+  SELECT COUNT(*) AS n FROM deg
+), ranked AS (
+  SELECT d, row_number() OVER (ORDER BY d, u) AS rn FROM deg
+), cuts AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST({int(p * 100)} AS INT) AS pctl, d AS k FROM ranked, n_row"
+      f" WHERE rn = CAST(ceil({p} * n) AS BIGINT)" for p in RC_PCTLS)}
+), ek AS (
+  SELECT pctl, k, COUNT(*) AS n_edges
+  FROM edges
+  JOIN deg x ON x.u = edges.pa JOIN deg y ON y.u = edges.pb
+  CROSS JOIN cuts
+  WHERE x.d > k AND y.d > k
+  GROUP BY 1, 2
+), nk AS (
+  SELECT pctl, k, COUNT(*) AS n_nodes
+  FROM deg CROSS JOIN cuts WHERE d > k GROUP BY 1, 2
+)
+SELECT nk.pctl, nk.k, nk.n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       CASE WHEN nk.n_nodes > 1 THEN
+         2 * CAST(COALESCE(ek.n_edges, 0) AS BIGINT) * 1000000
+           // (nk.n_nodes * (nk.n_nodes - 1))
+       ELSE 0 END AS phi_ppm
+FROM nk LEFT JOIN ek ON ek.pctl = nk.pctl AND ek.k = nk.k
+"""
+
+
+SPECS += [
+    QuerySpec("graph_rich_club", graph_rich_club, GRAPH_RICH_CLUB_ORACLE,
+              "rich-club density at degree-quartile thresholds, exact ppm",
+              ("graph",)),
+]

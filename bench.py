@@ -340,6 +340,7 @@ HEADLINE = [
     "maintenance_equi_depth_hist",
     "q_interevent_burstiness",
     "pipeline_kfold_assignments",
+    "graph_rich_club",
 ]
 
 
