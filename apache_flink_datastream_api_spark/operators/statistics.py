@@ -4643,8 +4643,10 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(slice(parts, i + 2, size(parts)), "
             "y -> struct(x AS pa, y AS pb))))")).alias("p"))
         .select("p.pa", "p.pb").distinct()
-        .localCheckpoint(eager=True)
     )
+    # 3 consumers (deg x2, ek) — recompute beats materialization here,
+    # matching graph_triangle_count's measured finding (3.9s vs 13.1s
+    # cold at sf0.1).
     deg = (
         edges.selectExpr("pa AS u").unionAll(edges.selectExpr("pb AS u"))
         .groupBy("u").agg(F.count("*").alias("d"))
@@ -4684,18 +4686,18 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_RICH_CLUB_ORACLE = f"""
-WITH b AS (
+WITH b AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS pa, c.l_partkey AS pb
   FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT u, COUNT(*) AS d FROM (
     SELECT pa AS u FROM edges UNION ALL SELECT pb FROM edges)
   GROUP BY 1
 ), n_row AS (
   SELECT COUNT(*) AS n FROM deg
-), ranked AS (
+), ranked AS MATERIALIZED (
   SELECT d, row_number() OVER (ORDER BY d, u) AS rn FROM deg
 ), cuts AS (
   {" UNION ALL ".join(
