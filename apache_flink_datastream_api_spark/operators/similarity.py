@@ -1919,3 +1919,101 @@ SPECS += [
               "top-2 principal directions via deflated integer power iteration",
               ("similarity", "ml", "iterative")),
 ]
+
+
+# --- simplified silhouette of the label clustering --------------------------------
+# The clustering-quality audit (Kaufman's simplified silhouette:
+# distances to CENTROIDS, not all pairs — the form that scales):
+# a = distance to own label centroid, b = distance to the nearest other
+# centroid, s = (b - a)/max(a, b). Exactness: with int8 vectors,
+# ||n_c·x − S_c||² is an exact BIGINT (< 2^52, so its DOUBLE cast is
+# exact) and dist² = that / n_c² divides correctly rounded — identical
+# on both engines; per-vector s is floored to ppm (an integer), so the
+# per-label MEAN is integer division, never a float accumulation.
+# Shapes: per-label sum-vectors (10 rows) broadcast; one pass over the
+# vectors computes all 10 distances in an array fold.
+
+
+def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "CAST(label AS BIGINT) AS label", f"{_PCA_Q8} AS q")
+    cents = (
+        emb.select("label", F.posexplode("q").alias("pos", "e"))
+        .groupBy("label", "pos").agg(F.sum("e").alias("s"))
+        .groupBy("label")
+        .agg(F.expr("transform(sort_array(collect_list(struct(pos, s))),"
+                    " x -> x.s)").alias("sv"),
+             F.count("*").alias("d64"))
+    )
+    counts = emb.groupBy("label").agg(F.count("*").alias("n_c"))
+    cent = cents.join(F.broadcast(counts), "label").selectExpr(
+        "label AS c_label", "sv", "n_c")
+    dists = (
+        emb.crossJoin(F.broadcast(cent))
+        .selectExpr(
+            "vec_id", "label", "c_label",
+            "CAST(aggregate(zip_with(q, sv, (x, s) -> (n_c * x - s) * (n_c * x - s)),"
+            " 0L, (acc, v) -> acc + v) AS DOUBLE)"
+            " / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE)) AS dist2",
+        )
+    )
+    ab = (
+        dists.groupBy("vec_id", "label")
+        .agg(
+            F.max(F.expr("CASE WHEN c_label = label THEN dist2 END")).alias("a2"),
+            F.min(F.expr("CASE WHEN c_label <> label THEN dist2 END")).alias("b2"),
+        )
+        .selectExpr(
+            "vec_id", "label",
+            "CAST(floor((sqrt(b2) - sqrt(a2))"
+            " / greatest(sqrt(a2), sqrt(b2)) * 1000000) AS BIGINT) AS s_ppm",
+        )
+    )
+    return (
+        ab.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"),
+             F.expr("sum(s_ppm) div count(*)").alias("mean_silhouette_ppm"))
+    )
+
+
+EMB_SILHOUETTE_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         {_KNN_Q8_D.replace('embedding', 'embedding')} AS q
+  FROM embeddings
+), ex AS (
+  SELECT vec_id, label, generate_subscripts(q, 1) AS pos, unnest(q) AS e
+  FROM emb
+), cents AS (
+  SELECT label AS c_label, pos, CAST(SUM(e) AS BIGINT) AS s
+  FROM ex GROUP BY 1, 2
+), counts AS (
+  SELECT label AS c_label, COUNT(*) AS n_c FROM emb GROUP BY 1
+), dists AS (
+  SELECT x.vec_id, x.label, c.c_label,
+         CAST(SUM((n.n_c * x.e - c.s) * (n.n_c * x.e - c.s)) AS DOUBLE)
+           / (CAST(n.n_c AS DOUBLE) * CAST(n.n_c AS DOUBLE)) AS dist2
+  FROM ex x JOIN cents c ON c.pos = x.pos
+  JOIN counts n ON n.c_label = c.c_label
+  GROUP BY 1, 2, 3, n.n_c
+), ab AS (
+  SELECT vec_id, label,
+         CAST(floor((sqrt(MIN(CASE WHEN c_label <> label THEN dist2 END))
+                     - sqrt(MAX(CASE WHEN c_label = label THEN dist2 END)))
+           / greatest(sqrt(MAX(CASE WHEN c_label = label THEN dist2 END)),
+                      sqrt(MIN(CASE WHEN c_label <> label THEN dist2 END)))
+           * 1000000) AS BIGINT) AS s_ppm
+  FROM dists GROUP BY 1, 2
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_silhouette_ppm
+FROM ab GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("emb_silhouette_simplified", emb_silhouette_simplified,
+              EMB_SILHOUETTE_ORACLE,
+              "simplified (centroid) silhouette per label, ppm-exact",
+              ("similarity", "diagnostics", "audit")),
+]
