@@ -4729,3 +4729,121 @@ SPECS += [
               "rich-club density at degree-quartile thresholds, exact ppm",
               ("graph",)),
 ]
+
+
+# --- two-arm Kaplan-Meier (comparative conversion survival) -------------------------
+# The product question behind q_survival_km: does the TREATED arm
+# convert faster? Same hour-grained KM estimator, computed per
+# hash-assigned variant (q_ab_readout's assignment), each arm's curve an
+# independent ordered fold — so the two step functions are directly
+# comparable and every value hash-matches. Per-arm work is one keyed
+# rollup + a horizon-bounded (<= 73-row) fold list.
+
+
+def q_survival_km_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_type")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts_ms").alias("start_ms"),
+            F.min(F.expr(
+                "CASE WHEN event_type = 'purchase' THEN ts_ms END"
+            )).alias("fp_ms"),
+        )
+        .withColumn("arm", F.pmod(
+            portable_hash64(F.col("user_id").cast("string")), F.lit(2)))
+        .selectExpr(
+            "arm",
+            f"CASE WHEN fp_ms IS NOT NULL"
+            f" AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}"
+            f" THEN (fp_ms - start_ms) ELSE {KM_HORIZON_H * _HOUR_MS} END"
+            f" div {_HOUR_MS} AS dur_h",
+            f"CAST(NOT (fp_ms IS NOT NULL"
+            f" AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}) AS INT)"
+            " AS censored",
+        )
+    )
+    hist = users.groupBy("arm", "dur_h").agg(
+        F.count("*").alias("n_ending"),
+        F.sum("censored").alias("n_censored"),
+    )
+    w = Window.partitionBy("arm").orderBy(F.desc("dur_h")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    curve = hist.withColumn("at_risk", F.sum("n_ending").over(w)).selectExpr(
+        "arm", "dur_h AS hour", "at_risk",
+        "n_ending - n_censored AS converted", "n_censored")
+    arr = curve.groupBy("arm").agg(F.expr(
+        "sort_array(collect_list(struct(hour, at_risk, converted, n_censored)))"
+    ).alias("a"))
+    return (
+        arr.select("arm", F.posexplode("a").alias("pos", "x"), F.col("a"))
+        .selectExpr(
+            "arm", "x.hour AS hour", "x.at_risk AS at_risk",
+            "x.converted AS n_converted", "x.n_censored AS n_censored",
+            "CAST(floor(aggregate(slice(a, 1, pos + 1), CAST(1.0 AS DOUBLE),"
+            " (s, r) -> s * (CAST(r.at_risk - r.converted AS DOUBLE)"
+            " / CAST(r.at_risk AS DOUBLE))) * 1000000) AS BIGINT)"
+            " AS survival_ppm",
+        )
+    )
+
+
+from ..functions.hashing import portable_hash64_sql as _ph64_sql  # noqa: E402
+
+Q_SURVIVAL_KM_ARMS_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+), u AS (
+  SELECT user_id, MIN(ts_ms) AS start_ms,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts_ms END) AS fp_ms
+  FROM ev GROUP BY 1
+), users AS (
+  SELECT ({_ph64_sql("CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+         CASE WHEN fp_ms IS NOT NULL
+              AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}
+              THEN (fp_ms - start_ms)
+              ELSE {KM_HORIZON_H * _HOUR_MS} END // {_HOUR_MS} AS dur_h,
+         CAST(NOT (fp_ms IS NOT NULL
+              AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}) AS INT)
+           AS censored
+  FROM u
+), hist AS (
+  SELECT arm, dur_h, COUNT(*) AS n_ending,
+         CAST(SUM(censored) AS BIGINT) AS n_censored
+  FROM users GROUP BY 1, 2
+), curve AS (
+  SELECT arm, dur_h AS hour,
+         CAST(SUM(n_ending) OVER (PARTITION BY arm ORDER BY dur_h DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS at_risk,
+         n_ending - n_censored AS converted, n_censored
+  FROM hist
+), arr AS (
+  SELECT arm, list_sort(list({{'hour': hour, 'at_risk': at_risk,
+                               'converted': converted,
+                               'n_censored': n_censored}})) AS a
+  FROM curve GROUP BY 1
+), ex AS (
+  SELECT arm, unnest(a) AS x, generate_subscripts(a, 1) AS pos, a FROM arr
+)
+SELECT arm, x.hour AS hour, x.at_risk AS at_risk,
+       x.converted AS n_converted, x.n_censored AS n_censored,
+       CAST(floor(list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(a[1:pos],
+             r -> CAST(r.at_risk - r.converted AS DOUBLE)
+                  / CAST(r.at_risk AS DOUBLE))),
+         (s, y) -> s * y) * 1000000) AS BIGINT) AS survival_ppm
+FROM ex
+"""
+
+
+SPECS += [
+    QuerySpec("q_survival_km_arms", q_survival_km_arms,
+              Q_SURVIVAL_KM_ARMS_ORACLE,
+              "per-variant Kaplan-Meier conversion curves, ordered-fold exact",
+              ("analytics", "stats", "survival", "causal")),
+]
