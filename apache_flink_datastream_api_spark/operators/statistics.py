@@ -4847,3 +4847,136 @@ SPECS += [
               "per-variant Kaplan-Meier conversion curves, ordered-fold exact",
               ("analytics", "stats", "survival", "causal")),
 ]
+
+
+# --- logrank test over the two-arm conversion curves --------------------------------
+# The significance companion of q_survival_km_arms: at every conversion
+# hour, compare arm 1's observed conversions O1 with its expectation
+# E1 = n1·d/n under the null that both arms share one hazard
+# (n = at-risk total, d = conversions total, n1 = arm-1 at-risk); the
+# logrank statistic sums O1 − E1 with hypergeometric variance
+# V = d·(n1/n)·(1 − n1/n)·(n − d)/(n − 1). Per-hour terms are floored
+# to micros (exact integers in, identical FP ops in identical order),
+# so the summed statistic hash-matches; Z = (ΣO1 − ΣE1)/sqrt(ΣV) in
+# milli. Shapes: the hour table is horizon-bounded; everything after
+# the per-user rollup is <= 73 rows.
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(ts) AS ts_ms", "event_type")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts_ms").alias("start_ms"),
+            F.min(F.expr(
+                "CASE WHEN event_type = 'purchase' THEN ts_ms END"
+            )).alias("fp_ms"),
+        )
+        .withColumn("arm", F.pmod(
+            portable_hash64(F.col("user_id").cast("string")), F.lit(2)))
+        .selectExpr(
+            "arm",
+            f"CASE WHEN fp_ms IS NOT NULL"
+            f" AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}"
+            f" THEN (fp_ms - start_ms) ELSE {KM_HORIZON_H * _HOUR_MS} END"
+            f" div {_HOUR_MS} AS dur_h",
+            f"CAST(fp_ms IS NOT NULL"
+            f" AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS} AS INT)"
+            " AS converted",
+        )
+    )
+    hist = users.groupBy("dur_h").agg(
+        F.count("*").alias("ending"),
+        F.sum("converted").alias("d"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN 1 ELSE 0 END")).alias("ending1"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN converted ELSE 0 END"))
+        .alias("o1"),
+    )
+    w = Window.orderBy(F.desc("dur_h")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    terms = (
+        hist.withColumn("n", F.sum("ending").over(w))
+        .withColumn("n1", F.sum("ending1").over(w))
+        .where("d > 0 AND n > 1")
+        .selectExpr(
+            "dur_h", "o1", "d", "n", "n1",
+            "CAST(floor(CAST(n1 * d AS DOUBLE) / CAST(n AS DOUBLE)"
+            " * 1000000) AS BIGINT) AS e1_micro",
+            "CAST(floor(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+            " * 1000000) AS BIGINT) AS v_micro",
+        )
+    )
+    return terms.agg(
+        F.sum("o1").alias("o1_total"),
+        F.sum("e1_micro").alias("e1_micro_total"),
+        F.sum("v_micro").alias("v_micro_total"),
+    ).selectExpr(
+        "o1_total", "e1_micro_total", "v_micro_total",
+        "CAST(floor((CAST(o1_total AS DOUBLE) * 1000000.0"
+        " - CAST(e1_micro_total AS DOUBLE))"
+        " / sqrt(CAST(v_micro_total AS DOUBLE) * 1000000.0)"
+        " * 1000) AS BIGINT) AS z_milli",
+    )
+
+
+Q_LOGRANK_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+), u AS (
+  SELECT user_id, MIN(ts_ms) AS start_ms,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts_ms END) AS fp_ms
+  FROM ev GROUP BY 1
+), users AS (
+  SELECT ({_ph64_sql("CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+         CASE WHEN fp_ms IS NOT NULL
+              AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS}
+              THEN (fp_ms - start_ms)
+              ELSE {KM_HORIZON_H * _HOUR_MS} END // {_HOUR_MS} AS dur_h,
+         CAST(fp_ms IS NOT NULL
+              AND fp_ms - start_ms <= {KM_HORIZON_H * _HOUR_MS} AS INT)
+           AS converted
+  FROM u
+), hist AS (
+  SELECT dur_h, COUNT(*) AS ending, CAST(SUM(converted) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ending1,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+           AS o1
+  FROM users GROUP BY 1
+), terms AS (
+  SELECT o1, d,
+         CAST(SUM(ending) OVER (ORDER BY dur_h DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+         CAST(SUM(ending1) OVER (ORDER BY dur_h DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1
+  FROM hist
+), scored AS (
+  SELECT o1,
+         CAST(floor(CAST(n1 * d AS DOUBLE) / CAST(n AS DOUBLE)
+           * 1000000) AS BIGINT) AS e1_micro,
+         CAST(floor(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+           * 1000000) AS BIGINT) AS v_micro
+  FROM terms WHERE d > 0 AND n > 1
+)
+SELECT CAST(SUM(o1) AS BIGINT) AS o1_total,
+       CAST(SUM(e1_micro) AS BIGINT) AS e1_micro_total,
+       CAST(SUM(v_micro) AS BIGINT) AS v_micro_total,
+       CAST(floor((CAST(SUM(o1) AS DOUBLE) * 1000000.0
+         - CAST(SUM(e1_micro) AS DOUBLE))
+         / sqrt(CAST(SUM(v_micro) AS DOUBLE) * 1000000.0)
+         * 1000) AS BIGINT) AS z_milli
+FROM scored
+"""
+
+
+SPECS += [
+    QuerySpec("q_logrank_test", q_logrank_test, Q_LOGRANK_ORACLE,
+              "logrank two-arm survival test, per-hour terms in micros",
+              ("analytics", "stats", "survival", "causal")),
+]
