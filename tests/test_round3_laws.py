@@ -210,3 +210,62 @@ def test_growth_accounting_identity(spark):
         assert cur.active - prev.active == \
             cur.new_users + cur.resurrected - cur.churned
         assert cur.active == cur.new_users + cur.retained + cur.resurrected
+
+
+def test_fifo_allocation_fills_min_supply_demand(spark):
+    """Per part, FIFO interval matching must allocate EXACTLY
+    min(supply, demand): the overlap of [0, S) and [0, D) cumulative
+    ranges tiles with no gap and no double-count — the defining property
+    of the interval-overlap formulation."""
+    for r in _run(spark, "q_fifo_allocation"):
+        assert r.qty_allocated == min(r.supply_qty, r.demand_qty), r
+        assert r.qty_unfilled >= 0 and r.qty_leftover >= 0
+
+
+def test_km_arms_partition_the_pooled_curve(spark):
+    """Arm assignment partitions users: each curve's MAXIMUM at-risk is
+    its population, so the arms' maxima must sum to the pooled curve's
+    maximum; conversions must partition too."""
+    pooled = _run(spark, "q_survival_km")
+    arms = _run(spark, "q_survival_km_arms")
+    arm_max = {}
+    for r in arms:
+        arm_max[r.arm] = max(arm_max.get(r.arm, 0), r.at_risk)
+    assert sum(arm_max.values()) == max(r.at_risk for r in pooled)
+    assert sum(r.n_converted for r in arms) == \
+        sum(r.n_converted for r in pooled)
+
+
+def test_abc_xyz_covers_every_part(spark):
+    """The 9-cell matrix must partition the parts exactly (every part
+    with revenue lands in one ABC x XYZ cell)."""
+    from apache_flink_datastream_api_spark.sources.tables import load_table
+
+    cells = _run(spark, "q_abc_xyz_matrix")
+    n_parts = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in cells) == n_parts
+
+
+def test_chain_ladder_oldest_cohort_is_its_own_ultimate(spark):
+    """The cohort observed to the maximum age has NO remaining factors:
+    ultimate == known cumulative, exactly."""
+    rows = _run(spark, "q_chain_ladder")
+    oldest = max(rows, key=lambda r: r.max_age_w)
+    assert oldest.ultimate_cents == oldest.cum_cents_known
+    # and every ultimate is >= its known cumulative (factors >= 1 on
+    # this fixture's cumulative revenue)
+    for r in rows:
+        assert r.ultimate_cents >= 0
+
+
+def test_kfold_partitions_the_corpus(spark):
+    """Σ fold_docs == |documents|: the assignment is a partition."""
+    from apache_flink_datastream_api_spark.sources.tables import load_table
+
+    rows = _run(spark, "pipeline_kfold_assignments")
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.fold_docs for r in rows) == total
+    assert len(rows) == 5
