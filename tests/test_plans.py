@@ -452,6 +452,9 @@ def test_registry_wide_plan_hygiene(spark):
         "profile_key_skew",             # 1-row total-count broadcast
         "maintenance_equi_depth_hist",  # 1-row total-count broadcast
         "q_rolling_beta",               # calendar-bounded daily index broadcast
+        "pipeline_kfold_assignments",   # 1-row corpus-total broadcast
+        "graph_rich_club",              # degree-quartile cut rows (4) + 1-row count
+        "emb_silhouette_simplified",    # 10 centroid-sum rows broadcast
     }
     violations = []
     for name, spec in all_queries().items():
