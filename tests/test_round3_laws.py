@@ -269,3 +269,16 @@ def test_kfold_partitions_the_corpus(spark):
     total = load_table(spark, SF_DIR, "documents").count()
     assert sum(r.fold_docs for r in rows) == total
     assert len(rows) == 5
+
+
+def test_logrank_observed_matches_arm_conversions(spark):
+    """The logrank test's ΣO1 must equal arm 1's total conversions from
+    the KM curves — both count the same events through different
+    pipelines."""
+    lr = _run(spark, "q_logrank_test")[0]
+    arms = _run(spark, "q_survival_km_arms")
+    arm1 = sum(r.n_converted for r in arms if r.arm == 1)
+    assert lr.o1_total == arm1
+    # and the expectation can never exceed the total conversions
+    total = sum(r.n_converted for r in arms)
+    assert 0 <= lr.e1_micro_total <= total * 1_000_000
