@@ -3612,20 +3612,20 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-    # edges feeds FIVE consumers here (und, the anti-join, and three deg
-    # derivations) — unlike triangle count's 3-consumer case, recompute
-    # loses to one eager materialization (33.8s -> ~8s at sf0.1).
+    # edges feeds five consumers, but measured CLEAN at sf0.1 the AQE
+    # recompute still beats eager materialization (5.6s vs 9.0s warm;
+    # the earlier 33.8s checkpoint 'win' was a CPU-contended reading) —
+    # matching the triangle-count finding: lineage truncation is not free.
     edges = (
         baskets.select(F.explode(F.expr(
             "flatten(transform(parts, (x, i) -> "
             "transform(slice(parts, i + 2, size(parts)), "
             "y -> struct(x AS pa, y AS pb))))")).alias("p"))
         .select("p.pa", "p.pb").distinct()
-        .localCheckpoint(eager=True)
     )
     und = edges.selectExpr("pa AS u", "pb AS v").unionAll(
         edges.selectExpr("pb AS u", "pa AS v"))
-    deg = und.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
     n = deg.agg(F.count("*").alias("n"))
     # exact discrete percentile: the d value at 1-based rank ceil(p * n)
     # in the (d)-sorted degree list; ties in the sort cannot change it.
