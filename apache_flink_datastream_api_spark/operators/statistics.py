@@ -3628,12 +3628,19 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     n = deg.agg(F.count("*").alias("n"))
     # exact discrete percentile: the d value at 1-based rank ceil(p * n)
-    # in the (d)-sorted degree list; ties in the sort cannot change it.
+    # in the d-sorted degree list = the smallest d whose cumulative
+    # histogram count reaches the rank. The cumulative window runs over
+    # the degree HISTOGRAM (one row per distinct degree value — O(sqrt E)
+    # in practice), never the |V|-row degree list: at a 100x vertex set
+    # the single-partition window input stays rollup-sized. Hash-
+    # identical to rank-indexing the sorted list (ties share d).
+    hist = deg.groupBy("d").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     cap = (
-        deg.withColumn("rn", F.row_number().over(Window.orderBy("d", "u")))
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
         .crossJoin(F.broadcast(n))
-        .where(F.expr(f"rn = CAST(ceil({LP_CENTER_PCTL} * n) AS BIGINT)"))
-        .selectExpr("d AS dcap")
+        .where(F.expr(f"cum >= CAST(ceil({LP_CENTER_PCTL} * n) AS BIGINT)"))
+        .agg(F.min("d").alias("dcap"))
     )
     centers = (
         und.join(deg, "u").crossJoin(F.broadcast(cap))
