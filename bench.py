@@ -351,13 +351,31 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Regression guard thresholds (shared with tests/test_bench_budget.py):
+# a re-measured query regresses when it exceeds BOTH the relative and the
+# absolute envelope over its committed BENCH_DETAIL time — the floor keeps
+# sub-second queries from tripping the guard on scheduler noise.
+GUARD_REL = 1.75
+GUARD_ABS_FLOOR = 1.0  # seconds
+
+
+def over_budget(measured: float, committed: float) -> bool:
+    return measured > max(GUARD_REL * committed, committed + GUARD_ABS_FLOOR)
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     specs = all_queries()
 
+    # Subset mode (the bench-budget test's hook): measure ONLY the named
+    # queries with the identical warm + min-of-2 methodology, print the
+    # per-query map inline, and leave BENCH_DETAIL.json untouched.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    subset = [n for n in only.split(",") if n] if only else None
+
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in subset if subset is not None else HEADLINE:
         force(specs[name].fn(spark, SF_DIR))  # warm: codegen + JIT, not measured
         best = float("inf")
         for _ in range(2):
@@ -368,6 +386,34 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    if subset is not None:
+        print(json.dumps({
+            "metric": "headline_queries_subset_runtime",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": sf_val,
+        }))
+        return
+
+    # Full run: before overwriting BENCH_DETAIL, diff against the committed
+    # budgets so every headline query gets regression-checked at refresh
+    # time (the pytest guard covers only the most expensive subset).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    regressions: dict[str, list[float]] = {}
+    if os.path.exists(detail_path):
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf_val:
+            for name, t in times.items():
+                committed = prev.get("queries", {}).get(name)
+                if committed is not None and over_budget(t, committed):
+                    regressions[name] = [committed, t]
+    if regressions:
+        print(f"[bench] REGRESSIONS vs committed BENCH_DETAIL: {regressions}",
+              file=sys.stderr)
     # The driver captures a bounded stdout tail: keep the contract line SHORT
     # (no inline per-query map — round 1's 6 KB line was truncated mid-JSON and
     # recorded as "parsed": null). Full per-query timings go to a side file.
@@ -378,6 +424,8 @@ def main() -> None:
         "queries": times,
         "sf": sf_val,
     }
+    if regressions:
+        detail["regressions_vs_committed"] = regressions
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(
