@@ -18,7 +18,9 @@ DuckDB oracle can hash-match: these are registered rows-only, and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import salted_hash64, salted_hash64_sql
 from ..registry import QuerySpec
@@ -28,26 +30,184 @@ RSD = 0.02           # HLL target relative standard deviation
 PCT_ACCURACY = 10_000  # approx_percentile accuracy knob
 
 
+# --- portable HyperLogLog (hash-matched estimates) ---------------------------
+# A from-scratch HLL over the portable 60-bit hash family, built so the
+# ESTIMATE itself is integer-exact and identical in DuckDB — the same
+# trick sketch_heavy_hitters_cms plays for count-min. Register layout:
+# bucket = h mod 256 (m = 2^8), rho = leading-zero count of the remaining
+# 52 bits + 1. The harmonic mean sum(2^-M_b) is kept as the exact integer
+# S = sum(2^(53-M_b)) (max 256 * 2^53 < 2^62), the alpha_m bias constant
+# is a fixed ppm rational, and the small-range linear-counting correction
+# reads a precomputed round(m * ln(m/V)) table — so both engines walk the
+# identical integer arithmetic to the identical estimate. The engine-
+# native HLL surfaces (approx_count_distinct, hll_sketch_agg binaries)
+# stay covered by sketch_accuracy_audit / sketch_rollup_uniques below.
+#
+# Scale shape: per-group state is 256 registers; the (group, bucket)
+# rollup is map-side combinable (max), the register->estimate fold is a
+# 256-rows-per-group aggregate. Omitted: the 64-bit large-range
+# correction (log2-based; relevant only past 2^52/30 distincts).
+
+HLL_P = 8
+HLL_M = 1 << HLL_P                      # 256 buckets
+_HLL_ALPHA_PPM = round(0.7213 / (1 + 1.079 / HLL_M) * 1_000_000)
+_HLL_NUMER = _HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << 53)
+_HLL_LC = [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M)]
+_HLL_SMALL = 5 * HLL_M // 2             # raw-estimate cutover to linear counting
+
+
 def sketch_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per day per event_type via HLL++ (approximate) —
-    the scale path for cardinality over 100 TB of events."""
+    """Distinct users per day per event_type via the portable HLL —
+    the bounded-state cardinality path for 100 TB of events, with the
+    estimate hash-checked exactly against the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=RSD).alias("approx_uniques"))
-        .select(F.unix_millis("day").alias("day_ms"), "event_type", "approx_uniques")
+    h = "cast(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) as bigint)"
+    regs = (
+        ev.selectExpr(
+            "CAST(floor(unix_millis(ts) / 86400000) AS BIGINT) * 86400000 AS day_ms",
+            "event_type",
+            f"pmod({h}, {HLL_M}) AS bucket",
+            f"{h} div {HLL_M} AS r",
+        )
+        .selectExpr(
+            "day_ms", "event_type", "bucket",
+            "CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END AS rho",
+        )
+        .groupBy("day_ms", "event_type", "bucket")
+        .agg(F.max("rho").alias("m_b"))
     )
+    lc = ", ".join(str(v) for v in _HLL_LC)
+    return (
+        regs.groupBy("day_ms", "event_type")
+        .agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_b AS INT))"))
+            .alias("s_present"),
+            F.count("*").alias("n_present"),
+        )
+        .selectExpr(
+            "day_ms", "event_type",
+            f"s_present + ({HLL_M} - n_present) * shiftleft(CAST(1 AS BIGINT), 53) AS s",
+            f"{HLL_M} - n_present AS v",
+        )
+        .selectExpr(
+            "day_ms", "event_type", "v",
+            f"CAST(CAST('{_HLL_NUMER}' AS DECIMAL(38,0))"
+            " div (CAST(s AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS e_raw",
+        )
+        .selectExpr(
+            "day_ms", "event_type",
+            f"CASE WHEN e_raw <= {_HLL_SMALL} AND v > 0"
+            f" THEN element_at(array({lc}), CAST(v AS INT))"
+            " ELSE e_raw END AS approx_uniques",
+        )
+    )
+
+
+def _hll_oracle_sql(key_cols_spark: str, key_cols: str, src: str) -> str:
+    h = "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    lc = ", ".join(str(v) for v in _HLL_LC)
+    return f"""
+WITH hashed AS (
+  SELECT {key_cols_spark}, {h} % {HLL_M} AS bucket, {h} // {HLL_M} AS r
+  FROM {src}
+), regs AS (
+  SELECT {key_cols}, bucket,
+         MAX(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END) AS m_b
+  FROM hashed GROUP BY {key_cols}, bucket
+), folded AS (
+  SELECT {key_cols},
+         SUM(CAST(1 AS BIGINT) << (53 - m_b)) AS s_present,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY {key_cols}
+), est AS (
+  SELECT {key_cols},
+         {HLL_M} - n_present AS v,
+         CAST({_HLL_NUMER} // (CAST(s_present + ({HLL_M} - n_present)
+              * (CAST(1 AS BIGINT) << 53) AS HUGEINT) * 1000000) AS BIGINT)
+           AS e_raw
+  FROM folded
+)
+SELECT {key_cols},
+       CASE WHEN e_raw <= {_HLL_SMALL} AND v > 0
+            THEN CAST(([{lc}])[CAST(v AS INT)] AS BIGINT)
+            ELSE e_raw END AS approx_uniques
+FROM est
+"""
+
+
+SKETCH_DAILY_HLL_ORACLE = _hll_oracle_sql(
+    "CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) * 86400000 AS day_ms,"
+    " event_type",
+    "day_ms, event_type",
+    "events",
+)
+
+
+# --- portable mergeable histogram quantile sketch ----------------------------
+# Bounded-state p50/p95/p99 per event_type from an equi-width cents
+# histogram: bucket = cents div HIST_W, estimate = midpoint of the
+# smallest bucket whose cumulative count reaches rank ceil(p*n). The
+# sketch state per group is the (bucket -> count) map — mergeable by
+# addition across shards/days exactly (the property approx_percentile's
+# KLL buffer also has, but with an engine-internal layout DuckDB cannot
+# replay). Error is bounded by the bucket width; the cumulative window
+# runs over histogram rows (value_range / HIST_W per group), never the
+# raw values. Rank targets use integer ceil((num*n)/den) — no 0.95*n
+# float boundary to disagree on.
+
+HIST_W = 500  # cents per bucket ($5 on a [0, ~500] dollar value range)
+_PCTS = [("p50_cents", 1, 2), ("p95_cents", 19, 20), ("p99_cents", 99, 100)]
 
 
 def sketch_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """p50/p95/p99 of value per event_type via the mergeable percentile
-    sketch (bounded-memory replacement for exact percentile)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, PCT_ACCURACY).alias("p50"),
-        F.percentile_approx("value", 0.95, PCT_ACCURACY).alias("p95"),
-        F.percentile_approx("value", 0.99, PCT_ACCURACY).alias("p99"),
+    hist = (
+        ev.selectExpr(
+            "event_type",
+            f"CAST(round(value * 100) AS BIGINT) div {HIST_W} AS bucket")
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
     )
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type", "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    picks = [
+        F.min(F.expr(
+            f"CASE WHEN cum >= ({num} * n + {den - 1}) div {den}"
+            f" THEN bucket * {HIST_W} + {HIST_W // 2} END")).alias(name)
+        for name, num, den in _PCTS
+    ]
+    return cum.groupBy("event_type").agg(*picks)
+
+
+_pct_picks_d = ",\n       ".join(
+    f"MIN(CASE WHEN cum >= ({num} * n + {den - 1}) // {den}"
+    f" THEN bucket * {HIST_W} + {HIST_W // 2} END) AS {name}"
+    for name, num, den in _PCTS
+)
+
+SKETCH_PCT_HIST_ORACLE = f"""
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) // {HIST_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       {_pct_picks_d}
+FROM cum GROUP BY event_type
+"""
 
 
 HLL_LGK = 14  # Datasketches lgConfigK: 2^14 buckets, ~0.8% RSE
@@ -153,11 +313,15 @@ ORDER BY est_cnt DESC, user_id LIMIT {CMS_TOPK}
 
 
 SPECS = [
-    QuerySpec("sketch_daily_uniques", sketch_daily_uniques, None,
-              "HLL++ approximate distinct users per day (accuracy pinned in tests)",
+    QuerySpec("sketch_daily_uniques", sketch_daily_uniques,
+              SKETCH_DAILY_HLL_ORACLE,
+              "portable-HLL approximate distinct users per day — estimates "
+              "hash-checked exactly; accuracy vs exact pinned in tests",
               ("sketch", "approx")),
-    QuerySpec("sketch_value_percentiles", sketch_value_percentiles, None,
-              "mergeable approximate percentiles (accuracy pinned in tests)",
+    QuerySpec("sketch_value_percentiles", sketch_value_percentiles,
+              SKETCH_PCT_HIST_ORACLE,
+              "mergeable equi-width histogram quantile sketch — estimates "
+              "hash-checked exactly; accuracy vs exact pinned in tests",
               ("sketch", "approx")),
     QuerySpec("sketch_rollup_uniques", sketch_rollup_uniques, None,
               "binary HLL sketches rolled up via hll_union_agg — "
