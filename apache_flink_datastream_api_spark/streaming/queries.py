@@ -1397,6 +1397,106 @@ SPECS += [
 ]
 
 
+# --- X8b: streaming NEAR-dup filter via banded MinHash ownership --------------
+# x8_dedup_stream catches J~=1 near-dups (one min-shingle fingerprint);
+# the production ingest pipeline also wants the LSH-grade filter (any of
+# MH_BANDS band signatures collides -> drop). Engine path: file stream ->
+# map-side MinHash banding (the signature fold is a per-row array
+# expression — array_min over the arithmetic hash family — so the ONLY
+# stateful operator is the bucket-ownership store; no streaming groupBy
+# feeds it) -> applyInPandasWithState keyed by (band, sig) holding the
+# smallest claiming doc_id -> per-doc verdict rollup. A doc is kept iff
+# it owns every one of its buckets, which over an in-order replay equals
+# the batch dedup_minhash_lsh canonical selection (never a doc_b in any
+# candidate pair) — the oracle checks exactly that. Docs too short to
+# shingle get a private bucket (they cannot near-dup by MinHash).
+
+def neardup_band_flags(stream: DataFrame) -> DataFrame:
+    """Banded-MinHash verdict stream over a (doc_id, text) document
+    stream: map-side signature fold -> (band, sig) bucket-ownership
+    state -> one (doc_id, is_dup) row per (doc, band)."""
+    from ..functions import text as XT
+    from ..functions.hashing import family_member_spark
+    from ..operators.dedup import _FAMILY, _R, MH_BANDS, MH_HASHES, MH_K
+    from .state import band_owner_flags
+
+    toked = stream.selectExpr(
+        "doc_id", f"{XT.tokens_spark('text')} AS toks")
+    sh = XT.shingles_spark("toks", MH_K)
+    hashed = toked.selectExpr(
+        "doc_id",
+        "transform(array_distinct(" + sh + "), s ->"
+        " cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)) AS hs",
+    )
+    min_cols = [
+        f"array_min(transform(hs, h -> {family_member_spark('h', _FAMILY[i])}))"
+        f" AS m{i}"
+        for i in range(MH_HASHES)
+    ]
+    mins = hashed.selectExpr("doc_id", "size(hs) AS n_sh", *min_cols)
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'sig', concat_ws(',', "
+        + ", ".join(f"m{b * _R + j}" for j in range(_R))
+        + "))"
+        for b in range(MH_BANDS)
+    )
+    bands = (
+        mins.selectExpr(
+            "doc_id",
+            "CASE WHEN n_sh = 0 THEN array(named_struct('band', -1,"
+            " 'sig', concat('empty#', CAST(doc_id AS STRING))))"
+            f" ELSE array({band_structs}) END AS bs",
+        )
+        .select("doc_id", F.explode("bs").alias("b"))
+        .select("doc_id", "b.band", "b.sig")
+    )
+    return band_owner_flags(bands)
+
+
+def x8_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flagged = neardup_band_flags(_documents_stream(spark, sf_dir))
+    out = run_available_now(flagged, spark, mode="update")
+    return (
+        out.groupBy("doc_id").agg(F.max("is_dup").alias("dup"))
+        .where("dup = 0")
+        .select("doc_id")
+    )
+
+
+def _x8_neardup_oracle() -> str:
+    from ..functions import text as XT
+    from ..functions.hashing import portable_hash64_sql
+    from ..operators.dedup import _bands_d, _mins_d, MH_K, TOKS_D
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {TOKS_D} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({XT.shingles_duck('toks', MH_K)}) AS shingle
+  FROM toks
+), base AS (
+  SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh
+), mins AS (
+  SELECT doc_id, {_mins_d} FROM base GROUP BY doc_id
+), bands AS (
+  {_bands_d}
+), dups AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT d.doc_id FROM documents d ANTI JOIN dups USING (doc_id)
+"""
+
+
+SPECS += [
+    QuerySpec("x8_neardup_stream", x8_neardup_stream, _x8_neardup_oracle(),
+              "ingest-time LSH near-dup filter: banded MinHash bucket "
+              "ownership in keyed state; kept set = batch LSH selection",
+              ("streaming", "stateful", "dedup")),
+]
+
+
 # --- X9: Spark 4 transformWithStateInPandas (the arbitrary-state API) ---------
 # The engine's X1/X2 ride applyInPandasWithState (the Spark 3 arbitrary
 # stateful API); this is the same per-key running aggregation on Spark

@@ -1031,3 +1031,59 @@ def test_transform_with_state_gated(spark):
                  F.sum("cents").alias("cents_sum"),
                  F.max("cents").alias("cents_max")).collect()}
     assert got == want
+
+
+def test_x8_neardup_kept_set_equals_batch_lsh_selection(spark):
+    """The streaming near-dup filter's kept set must equal the batch
+    canonical selection: every doc that is never the LATER side (doc_b)
+    of a dedup_minhash_lsh candidate pair survives, everything else is
+    dropped at ingest."""
+    from apache_flink_datastream_api_spark.operators.dedup import dedup_minhash_lsh
+    from apache_flink_datastream_api_spark.streaming.queries import x8_neardup_stream
+
+    kept = {r.doc_id for r in x8_neardup_stream(spark, SF_DIR).collect()}
+    dups = {
+        r.doc_b
+        for r in dedup_minhash_lsh(spark, SF_DIR).select("doc_b").distinct().collect()
+    }
+    all_ids = {
+        r.doc_id
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    }
+    assert kept == all_ids - dups
+
+
+def test_x8_neardup_owner_state_survives_micro_batches(spark):
+    """Split the documents across two files and replay one file per
+    micro-batch: batch-2 documents must still be deduped against batch-1
+    bucket owners (state store), yielding the same kept set as the
+    single-batch replay."""
+    from apache_flink_datastream_api_spark.streaming.queries import (
+        neardup_band_flags,
+        x8_neardup_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text").toPandas().sort_values("doc_id")
+    half = len(docs) // 2
+    stream_dir = tempfile.mkdtemp(prefix="neardup_chunks_")
+    docs.iloc[:half].to_parquet(os.path.join(stream_dir, "a.parquet"), index=False)
+    docs.iloc[half:].to_parquet(os.path.join(stream_dir, "b.parquet"), index=False)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stream_dir)
+    )
+    out = run_available_now(neardup_band_flags(stream), spark, mode="update")
+    kept_chunked = {
+        r.doc_id
+        for r in out.groupBy("doc_id").agg(F.max("is_dup").alias("dup"))
+        .where("dup = 0").collect()
+    }
+    kept_single = {r.doc_id for r in x8_neardup_stream(spark, SF_DIR).collect()}
+    assert kept_chunked == kept_single
