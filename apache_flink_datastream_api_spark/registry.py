@@ -36,18 +36,18 @@ class QuerySpec:
 
 def _collect() -> dict[str, QuerySpec]:
     from .operators import (
-        analytics, behavior, dataflow, dedup, io_roundtrip, multimodal,
-        partsupp, pipeline, profile, relational, similarity, sketches, skew,
-        statistics, temporal, textops, trainprep,
+        analytics, annindex, behavior, dataflow, dedup, io_roundtrip,
+        multimodal, partsupp, pipeline, profile, relational, similarity,
+        sketches, skew, statistics, temporal, textops, trainprep,
     )
     from .sources import pydatasource
     from .streaming import queries as streaming_queries
 
     specs: dict[str, QuerySpec] = {}
     for mod in (relational, partsupp, analytics, behavior, dataflow, dedup,
-                similarity, textops, multimodal, skew, temporal, sketches,
-                pipeline, trainprep, profile, io_roundtrip, statistics,
-                streaming_queries, pydatasource):
+                similarity, annindex, textops, multimodal, skew, temporal,
+                sketches, pipeline, trainprep, profile, io_roundtrip,
+                statistics, streaming_queries, pydatasource):
         for spec in mod.SPECS:
             assert spec.name not in specs, f"duplicate query name {spec.name}"
             specs[spec.name] = spec

@@ -344,6 +344,12 @@ HEADLINE = [
     "emb_silhouette_simplified",
     "q_survival_km_arms",
     "q_logrank_test",
+    # round 4: streaming LSH ingest filter, persisted ANN index
+    "x8_neardup_stream",
+    "knn_ivf_persisted",
+    "knn_index_delta",
+    "knn_ivf_delta_serve",
+    "knn_index_health",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Contract tests for the persisted, incrementally-maintained ANN index
+(operators/annindex). The oracle already pins WHAT each query returns;
+these pin the PRODUCTION properties the hash cannot see: the serve path
+reads only the stored artifact (pruned), the build runs once, the delta
+append never rewrites history, and the approximate answer is close to
+the exact one."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from apache_flink_datastream_api_spark.operators.annindex import (
+    N_QUERIES,
+    PIVF_NPROBE,
+    TOP_K,
+    build_ivf_index,
+    knn_index_delta,
+    knn_ivf_persisted,
+)
+from apache_flink_datastream_api_spark.operators.similarity import (
+    knn_bruteforce_cosine,
+)
+from apache_flink_datastream_api_spark.plans.inspect import explain_string
+
+from .conftest import SF_DIR
+
+
+def test_serve_plan_reads_only_the_index_and_prunes(spark):
+    """The serve path must not rescan the raw embeddings table, must
+    partition-prune the candidate scan to the probed cells, and must not
+    run any training exchange — its only wide exchange is the per-query
+    top-k window."""
+    df = knn_ivf_persisted(spark, SF_DIR)
+    plan = explain_string(df)
+    assert "embeddings.parquet" not in plan, plan
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cluster_id" in l for l in scan_lines), plan
+    wide = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(wide) <= 2, plan  # rank shuffle (+ at most an AQE read)
+
+
+def test_index_builds_once_per_session(spark):
+    p1 = build_ivf_index(spark, SF_DIR, "full")
+    marker = os.path.join(p1, "centroids", "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    knn_ivf_persisted(spark, SF_DIR).collect()
+    p2 = build_ivf_index(spark, SF_DIR, "full")
+    assert p1 == p2
+    assert os.path.getmtime(marker) == mtime  # no rebuild, no rewrite
+
+
+def test_persisted_recall_floor_vs_bruteforce(spark):
+    """nprobe=6 of 16 cells must retrieve a solid share of the exact
+    top-K; recall below the floor means the quantizer or probe order
+    broke even if hashes still match the (same-broken) oracle."""
+    brute = {
+        (r.qid, r.neighbor_id)
+        for r in knn_bruteforce_cosine(spark, SF_DIR).collect()
+    }
+    served = {
+        (r.qid, r.neighbor_id)
+        for r in knn_ivf_persisted(spark, SF_DIR).collect()
+    }
+    recall = len(brute & served) / (N_QUERIES * TOP_K)
+    assert recall >= 0.5, recall
+    assert PIVF_NPROBE < 16  # the scan is genuinely partial
+
+
+def test_delta_append_never_rewrites_history(spark):
+    """knn_index_delta must add files, not touch the stored history
+    partitions: identical file set with identical mtimes before/after,
+    and the merged history portion must equal the stored assignment."""
+    base = build_ivf_index(spark, SF_DIR, "hist")
+
+    def snapshot() -> dict[str, float]:
+        out = {}
+        for root, _, files in os.walk(os.path.join(base, "assign")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot()
+    result = knn_index_delta(spark, SF_DIR)
+    rows = result.collect()
+    assert snapshot() == before
+
+    hist_n = spark.read.parquet(os.path.join(base, "assign")).count()
+    assert sum(r.n_history for r in rows) == hist_n
+    assert sum(r.n_delta for r in rows) > 0
+    # frozen-centroid contract: history rows keep their stored cell
+    hist_cells = {
+        r.vec_id: r.cluster_id
+        for r in spark.read.parquet(os.path.join(base, "assign"))
+        .select("vec_id", "cluster_id").collect()
+    }
+    delta_min = spark.read.parquet(os.path.join(base, "assign_delta")) \
+        .agg(F.min("vec_id")).collect()[0][0]
+    assert delta_min > max(hist_cells)
