@@ -379,11 +379,10 @@ SPECS = [
     QuerySpec("ts_similarity_topk", ts_similarity_topk, TS_SIMILARITY_ORACLE,
               "time-series similarity search via relational dist² decomposition",
               ("vector", "timeseries")),
-    QuerySpec("knn_lsh_cosine", knn_lsh_cosine, None,
-              "random-hyperplane LSH ANN (approximate; recall pinned by test)",
-              ("vector", "lsh")),
     QuerySpec("knn_ivf_cosine", knn_ivf_cosine, None,
-              "IVF coarse-quantizer ANN (approximate; recall pinned by test)",
+              "IVF coarse-quantizer ANN (approximate; recall pinned by test; "
+              "numpy-trained quantizer is not SQL-replayable — the "
+              "hash-matched persisted IVF lives in operators/annindex)",
               ("vector", "ivf")),
 ]
 
@@ -1529,7 +1528,58 @@ LEFT JOIN n_ret8 USING (qid) LEFT JOIN n_ov8 USING (qid)
 """
 
 
+# knn_lsh_cosine is approximate but fully DETERMINISTIC and portable:
+# md5-derived hyperplanes, sign bits from the same left-to-right double
+# fold both engines compute, integer band arithmetic — exactly the
+# replayability KNN_RECALL_ORACLE's lsh_top CTE has exploited (hash-
+# matched) since round 3. So the LSH top-k itself carries an oracle.
+
+KNN_LSH_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {norm_duck('embedding')} AS norm FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS q_emb, norm AS q_norm
+  FROM base WHERE vec_id < {N_QUERIES}
+), planes AS (
+  SELECT p AS plane_id, {_LSH_PLANE_D} AS plane
+  FROM (SELECT unnest(range(0, {LSH_BITS})) AS p)
+), signed AS (
+  SELECT b.vec_id,
+         CAST(SUM(CASE WHEN {dot_duck('b.embedding', 'pl.plane')} > 0
+                  THEN 1 ELSE 0 END
+                  * (1 << ({LSH_BITS - 1} - pl.plane_id))) AS BIGINT) AS sig
+  FROM base b CROSS JOIN planes pl
+  GROUP BY b.vec_id
+), bands AS (
+  SELECT vec_id,
+         (sig >> (t.b * {LSH_BITS // LSH_BANDS}))
+           & {2 ** (LSH_BITS // LSH_BANDS) - 1} AS bucket,
+         t.b AS band
+  FROM signed, UNNEST(generate_series(0, {LSH_BANDS - 1})) AS t(b)
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS qid, b.vec_id
+  FROM bands b
+  JOIN (SELECT * FROM bands WHERE vec_id < {N_QUERIES}) qb
+    ON b.band = qb.band AND b.bucket = qb.bucket AND b.vec_id <> qb.vec_id
+)
+SELECT qid, vec_id AS neighbor_id, rank, cos_sim FROM (
+  SELECT c.qid, c.vec_id,
+         {dot_duck('b.embedding', 'q.q_emb')} / (b.norm * q.q_norm) AS cos_sim,
+         row_number() OVER (PARTITION BY c.qid ORDER BY
+           {dot_duck('b.embedding', 'q.q_emb')} / (b.norm * q.q_norm) DESC,
+           c.vec_id) AS rank
+  FROM cand c
+  JOIN base b ON b.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+) WHERE rank <= {TOP_K}
+"""
+
+
 SPECS += [
+    QuerySpec("knn_lsh_cosine", knn_lsh_cosine, KNN_LSH_ORACLE,
+              "random-hyperplane LSH ANN — deterministic signatures, "
+              "hash-matched top-k; recall floor additionally pinned by test",
+              ("vector", "lsh")),
     QuerySpec("knn_recall_report", knn_recall_report, KNN_RECALL_ORACLE,
               "LSH top-K overlap vs exact brute force, integer recall_ppm",
               ("similarity", "ann", "audit")),

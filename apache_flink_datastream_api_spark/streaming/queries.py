@@ -1497,6 +1497,66 @@ SPECS += [
 ]
 
 
+# --- X13: streaming ANN index ingest ------------------------------------------
+# The streaming leg of the persisted-index lifecycle (operators/annindex):
+# vectors arriving on a stream are quantized and assigned to the FROZEN
+# coarse-quantizer cells map-side (the same Arrow int64 argmax the batch
+# build uses — no join, no training, no state), then a running per-cell
+# occupancy aggregation tracks index growth. That occupancy is exactly
+# the stored full index's cell histogram, which the oracle replays
+# arithmetically. At scale this is how the delta partitions of
+# knn_index_delta get FED: assignment at ingest, periodic append.
+
+def x13_index_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.annindex import (
+        _assign_cells_int8, _load_centroids, _Q8_S, build_ivf_index)
+
+    base = build_ivf_index(spark, sf_dir, "full")
+    cent = _load_centroids(spark, base)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    target = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > target:
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    stream_dir = tempfile.mkdtemp(prefix="embeddings_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(stream_dir, "embeddings.parquet"),
+    )
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    stream = spark.readStream.schema(schema).format("parquet").load(stream_dir)
+    assigned = _assign_cells_int8(
+        stream.selectExpr("vec_id", f"{_Q8_S} AS q"), cent)
+    counts = assigned.groupBy("cluster_id").agg(F.count("*").alias("cnt"))
+    out = run_available_now(counts, spark, mode="update")
+    # update-mode emissions grow monotonically; the final occupancy per
+    # cell is the largest seen (one row per cell in a single-batch replay)
+    return out.groupBy("cluster_id").agg(
+        F.max("cnt").cast("long").alias("n_vectors"))
+
+
+def _x13_oracle() -> str:
+    from ..operators.annindex import _build_ctes
+
+    return _build_ctes("full") + """
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM a1 GROUP BY cluster_id
+"""
+
+
+SPECS += [
+    QuerySpec("x13_index_ingest_stream", x13_index_ingest_stream, _x13_oracle(),
+              "streaming ANN index ingest: map-side cell assignment under "
+              "frozen centroids, running per-cell occupancy",
+              ("streaming", "similarity", "index")),
+]
+
+
 # --- X9: Spark 4 transformWithStateInPandas (the arbitrary-state API) ---------
 # The engine's X1/X2 ride applyInPandasWithState (the Spark 3 arbitrary
 # stateful API); this is the same per-key running aggregation on Spark

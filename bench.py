@@ -350,6 +350,7 @@ HEADLINE = [
     "knn_index_delta",
     "knn_ivf_delta_serve",
     "knn_index_health",
+    "x13_index_ingest_stream",
 ]
 
 
