@@ -1402,23 +1402,25 @@ SPECS += [
 # the production ingest pipeline also wants the LSH-grade filter (any of
 # MH_BANDS band signatures collides -> drop). Engine path: file stream ->
 # map-side MinHash banding (the signature fold is a per-row array
-# expression — array_min over the arithmetic hash family — so the ONLY
-# stateful operator is the bucket-ownership store; no streaming groupBy
-# feeds it) -> applyInPandasWithState keyed by (band, sig) holding the
-# smallest claiming doc_id -> per-doc verdict rollup. A doc is kept iff
-# it owns every one of its buckets, which over an in-order replay equals
-# the batch dedup_minhash_lsh canonical selection (never a doc_b in any
-# candidate pair) — the oracle checks exactly that. Docs too short to
-# shingle get a private bucket (they cannot near-dup by MinHash).
+# expression — array_min over the arithmetic hash family — so no
+# streaming groupBy feeds the stateful operator) -> ONE JVM-side
+# streaming aggregation keyed by (band, sig): min(doc_id) is the bucket
+# owner, collect_set(doc_id) its membership — map-side partial agg,
+# state-store backed, no Python in the loop (a first cut used an
+# applyInPandasWithState min-owner processor: same verdicts, but
+# per-group Python overhead across ~4n buckets). The verdict join runs
+# on the drained store: a doc is kept iff it owns every one of its
+# buckets, which equals the batch dedup_minhash_lsh canonical selection
+# (never a doc_b in any candidate pair) — the oracle checks exactly
+# that.
 
-def neardup_band_flags(stream: DataFrame) -> DataFrame:
-    """Banded-MinHash verdict stream over a (doc_id, text) document
-    stream: map-side signature fold -> (band, sig) bucket-ownership
-    state -> one (doc_id, is_dup) row per (doc, band)."""
+def neardup_bucket_state(stream: DataFrame) -> DataFrame:
+    """Banded-MinHash bucket-ownership stream over a (doc_id, text)
+    document stream: map-side signature fold -> streaming
+    (band, sig) -> (owner, members) aggregation."""
     from ..functions import text as XT
     from ..functions.hashing import family_member_spark
     from ..operators.dedup import _FAMILY, _R, MH_BANDS, MH_HASHES, MH_K
-    from .state import band_owner_flags
 
     toked = stream.selectExpr(
         "doc_id", f"{XT.tokens_spark('text')} AS toks")
@@ -1434,33 +1436,53 @@ def neardup_band_flags(stream: DataFrame) -> DataFrame:
         for i in range(MH_HASHES)
     ]
     mins = hashed.selectExpr("doc_id", "size(hs) AS n_sh", *min_cols)
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, 'sig', concat_ws(',', "
-        + ", ".join(f"m{b * _R + j}" for j in range(_R))
-        + "))"
-        for b in range(MH_BANDS)
+    # Band rows via stack(), NOT explode(array(structs)):
+    # InferFiltersFromGenerate synthesizes a size(...)>0 filter from an
+    # explode and pushes it to the scan with the whole signature fold
+    # INLINED — the tokenize+shingle+hash chain then re-runs per m-column
+    # without codegen's subexpression elimination (measured 63 s vs 4 s
+    # for this stack() form at sf0.1). stack is outside that rule, so
+    # the fold stays one codegen'd Project evaluated once per document.
+    # Docs too short to shingle get private per-band buckets (they
+    # cannot near-dup by MinHash).
+    stack_args = []
+    for b in range(MH_BANDS):
+        sig = ("concat_ws(',', "
+               + ", ".join(f"m{b * _R + j}" for j in range(_R)) + ")")
+        stack_args.append(
+            f"{b}, CASE WHEN n_sh = 0"
+            f" THEN concat('empty#', {b}, '#', doc_id) ELSE {sig} END")
+    bands = mins.selectExpr(
+        "doc_id",
+        f"stack({MH_BANDS}, " + ", ".join(stack_args) + ") AS (band, sig)")
+    return bands.groupBy("band", "sig").agg(
+        F.min("doc_id").alias("owner"),
+        F.collect_set("doc_id").alias("members"),
     )
-    bands = (
-        mins.selectExpr(
-            "doc_id",
-            "CASE WHEN n_sh = 0 THEN array(named_struct('band', -1,"
-            " 'sig', concat('empty#', CAST(doc_id AS STRING))))"
-            f" ELSE array({band_structs}) END AS bs",
-        )
-        .select("doc_id", F.explode("bs").alias("b"))
-        .select("doc_id", "b.band", "b.sig")
-    )
-    return band_owner_flags(bands)
 
 
-def x8_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flagged = neardup_band_flags(_documents_stream(spark, sf_dir))
-    out = run_available_now(flagged, spark, mode="update")
+def neardup_kept_from_drain(out: DataFrame) -> DataFrame:
+    """Verdicts over the drained ownership store: update-mode emissions
+    grow per key, so the union of exploded memberships is the full
+    bucket relation and min(owner) its final owner. Kept = docs that
+    own every bucket they appear in."""
+    pairs = out.select(
+        "band", "sig", F.explode("members").alias("doc_id")).distinct()
+    owners = pairs.groupBy("band", "sig").agg(F.min("doc_id").alias("owner"))
     return (
-        out.groupBy("doc_id").agg(F.max("is_dup").alias("dup"))
+        pairs.join(owners, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.max(F.expr("CAST(doc_id <> owner AS INT)")).alias("dup"))
         .where("dup = 0")
         .select("doc_id")
     )
+
+
+def x8_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_available_now(
+        neardup_bucket_state(_documents_stream(spark, sf_dir)), spark,
+        mode="update")
+    return neardup_kept_from_drain(out)
 
 
 def _x8_neardup_oracle() -> str:

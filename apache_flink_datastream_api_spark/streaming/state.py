@@ -812,58 +812,3 @@ def token_bucket(df: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-
-
-# --- X8b: banded-MinHash bucket ownership (streaming near-dup filter) -------
-# The near-dup twin of dropDuplicatesWithinWatermark: state per
-# (band, sig) LSH bucket is the smallest doc_id that has claimed it (the
-# owner). A document row is flagged dup-under-this-band when an earlier
-# document — a prior micro-batch via state, or a smaller doc_id within
-# this batch — already holds the bucket. Batches fold in doc_id order,
-# so the verdict set is deterministic and equals the batch LSH
-# selection: doc kept iff it owns ALL of its band buckets. Out-of-order
-# arrival across batches keeps the earlier claimant as owner (a stream
-# cannot retract an already-admitted document); the bounded replays
-# used by tests and the oracle arrive in order, where the two
-# definitions coincide.
-
-OWNER_STATE = StructType([StructField("owner", LongType())])
-
-
-def make_band_owner():
-    def fn(
-        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs)).sort_values("doc_id")
-        owner = state.get[0] if state.exists else None
-        out: list[tuple[int, int]] = []
-        for did in rows["doc_id"]:
-            did = int(did)
-            if owner is None:
-                owner = did
-                out.append((did, 0))
-            else:
-                out.append((did, 1 if did > owner else 0))
-                owner = min(owner, did)
-        state.update((owner,))
-        yield pd.DataFrame(out, columns=["doc_id", "is_dup"])
-
-    return fn
-
-
-def band_owner_flags(df: DataFrame) -> DataFrame:
-    """X8b streaming operator: df must contain (doc_id, band, sig).
-    Output: one (doc_id, is_dup) verdict per input row."""
-    out_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("is_dup", LongType()),
-        ]
-    )
-    return df.groupBy("band", "sig").applyInPandasWithState(
-        make_band_owner(),
-        outputStructType=out_schema,
-        stateStructType=OWNER_STATE,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )

@@ -1059,7 +1059,8 @@ def test_x8_neardup_owner_state_survives_micro_batches(spark):
     bucket owners (state store), yielding the same kept set as the
     single-batch replay."""
     from apache_flink_datastream_api_spark.streaming.queries import (
-        neardup_band_flags,
+        neardup_bucket_state,
+        neardup_kept_from_drain,
         x8_neardup_stream,
     )
 
@@ -1079,11 +1080,7 @@ def test_x8_neardup_owner_state_survives_micro_batches(spark):
         .format("parquet")
         .load(stream_dir)
     )
-    out = run_available_now(neardup_band_flags(stream), spark, mode="update")
-    kept_chunked = {
-        r.doc_id
-        for r in out.groupBy("doc_id").agg(F.max("is_dup").alias("dup"))
-        .where("dup = 0").collect()
-    }
+    out = run_available_now(neardup_bucket_state(stream), spark, mode="update")
+    kept_chunked = {r.doc_id for r in neardup_kept_from_drain(out).collect()}
     kept_single = {r.doc_id for r in x8_neardup_stream(spark, SF_DIR).collect()}
     assert kept_chunked == kept_single
