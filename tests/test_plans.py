@@ -456,6 +456,16 @@ def test_registry_wide_plan_hygiene(spark):
         "graph_rich_club",              # degree-quartile cut rows (4) + 1-row count
         "emb_silhouette_simplified",    # 10 centroid-sum rows broadcast
     }
+    # InferFiltersFromGenerate hazard (found via x8_neardup, 27x cost):
+    # a size(...)>0 filter synthesized from explode() re-evaluates the
+    # generator argument FULLY INLINED, without codegen subexpression
+    # elimination. A pushed filter whose line carries a huge expression
+    # chain over transform()/md5() is that hazard's signature; rewrite
+    # the query to stack() or materialize the array first.
+    gen_filter_ok = {
+        "q_haar_wavelet",  # filter re-derives one level-array over an
+                           # already-aggregated per-user relation (0.5 s)
+    }
     violations = []
     for name, spec in all_queries().items():
         if skip_tags & set(spec.tags):
@@ -465,6 +475,15 @@ def test_registry_wide_plan_hygiene(spark):
             violations.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             violations.append(f"{name}: unallowlisted BroadcastNestedLoopJoin")
+        if name not in gen_filter_ok:
+            for line in plan.splitlines():
+                ls = line.strip()
+                if ("Filter" in ls[:12] and "size(" in ls and len(ls) > 1500
+                        and ("transform(" in ls or "md5(" in ls)):
+                    violations.append(
+                        f"{name}: generate-filter inlines a "
+                        f"{len(ls)}-char expression chain")
+                    break
     assert not violations, "\n".join(violations)
 
 
