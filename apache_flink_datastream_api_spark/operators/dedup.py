@@ -975,7 +975,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coalesce(array_min(transform(" + sh + ", s ->"
         " cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))), "
         + fb + ") AS f",
-    )
+    ).localCheckpoint(eager=True)
+    # materialized: three consumers (history-cut agg, index build, delta
+    # classify) would otherwise each re-run the tokenize+shingle+hash
+    # fold over the full corpus (measured 3.9 s -> 1.0 s at sf0.1). The
+    # staging row is (doc_id, f) — two BIGINTs per document, the same
+    # footprint the production stored-index contract materializes anyway.
     mx = fp.agg(F.max("doc_id").alias("m"))
     hist_cut = F.broadcast(mx.selectExpr(
         f"CAST(floor(m * {INCR_HISTORY_PCT} / 100.0) AS BIGINT) AS cut"))

@@ -10,10 +10,15 @@ These are the 100 TB replacements for their exact counterparts:
 - ``approx_percentile`` — a mergeable quantile sketch with bounded error;
   the exact ``percentile`` materializes every value per group.
 
-Sketch internals (hash functions, merge order) are engine-specific, so no
-DuckDB oracle can hash-match: these are registered rows-only, and
-``tests/test_sketches.py`` pins accuracy against the exact operators
-(relative error well inside the configured rsd / accuracy bounds).
+Two register families here are PORTABLE (built on the 60-bit md5 hash
+family with integer-exact estimate arithmetic), so their approximate
+values hash-match the DuckDB oracle exactly: the from-scratch HLL
+(daily uniques + cross-day set algebra) and the equi-width histogram
+quantile sketch. The engine-native surfaces (``approx_count_distinct``,
+``percentile_approx``, binary ``hll_sketch_agg``) have engine-internal
+layouts no oracle can replay; they are covered by the hash-matched
+``sketch_accuracy_audit`` envelope, the rows-only rollup entry, and
+``tests/test_sketches.py`` accuracy pins.
 """
 
 from __future__ import annotations
@@ -56,51 +61,71 @@ _HLL_LC = [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M)]
 _HLL_SMALL = 5 * HLL_M // 2             # raw-estimate cutover to linear counting
 
 
-def sketch_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per day per event_type via the portable HLL —
-    the bounded-state cardinality path for 100 TB of events, with the
-    estimate hash-checked exactly against the oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    h = "cast(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) as bigint)"
-    regs = (
-        ev.selectExpr(
-            "CAST(floor(unix_millis(ts) / 86400000) AS BIGINT) * 86400000 AS day_ms",
-            "event_type",
-            f"pmod({h}, {HLL_M}) AS bucket",
-            f"{h} div {HLL_M} AS r",
+_HLL_H = "cast(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) as bigint)"
+
+
+def hll_registers(df: DataFrame, key_exprs: list[str],
+                  key_names: list[str]) -> DataFrame:
+    """(keys..., bucket, m_b) register table over user_id — the
+    persistable, max-mergeable sketch state."""
+    return (
+        df.selectExpr(
+            *key_exprs,
+            f"pmod({_HLL_H}, {HLL_M}) AS bucket",
+            f"{_HLL_H} div {HLL_M} AS r",
         )
         .selectExpr(
-            "day_ms", "event_type", "bucket",
+            *key_names, "bucket",
             "CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END AS rho",
         )
-        .groupBy("day_ms", "event_type", "bucket")
+        .groupBy(*key_names, "bucket")
         .agg(F.max("rho").alias("m_b"))
     )
+
+
+def hll_estimate(regs: DataFrame, keys: list[str],
+                 out_col: str = "approx_uniques") -> DataFrame:
+    """Fold a (keys..., bucket, m_b) register table to integer-exact
+    estimates — identical arithmetic to the DuckDB oracles."""
     lc = ", ".join(str(v) for v in _HLL_LC)
     return (
-        regs.groupBy("day_ms", "event_type")
+        regs.groupBy(*keys)
         .agg(
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_b AS INT))"))
             .alias("s_present"),
             F.count("*").alias("n_present"),
         )
         .selectExpr(
-            "day_ms", "event_type",
+            *keys,
             f"s_present + ({HLL_M} - n_present) * shiftleft(CAST(1 AS BIGINT), 53) AS s",
             f"{HLL_M} - n_present AS v",
         )
         .selectExpr(
-            "day_ms", "event_type", "v",
+            *keys, "v",
             f"CAST(CAST('{_HLL_NUMER}' AS DECIMAL(38,0))"
             " div (CAST(s AS DECIMAL(38,0)) * 1000000) AS BIGINT) AS e_raw",
         )
         .selectExpr(
-            "day_ms", "event_type",
+            *keys,
             f"CASE WHEN e_raw <= {_HLL_SMALL} AND v > 0"
             f" THEN element_at(array({lc}), CAST(v AS INT))"
-            " ELSE e_raw END AS approx_uniques",
+            f" ELSE e_raw END AS {out_col}",
         )
     )
+
+
+def sketch_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day per event_type via the portable HLL —
+    the bounded-state cardinality path for 100 TB of events, with the
+    estimate hash-checked exactly against the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev,
+        ["CAST(floor(unix_millis(ts) / 86400000) AS BIGINT) * 86400000"
+         " AS day_ms", "event_type"],
+        ["day_ms", "event_type"],
+    )
+    return hll_estimate(regs, ["day_ms", "event_type"])
 
 
 def _hll_oracle_sql(key_cols_spark: str, key_cols: str, src: str) -> str:
@@ -547,4 +572,123 @@ SPECS += [
               SKETCH_AUDIT_ORACLE,
               "sketch error envelopes asserted as a hash-matched result",
               ("sketch", "audit")),
+]
+
+
+# --- HLL set algebra: cross-day union / intersection estimates ----------------
+# What makes register sketches an ALGEBRA rather than a counter: the
+# bucket-wise MAX of two days' register tables IS the sketch of their
+# union (the same merge law sketch_rollup_uniques exercises on binary
+# engine sketches), and inclusion-exclusion turns union into an overlap
+# estimate — all without rescanning users. Day A and day B (the two
+# earliest days) are estimated separately, merged to |A ∪ B|, and the
+# standard |A| + |B| - |A ∪ B| estimator is emitted next to the exact
+# common-user count, so the driver hash pins both the algebra and how
+# close it lands. Portable-HLL arithmetic throughout -> hash-matched.
+
+def sketch_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "CAST(floor(unix_millis(ts) / 86400000) AS BIGINT) * 86400000 AS day_ms",
+    )
+    days = [r.day_ms for r in
+            ev.select("day_ms").distinct().orderBy("day_ms").limit(2).collect()]
+    da, db = int(days[0]), int(days[1])
+    two = ev.where(F.col("day_ms").isin([da, db])).selectExpr(
+        "user_id", f"CASE WHEN day_ms = {da} THEN 'a' ELSE 'b' END AS tag")
+    regs = hll_registers(two, ["tag"], ["tag"])
+    per = hll_estimate(regs, ["tag"], "est")
+    uni = hll_estimate(
+        regs.groupBy("bucket").agg(F.max("m_b").alias("m_b")), [], "est_union")
+    exact = (
+        two.groupBy("user_id")
+        .agg(F.max(F.expr("CAST(tag = 'a' AS INT)")).alias("ia"),
+             F.max(F.expr("CAST(tag = 'b' AS INT)")).alias("ib"))
+        .agg(F.sum(F.expr("ia * ib")).cast("long").alias("exact_common"))
+    )
+    pa = per.where("tag = 'a'").selectExpr("est AS est_a")
+    pb = per.where("tag = 'b'").selectExpr("est AS est_b")
+    return (
+        pa.crossJoin(pb).crossJoin(uni).crossJoin(F.broadcast(exact))
+        .selectExpr(
+            f"CAST({da} AS BIGINT) AS day_a_ms",
+            f"CAST({db} AS BIGINT) AS day_b_ms",
+            "est_a", "est_b", "est_union",
+            "est_a + est_b - est_union AS est_common",
+            "exact_common",
+        )
+    )
+
+
+def _hll_est_cte(regs_cte: str, key: str, prefix: str) -> str:
+    """DuckDB fold of a (key?, bucket, m_b) register CTE to estimates —
+    the same integer arithmetic as hll_estimate."""
+    kc = f"{key}, " if key else ""
+    kg = f"GROUP BY {key}" if key else ""
+    lc = ", ".join(str(v) for v in _HLL_LC)
+    return f"""{prefix}f AS (
+  SELECT {kc}SUM(CAST(1 AS BIGINT) << (53 - m_b)) AS s_present,
+         COUNT(*) AS n_present
+  FROM {regs_cte} {kg}
+), {prefix}e AS (
+  SELECT {kc}{HLL_M} - n_present AS v,
+         CAST({_HLL_NUMER} // (CAST(s_present + ({HLL_M} - n_present)
+              * (CAST(1 AS BIGINT) << 53) AS HUGEINT) * 1000000) AS BIGINT)
+           AS e_raw
+  FROM {prefix}f
+), {prefix}v AS (
+  SELECT {kc}CASE WHEN e_raw <= {_HLL_SMALL} AND v > 0
+              THEN CAST(([{lc}])[CAST(v AS INT)] AS BIGINT)
+              ELSE e_raw END AS est
+  FROM {prefix}e
+)"""
+
+
+_SET_H = "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+SKETCH_HLL_SET_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) * 86400000 AS day_ms
+  FROM events
+), da AS (SELECT MIN(day_ms) AS d FROM ev),
+db AS (SELECT MIN(day_ms) AS d FROM ev, da WHERE day_ms > da.d),
+two AS (
+  SELECT user_id, CASE WHEN day_ms = da.d THEN 'a' ELSE 'b' END AS tag
+  FROM ev, da, db WHERE day_ms IN (da.d, db.d)
+), hashed AS (
+  SELECT tag, h % {HLL_M} AS bucket, h // {HLL_M} AS r
+  FROM (SELECT tag, {_SET_H} AS h FROM two)
+), regs AS (
+  SELECT tag, bucket,
+         MAX(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END) AS m_b
+  FROM hashed GROUP BY 1, 2
+), uregs AS (
+  SELECT bucket, MAX(m_b) AS m_b FROM regs GROUP BY 1
+), {_hll_est_cte('regs', 'tag', 't')},
+{_hll_est_cte('uregs', '', 'u')},
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_common FROM (
+    SELECT user_id FROM two GROUP BY user_id
+    HAVING SUM(CASE WHEN tag = 'a' THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN tag = 'b' THEN 1 ELSE 0 END) > 0
+  )
+)
+SELECT da.d AS day_a_ms, db.d AS day_b_ms,
+       (SELECT est FROM tv WHERE tag = 'a') AS est_a,
+       (SELECT est FROM tv WHERE tag = 'b') AS est_b,
+       uv.est AS est_union,
+       (SELECT est FROM tv WHERE tag = 'a')
+         + (SELECT est FROM tv WHERE tag = 'b') - uv.est AS est_common,
+       exact.exact_common
+FROM da, db, uv, exact
+"""
+
+
+SPECS += [
+    QuerySpec("sketch_hll_set_algebra", sketch_hll_set_algebra,
+              SKETCH_HLL_SET_ORACLE,
+              "register-max union + inclusion-exclusion overlap estimate "
+              "across two days, next to the exact overlap — hash-matched",
+              ("sketch", "approx", "algebra")),
 ]

@@ -351,6 +351,7 @@ HEADLINE = [
     "knn_ivf_delta_serve",
     "knn_index_health",
     "x13_index_ingest_stream",
+    "sketch_hll_set_algebra",
 ]
 
 

@@ -434,6 +434,7 @@ def test_registry_wide_plan_hygiene(spark):
         "ml_knn_label_assign",          # composes knn_int8's 5-row probe broadcast
         "ml_naive_bayes_langid",        # |langs| class rows + 1-row vocab broadcast
         "sketch_accuracy_audit",        # 1-row approx-percentile broadcast per audit
+        "sketch_hll_set_algebra",       # 1-row per-day/union estimate rows crossed
         "dq_t_closeness",               # band spine (|bands| rows) + 1-row totals
         "graph_link_prediction",        # degree-cap scalar + vertex-count (1 row each)
         "q_survival_km",                # observation-end bound (1 row)
