@@ -1746,3 +1746,50 @@ SPECS += [
               "WITH RECURSIVE referral-forest walk with exact path rollup",
               ("relational", "spark4", "iterative")),
 ]
+
+
+# --- Spark 4 VARIANT type: parse_json / variant_get / schema_of_variant ------
+# The open-schema JSON path NEXT to get_json_object (json_props_rollup):
+# props parses ONCE into the binary VARIANT encoding, fields extract with
+# typed variant_get (no per-access string re-parse — the reason VARIANT
+# exists at 100 TB: parse cost is paid once per row, extraction is a
+# binary offset walk), and schema_of_variant_agg reports the merged
+# observed schema — the drift detector for open-schema event streams.
+# The oracle replays the numeric extractions via DuckDB's JSON casts and
+# pins the aggregated schema string the uniform fixture yields.
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_var_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(variant_get(v, '$.k', 'bigint')) AS BIGINT) AS k_sum,
+               CAST(COUNT(DISTINCT variant_get(v, '$.k', 'bigint')) AS BIGINT)
+                 AS k_distinct,
+               CAST(MAX(variant_get(v, '$.k', 'bigint')) AS BIGINT) AS k_max,
+               schema_of_variant_agg(v) AS props_schema
+        FROM (SELECT event_type, parse_json(props) AS v FROM _var_events)
+        GROUP BY event_type
+        """
+    )
+
+
+Q_VARIANT_PROPS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(COUNT(DISTINCT CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+         AS k_distinct,
+       CAST(MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS k_max,
+       'OBJECT<k: BIGINT>' AS props_schema
+FROM events GROUP BY event_type
+"""
+
+
+SPECS += [
+    QuerySpec("q_variant_props", q_variant_props, Q_VARIANT_PROPS_ORACLE,
+              "VARIANT open-schema path: parse once, typed variant_get, "
+              "schema_of_variant_agg drift readout",
+              ("relational", "spark4", "json")),
+]

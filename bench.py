@@ -352,6 +352,7 @@ HEADLINE = [
     "knn_index_health",
     "x13_index_ingest_stream",
     "sketch_hll_set_algebra",
+    "q_variant_props",
 ]
 
 
