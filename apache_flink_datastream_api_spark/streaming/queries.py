@@ -1404,25 +1404,32 @@ SPECS += [
 # map-side MinHash banding (the signature fold is a per-row array
 # expression — array_min over the arithmetic hash family — so no
 # streaming groupBy feeds the stateful operator) -> ONE JVM-side
-# streaming aggregation keyed by (band, sig): min(doc_id) is the bucket
-# owner, collect_set(doc_id) its membership — map-side partial agg,
-# state-store backed, no Python in the loop (a first cut used an
+# streaming aggregation keyed by (band, sig) holding ONLY min(doc_id),
+# the bucket owner — O(1) state per bucket, map-side partial agg,
+# state-store backed, no Python in the loop. (A first cut used an
 # applyInPandasWithState min-owner processor: same verdicts, but
-# per-group Python overhead across ~4n buckets). The verdict join runs
-# on the drained store: a doc is kept iff it owns every one of its
-# buckets, which equals the batch dedup_minhash_lsh canonical selection
-# (never a doc_b in any candidate pair) — the oracle checks exactly
-# that.
+# per-group Python overhead across ~4n buckets. A second cut kept
+# collect_set(doc_id) membership IN state: correct, but a
+# boilerplate-heavy corpus puts millions of doc_ids into one hot
+# LSH-bucket's state row — the classic unbounded-state skew.) The
+# membership relation (doc_id, band, sig) is NOT state: it is a
+# stateless map-side projection of the corpus, persisted at ingest the
+# way x13 persists vector-cell assignments. The verdict join runs on
+# the drained store against that relation: a doc is kept iff it owns
+# every one of its buckets, which equals the batch dedup_minhash_lsh
+# canonical selection (never a doc_b in any candidate pair) — the
+# oracle checks exactly that.
 
-def neardup_bucket_state(stream: DataFrame) -> DataFrame:
-    """Banded-MinHash bucket-ownership stream over a (doc_id, text)
-    document stream: map-side signature fold -> streaming
-    (band, sig) -> (owner, members) aggregation."""
+def neardup_band_rows(docs: DataFrame) -> DataFrame:
+    """Map-side banded-MinHash signature rows (doc_id, band, sig) over a
+    (doc_id, text) frame — a stateless projection usable on both the
+    streaming ingest side (feeding the owner aggregation) and the batch
+    side (the persisted index relation the verdict joins against)."""
     from ..functions import text as XT
     from ..functions.hashing import family_member_spark
     from ..operators.dedup import _FAMILY, _R, MH_BANDS, MH_HASHES, MH_K
 
-    toked = stream.selectExpr(
+    toked = docs.selectExpr(
         "doc_id", f"{XT.tokens_spark('text')} AS toks")
     sh = XT.shingles_spark("toks", MH_K)
     hashed = toked.selectExpr(
@@ -1452,25 +1459,29 @@ def neardup_bucket_state(stream: DataFrame) -> DataFrame:
         stack_args.append(
             f"{b}, CASE WHEN n_sh = 0"
             f" THEN concat('empty#', {b}, '#', doc_id) ELSE {sig} END")
-    bands = mins.selectExpr(
+    return mins.selectExpr(
         "doc_id",
         f"stack({MH_BANDS}, " + ", ".join(stack_args) + ") AS (band, sig)")
-    return bands.groupBy("band", "sig").agg(
-        F.min("doc_id").alias("owner"),
-        F.collect_set("doc_id").alias("members"),
-    )
 
 
-def neardup_kept_from_drain(out: DataFrame) -> DataFrame:
-    """Verdicts over the drained ownership store: update-mode emissions
-    grow per key, so the union of exploded memberships is the full
-    bucket relation and min(owner) its final owner. Kept = docs that
-    own every bucket they appear in."""
-    pairs = out.select(
-        "band", "sig", F.explode("members").alias("doc_id")).distinct()
-    owners = pairs.groupBy("band", "sig").agg(F.min("doc_id").alias("owner"))
+def neardup_bucket_state(stream: DataFrame) -> DataFrame:
+    """Banded-MinHash bucket-ownership stream over a (doc_id, text)
+    document stream: map-side signature fold -> streaming
+    (band, sig) -> min(doc_id) owner aggregation. State per bucket is
+    ONE bigint regardless of how many docs hash into it."""
+    return neardup_band_rows(stream).groupBy("band", "sig").agg(
+        F.min("doc_id").alias("owner"))
+
+
+def neardup_kept_from_drain(out: DataFrame, band_rows: DataFrame) -> DataFrame:
+    """Verdicts: final owner per bucket = min over the update-mode
+    emissions (min is monotone non-increasing, so the smallest emitted
+    value IS the final state). Joined against the stateless membership
+    relation ``band_rows`` (doc_id, band, sig): kept = docs that own
+    every bucket they appear in."""
+    owners = out.groupBy("band", "sig").agg(F.min("owner").alias("owner"))
     return (
-        pairs.join(owners, ["band", "sig"])
+        band_rows.join(owners, ["band", "sig"])
         .groupBy("doc_id")
         .agg(F.max(F.expr("CAST(doc_id <> owner AS INT)")).alias("dup"))
         .where("dup = 0")
@@ -1482,7 +1493,8 @@ def x8_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_available_now(
         neardup_bucket_state(_documents_stream(spark, sf_dir)), spark,
         mode="update")
-    return neardup_kept_from_drain(out)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return neardup_kept_from_drain(out, neardup_band_rows(docs))
 
 
 def _x8_neardup_oracle() -> str:

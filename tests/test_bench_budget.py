@@ -12,11 +12,11 @@ The measurement runs in a SUBPROCESS (``SPARK_GRAFT_BENCH_ONLY`` subset
 mode) because bench budgets are calibrated against a local[32] session —
 the suite's shared local[4] fixture would trip every budget. Scope:
 
-- default: the top ``GUARD_TOP_N`` queries by committed time — the
-  scale-sensitive surface where a plan regression costs whole seconds;
-  full-coverage diffing of all ~300 happens on every ``python bench.py``
-  refresh (which reports ``regressions_vs_committed``).
-- ``SPARK_GRAFT_BENCH_GUARD=full``: every headline query with a budget.
+- default (``full``): EVERY headline query with a committed budget —
+  one subprocess amortizes session startup across all ~320, so the
+  full guard costs about what a bench refresh does (VERDICT r4 item 4).
+- ``SPARK_GRAFT_BENCH_GUARD=top``: only the top ``GUARD_TOP_N`` by
+  committed time — the quick inner-loop mode while iterating.
 - ``SPARK_GRAFT_BENCH_GUARD=off``: skip (e.g. on a loaded machine).
 
 Queries added to HEADLINE after the last committed refresh have no
@@ -41,7 +41,7 @@ import bench  # noqa: E402
 
 
 def _mode() -> str:
-    return os.environ.get("SPARK_GRAFT_BENCH_GUARD", "top")
+    return os.environ.get("SPARK_GRAFT_BENCH_GUARD", "full")
 
 
 @pytest.mark.skipif(
@@ -55,12 +55,12 @@ def test_headline_queries_within_committed_budget():
         name: t for name, t in detail["queries"].items() if name in bench.HEADLINE
     }
     assert budgets, "committed BENCH_DETAIL.json has no headline budgets"
-    if _mode() == "full":
-        guarded = sorted(budgets)
-    else:
+    if _mode() == "top":
         guarded = [
             n for n, _ in sorted(budgets.items(), key=lambda kv: -kv[1])[:GUARD_TOP_N]
         ]
+    else:
+        guarded = sorted(budgets)
 
     env = dict(
         os.environ,

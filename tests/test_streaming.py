@@ -1059,6 +1059,7 @@ def test_x8_neardup_owner_state_survives_micro_batches(spark):
     bucket owners (state store), yielding the same kept set as the
     single-batch replay."""
     from apache_flink_datastream_api_spark.streaming.queries import (
+        neardup_band_rows,
         neardup_bucket_state,
         neardup_kept_from_drain,
         x8_neardup_stream,
@@ -1081,6 +1082,16 @@ def test_x8_neardup_owner_state_survives_micro_batches(spark):
         .load(stream_dir)
     )
     out = run_available_now(neardup_bucket_state(stream), spark, mode="update")
-    kept_chunked = {r.doc_id for r in neardup_kept_from_drain(out).collect()}
+    # Bounded-state contract: the store row per bucket is one bigint
+    # owner — no collection-typed column whose size grows with bucket
+    # membership (the hot-LSH-bucket skew hazard).
+    assert not any(
+        isinstance(f.dataType, (T.ArrayType, T.MapType)) for f in out.schema.fields
+    )
+    batch_docs = spark.read.schema(schema).parquet(stream_dir)
+    kept_chunked = {
+        r.doc_id
+        for r in neardup_kept_from_drain(out, neardup_band_rows(batch_docs)).collect()
+    }
     kept_single = {r.doc_id for r in x8_neardup_stream(spark, SF_DIR).collect()}
     assert kept_chunked == kept_single
