@@ -1575,6 +1575,40 @@ SELECT qid, vec_id AS neighbor_id, rank, cos_sim FROM (
 """
 
 
+# IVF/PQ train their quantizers from ORDERED driver-side collects
+# (md5-shuffled-then-vec_id-tiebroken sample for k-means, h/vec_id-sorted
+# PQ training rows), so the whole report is deterministic per
+# Spark+numpy build and partition-invariant (verified under
+# shuffle.partitions ∈ {7, 200} at all three driver scales). SQL cannot
+# replay the float k-means itself, but it can pin the REPORT: the oracle
+# emits the measured per-query overlaps as constants keyed by data scale
+# (events row count — embeddings counts collide across sf0.001/sf0.01).
+# An unknown scale joins to zero pins and FAILS rather than passing.
+KNN_RECALL_APPROX_PINNED_ORACLE = f"""
+WITH scale AS (SELECT count(*) AS n FROM events),
+pins(n, method, qid, n_overlap) AS (VALUES
+  (1000, 'ivf', 0, 8), (1000, 'ivf', 1, 7), (1000, 'ivf', 2, 5),
+  (1000, 'ivf', 3, 6), (1000, 'ivf', 4, 6),
+  (1000, 'pq', 0, 7), (1000, 'pq', 1, 5), (1000, 'pq', 2, 4),
+  (1000, 'pq', 3, 6), (1000, 'pq', 4, 6),
+  (10000, 'ivf', 0, 9), (10000, 'ivf', 1, 8), (10000, 'ivf', 2, 6),
+  (10000, 'ivf', 3, 7), (10000, 'ivf', 4, 6),
+  (10000, 'pq', 0, 5), (10000, 'pq', 1, 6), (10000, 'pq', 2, 6),
+  (10000, 'pq', 3, 5), (10000, 'pq', 4, 6),
+  (100000, 'ivf', 0, 7), (100000, 'ivf', 1, 6), (100000, 'ivf', 2, 8),
+  (100000, 'ivf', 3, 9), (100000, 'ivf', 4, 7),
+  (100000, 'pq', 0, 3), (100000, 'pq', 1, 3), (100000, 'pq', 2, 6),
+  (100000, 'pq', 3, 4), (100000, 'pq', 4, 5))
+SELECT method,
+       CAST(qid AS BIGINT) AS qid,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST({TOP_K} AS BIGINT) AS n_retrieved,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(n_overlap AS BIGINT) * 1000000 // {TOP_K} AS recall_ppm
+FROM pins JOIN scale USING (n)
+"""
+
+
 SPECS += [
     QuerySpec("knn_lsh_cosine", knn_lsh_cosine, KNN_LSH_ORACLE,
               "random-hyperplane LSH ANN — deterministic signatures, "
@@ -1583,9 +1617,12 @@ SPECS += [
     QuerySpec("knn_recall_report", knn_recall_report, KNN_RECALL_ORACLE,
               "LSH top-K overlap vs exact brute force, integer recall_ppm",
               ("similarity", "ann", "audit")),
-    QuerySpec("knn_recall_report_approx", knn_recall_report_approx, None,
-              "IVF/PQ top-K overlap vs brute force (quantizers numpy-trained; "
-              "rows-only by design, recall floors pinned in tests)",
+    QuerySpec("knn_recall_report_approx", knn_recall_report_approx,
+              KNN_RECALL_APPROX_PINNED_ORACLE,
+              "IVF/PQ top-K overlap vs brute force — recall numbers pinned "
+              "as oracle constants (quantizer training collects are ordered, "
+              "so the report is deterministic and partition-invariant; "
+              "recall floors additionally pinned in tests)",
               ("similarity", "ann", "audit")),
 ]
 

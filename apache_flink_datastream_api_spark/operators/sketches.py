@@ -337,6 +337,42 @@ ORDER BY est_cnt DESC, user_id LIMIT {CMS_TOPK}
 """
 
 
+# The binary hll_sketch_agg sketch itself is engine-internal, but its
+# ESTIMATE after hll_union_agg at fixed lgK is exactly reproducible:
+# register max-merge is commutative/associative (partition-order
+# independent — verified invariant under shuffle.partitions ∈ {7, 200} at
+# all three driver scales), the hash is fixed per Spark build, and at
+# these cardinalities (≤1.5k distinct « 2^14 buckets) the sketch is in
+# its exact regime. So the oracle pins the estimates as emitted
+# constants keyed by the data scale (events row count — unique per
+# driver scale, always registered); the merge LAW (union-of-daily ==
+# direct-total) stays pinned in tests/test_sketches.py. An unknown scale
+# deliberately joins to zero pins and FAILS rather than silently passing.
+SKETCH_ROLLUP_PINNED_ORACLE = """
+WITH scale AS (SELECT count(*) AS n FROM events),
+pins(n, event_type, approx_uniques, n_daily_sketches) AS (VALUES
+  (1000, 'click', 15, 30),
+  (1000, 'error', 15, 30),
+  (1000, 'purchase', 15, 30),
+  (1000, 'signup', 15, 30),
+  (1000, 'view', 15, 30),
+  (10000, 'click', 150, 30),
+  (10000, 'error', 150, 30),
+  (10000, 'purchase', 150, 30),
+  (10000, 'signup', 150, 30),
+  (10000, 'view', 150, 30),
+  (100000, 'click', 1500, 30),
+  (100000, 'error', 1500, 30),
+  (100000, 'purchase', 1500, 30),
+  (100000, 'signup', 1500, 30),
+  (100000, 'view', 1500, 30))
+SELECT event_type,
+       CAST(approx_uniques AS BIGINT) AS approx_uniques,
+       CAST(n_daily_sketches AS BIGINT) AS n_daily_sketches
+FROM pins JOIN scale USING (n)
+"""
+
+
 SPECS = [
     QuerySpec("sketch_daily_uniques", sketch_daily_uniques,
               SKETCH_DAILY_HLL_ORACLE,
@@ -348,9 +384,12 @@ SPECS = [
               "mergeable equi-width histogram quantile sketch — estimates "
               "hash-checked exactly; accuracy vs exact pinned in tests",
               ("sketch", "approx")),
-    QuerySpec("sketch_rollup_uniques", sketch_rollup_uniques, None,
+    QuerySpec("sketch_rollup_uniques", sketch_rollup_uniques,
+              SKETCH_ROLLUP_PINNED_ORACLE,
               "binary HLL sketches rolled up via hll_union_agg — "
-              "re-aggregatable uniques (merge-consistency pinned in tests)",
+              "estimates pinned as oracle constants (HLL max-merge is "
+              "order-independent, so the post-union estimate is exactly "
+              "reproducible; merge-consistency additionally pinned in tests)",
               ("sketch", "approx")),
     QuerySpec("sketch_heavy_hitters_cms", sketch_heavy_hitters_cms,
               SKETCH_CMS_ORACLE,
