@@ -385,6 +385,8 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in subset if subset is not None else HEADLINE:
+        # progress marker so a crash mid-run is attributable to a query
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         force(specs[name].fn(spark, SF_DIR))  # warm: codegen + JIT, not measured
         best = float("inf")
         for _ in range(2):
