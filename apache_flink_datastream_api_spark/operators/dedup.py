@@ -870,12 +870,23 @@ def dedup_prefix_filter_join(
         )
         .select("doc_id", "sh_h")
     )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cand = (
         prefix.select("sh_h", F.col("doc_id").alias("doc_a"))
         .join(prefix.select("sh_h", F.col("doc_id").alias("doc_b")), "sh_h")
         .where("doc_a < doc_b")
         .select("doc_a", "doc_b")
         .distinct()
+        # PPJoin length filter BEFORE the expensive verify join:
+        # c <= min(na, nb) and J >= NUM/DEN together force
+        # NUM * max(na, nb) <= DEN * min(na, nb) — candidates whose sizes
+        # are too far apart can never pass the threshold, so they never
+        # enter the intersection-count join. Counts ride along so the
+        # final threshold needs no post-verify re-join.
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(f"{PF_NUM} * greatest(na, nb) <= {PF_DEN} * least(na, nb)")
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh_h")
     sb = shingled.select(F.col("doc_id").alias("doc_b_s"),
@@ -884,13 +895,11 @@ def dedup_prefix_filter_join(
         cand.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("doc_b_s"))
               & (F.col("sh_h") == F.col("sh_h_b")))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("c"))
     )
-    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
+        inter
         # J >= t  <=>  c/(na+nb-c) >= NUM/DEN  <=>  (DEN+NUM)c >= NUM(na+nb)
         .where(f"{PF_DEN + PF_NUM} * c >= {PF_NUM} * (na + nb)")
         .selectExpr("doc_a", "doc_b", "c AS n_common", "na", "nb",

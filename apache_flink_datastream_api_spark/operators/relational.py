@@ -1701,6 +1701,16 @@ RECUR_MAX_DEPTH = 12  # log10 bound with slack; a cycle would hit this
 def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import temp_view
 
+    # The CTE's TOTAL output is |customer| x avg depth — it grows
+    # linearly with the data, so the engine's absolute row-count
+    # circuit breaker (spark.sql.cteRecursionRowLimit, default 1M)
+    # would fail any real corpus (first seen at the synthesized sf1:
+    # 150k customers x ~7 levels > 1M). Termination is already
+    # guaranteed by the depth guard in the recursion (RECUR_MAX_DEPTH,
+    # backed by the engine's cteRecursionLevelLimit default 100), which
+    # bounds work per ROW, the dimension that matters; lift the global
+    # row counter.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     with temp_view(load_table(spark, sf_dir, "customer"), "cust_rec") as view:
         result = spark.sql(f"""
 WITH RECURSIVE walk(custkey, anc, depth, path_cents) AS (
@@ -1792,4 +1802,55 @@ SPECS += [
               "VARIANT open-schema path: parse once, typed variant_get, "
               "schema_of_variant_agg drift readout",
               ("relational", "spark4", "json")),
+]
+
+
+# --- runtime bloom-filter semi-join reduction ----------------------------------
+# The 100 TB join-pruning surface Spark adds ON TOP of static pushdown:
+# when one join side carries a selective filter, Catalyst's
+# InjectRuntimeFilter builds a bloom filter from that side's join keys
+# (bloom_filter_agg) and applies it as might_contain() on the OTHER
+# side's scan — the fact table's shuffle input shrinks by roughly the
+# dim filter's selectivity BEFORE the join, without bucketing or DPP
+# partitioning. Controlled by spark.sql.optimizer.runtime.bloomFilter.*;
+# injection needs the application side to look scan-heavy
+# (applicationSideScanSizeThreshold, default 10 GB) and a non-broadcast
+# join, so at test scale the vanilla plan skips it (correctly: a
+# broadcast join IS the stronger reduction there). The injection
+# behavior itself is pinned under production-shaped thresholds in
+# tests/test_plans.py::test_runtime_bloom_filter_injection.
+
+def q_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            )).alias("revenue_cents"),
+        )
+    )
+
+
+Q_BLOOM_RUNTIME_FILTER_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
+SPECS += [
+    QuerySpec("q_bloom_runtime_filter", q_bloom_runtime_filter,
+              Q_BLOOM_RUNTIME_FILTER_ORACLE,
+              "selective-dim fact join whose runtime bloom-filter "
+              "injection is plan-pinned under production thresholds",
+              ("relational", "join", "scale")),
 ]

@@ -28,12 +28,44 @@ from .state import interval_alerts, session_durations
 # events.parquet ts unit has varied across generations (TIMESTAMP(NANOS)
 # vs TIMESTAMP(MICROS)), so detect the physical type from the file footer
 # and build the matching schema instead of hard-coding one.
+def _table_path(sf_dir: str, table: str) -> str:
+    """Path of one parquet file carrying the table's schema — the single
+    file itself, or the first part file of a multi-file table directory
+    (scripts/make_scale.py writes one part per replica)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        parts = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+        return os.path.join(src, parts[0])
+    return src
+
+
+def _stream_source_dir(sf_dir: str, table: str) -> str:
+    """Expose ``<sf_dir>/<table>.parquet`` to the file-stream source
+    through a temp dir of symlinks (the source wants a directory; no
+    copy). A multi-file table symlinks each part file individually: the
+    file source assigns one input partition per FILE, so multi-file
+    ingest keeps map-side work (signature folds, codecs) parallel — a
+    single giant file would serialize it regardless of cluster size."""
+    # abspath: a relative sf_dir would otherwise create symlinks that
+    # resolve relative to the TEMP dir and dangle (file source sees an
+    # empty directory and the replay silently yields zero rows).
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    stream_dir = tempfile.mkdtemp(prefix=f"{table}_stream_")
+    if os.path.isdir(src):
+        for p in sorted(os.listdir(src)):
+            if p.endswith(".parquet"):
+                os.symlink(os.path.join(src, p), os.path.join(stream_dir, p))
+    else:
+        os.symlink(src, os.path.join(stream_dir, f"{table}.parquet"))
+    return stream_dir
+
+
 def _events_stream_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """Return (schema, ts_is_long). ts_is_long means the file stores
     nanos and must be read as long (nanosAsLong) then truncated."""
     import pyarrow.parquet as pq
 
-    ts_type = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+    ts_type = str(pq.read_schema(_table_path(sf_dir, "events")).field("ts").type)
     ts_is_long = ts_type in ("int64", "timestamp[ns]")
     ts_field = T.LongType() if ts_is_long else T.TimestampNTZType()
     return (
@@ -63,15 +95,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > target:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    # The file stream source needs a directory; expose the single table
-    # file through a temp dir (symlink — no copy).
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
+    stream_dir = _stream_source_dir(sf_dir, "events")
     schema, ts_is_long = _events_stream_schema(sf_dir)
-    raw = spark.readStream.schema(schema).format("parquet").load(stream_dir)
+    # One file per micro-batch: a multi-file (time-sliced) events table
+    # then replays as successive batches whose watermark advances file
+    # by file, so join/window/dedup state is EVICTED between batches
+    # instead of buffering the entire table in one availableNow batch —
+    # the watermark-bounded-state contract executed, not just claimed.
+    # (At the driver scales events is a single file: one batch, exactly
+    # the behavior every oracle was validated against.)
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES", "1")
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .format("parquet")
+        .load(stream_dir)
+    )
     if ts_is_long:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # NTZ -> LTZ under the UTC session tz: same instant, epoch math matches.
@@ -1330,11 +1369,7 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > target:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    stream_dir = tempfile.mkdtemp(prefix="documents_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(stream_dir, "documents.parquet"),
-    )
+    stream_dir = _stream_source_dir(sf_dir, "documents")
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
@@ -1552,11 +1587,7 @@ def x13_index_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > target:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    stream_dir = tempfile.mkdtemp(prefix="embeddings_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        os.path.join(stream_dir, "embeddings.parquet"),
-    )
+    stream_dir = _stream_source_dir(sf_dir, "embeddings")
     schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),

@@ -565,3 +565,26 @@ def test_dynamic_partition_pruning_fires(spark):
 
     plan = explain_string(dpp_partitioned_join(spark, SF_DIR), "formatted")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Under production-shaped thresholds (application side treated as
+    scan-heavy, broadcast disabled so the join actually shuffles),
+    Catalyst's InjectRuntimeFilter must build a bloom filter from the
+    selective orders side (bloom_filter_agg) and apply it to the
+    lineitem side's scan (might_contain) — the runtime join-pruning
+    path a 100 TB fact join relies on when DPP/bucketing don't apply.
+    Cloned session: threshold confs must not leak into other tests."""
+    from apache_flink_datastream_api_spark.operators.relational import (
+        q_bloom_runtime_filter,
+    )
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    plan = explain_string(q_bloom_runtime_filter(s2, SF_DIR), "formatted").lower()
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
