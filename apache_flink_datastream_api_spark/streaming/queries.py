@@ -1525,10 +1525,19 @@ def neardup_kept_from_drain(out: DataFrame, band_rows: DataFrame) -> DataFrame:
 
 
 def x8_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import spread_small_source
+
     out = run_available_now(
         neardup_bucket_state(_documents_stream(spark, sf_dir)), spark,
         mode="update")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The verdict-side membership relation: in production this is the
+    # band-row table the ingest PERSISTED (stateless append, like x13's
+    # vector-cell assignments); recomputed here from the same files.
+    # spread: the signature fold is CPU-bound and a compact parquet
+    # source would otherwise run it on one task.
+    docs = spread_small_source(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark)
     return neardup_kept_from_drain(out, neardup_band_rows(docs))
 
 

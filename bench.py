@@ -353,6 +353,7 @@ HEADLINE = [
     "x13_index_ingest_stream",
     "sketch_hll_set_algebra",
     "q_variant_props",
+    "q_bloom_runtime_filter",
 ]
 
 
