@@ -3215,14 +3215,23 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     rounds = []
+    emptied = False
     for r in range(1, KCORE_ROUNDS + 1):
-        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
-        keep = deg.where(F.col("d") >= KCORE_K).select("u")
-        cur = (
-            cur.join(keep, "u", "left_semi")
-            .join(keep.selectExpr("u AS v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        if not emptied:
+            deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+            keep = deg.where(F.col("d") >= KCORE_K).select("u")
+            cur = (
+                cur.join(keep, "u", "left_semi")
+                .join(keep.selectExpr("u AS v"), "v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            # Peel fixpoint: once the edge set is empty every further
+            # round is a no-op, so stop building join rounds and let the
+            # remaining trajectory rows aggregate the SAME empty frame —
+            # identical output, none of the dead rounds' plan+checkpoint
+            # constants (isEmpty on the just-materialized checkpoint is
+            # one cheap task).
+            emptied = cur.isEmpty()
         rounds.append(cur.agg(
             F.lit(r).alias("round"),
             F.countDistinct("u").alias("n_nodes"),
