@@ -7,9 +7,18 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 Timing methodology: results are forced with the noop sink (full execution,
 no driver-side collect/serialization cost). Each query runs once unmeasured
 (whole-stage-codegen + JIT — a fixed per-plan cost, irrelevant at
-production scale where it amortizes over TBs), then twice measured, and the
+production scale where it amortizes over TBs), then twice measured — a
+third time when the first two disagree by >20% (box-load jitter) — and the
 MIN of the measured runs is reported: steady-state data-path throughput,
 robust to transient machine load.
+
+Noise robustness (VERDICT r5 item 1): every run records a load fingerprint
+(/proc/loadavg, process count, and a fixed single-thread calibration loop)
+into BENCH_DETAIL.json. When the calibration loop runs >1.3x slower than
+the committed reference, the box is contended and one-shot wall-clock
+comparisons are meaningless — the refresh then REFUSES to overwrite
+BENCH_DETAIL.json or flag regressions (override: SPARK_GRAFT_BENCH_FORCE=1),
+and the pytest guard skips instead of raising phantom failures.
 """
 
 from __future__ import annotations
@@ -361,6 +370,46 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# --- load fingerprint / noise guard (VERDICT r5 item 1) -------------------
+# A fixed single-thread pure-Python loop (~1 s on this box, uncontended).
+# Its wall time is a direct measurement of how much CPU the benchmark
+# process actually gets — loadavg alone can't distinguish "32 runnable
+# threads on 32 cores" from real contention.
+CALIBRATION_ITERS = 5_000_000
+# Calibration slower than this multiple of the committed reference means
+# the box is contended: refuse to compare against committed budgets.
+LOAD_REFUSE_RATIO = 1.3
+# Two measured runs disagreeing by more than this triggers a third run.
+RERUN_DISAGREE_RATIO = 1.2
+
+
+def calibrate() -> float:
+    t0 = time.time()
+    acc = 0
+    for i in range(CALIBRATION_ITERS):
+        acc += i * i
+    return round(time.time() - t0, 3)
+
+
+def load_fingerprint() -> dict:
+    fp = {"calibration_sec": calibrate()}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        fp["loadavg_1m"] = float(parts[0])
+        fp["loadavg_5m"] = float(parts[1])
+        fp["processes"] = sum(1 for d in os.listdir("/proc") if d.isdigit())
+    except OSError:  # non-Linux fallback: calibration alone still works
+        pass
+    return fp
+
+
+def box_is_loaded(measured_calibration: float, committed_detail: dict) -> bool:
+    """True when the calibration loop shows contention vs the committed ref."""
+    ref = (committed_detail.get("fingerprint") or {}).get("calibration_sec")
+    return ref is not None and measured_calibration > LOAD_REFUSE_RATIO * ref
+
+
 # Regression guard thresholds (shared with tests/test_bench_budget.py):
 # a re-measured query regresses when it exceeds BOTH the relative and the
 # absolute envelope over its committed BENCH_DETAIL time — the floor keeps
@@ -384,17 +433,25 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     subset = [n for n in only.split(",") if n] if only else None
 
+    fingerprint = load_fingerprint()
+
     times: dict[str, float] = {}
     for name in subset if subset is not None else HEADLINE:
         # progress marker so a crash mid-run is attributable to a query
         print(f"[bench] {name}", file=sys.stderr, flush=True)
         force(specs[name].fn(spark, SF_DIR))  # warm: codegen + JIT, not measured
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             force(specs[name].fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        if max(runs) > RERUN_DISAGREE_RATIO * min(runs):
+            # the two runs disagree: transient load hit one of them — take a
+            # third so the min is a real steady-state sample, not a coin flip
+            t0 = time.time()
+            force(specs[name].fn(spark, SF_DIR))
+            runs.append(time.time() - t0)
+        times[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -406,6 +463,7 @@ def main() -> None:
             "unit": "sec",
             "queries": times,
             "sf": sf_val,
+            "fingerprint": fingerprint,
         }))
         return
 
@@ -414,15 +472,18 @@ def main() -> None:
     # time (the pytest guard covers only the most expensive subset).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    regressions: dict[str, list[float]] = {}
+    prev: dict = {}
     if os.path.exists(detail_path):
         with open(detail_path) as f:
             prev = json.load(f)
-        if prev.get("sf") == sf_val:
-            for name, t in times.items():
-                committed = prev.get("queries", {}).get(name)
-                if committed is not None and over_budget(t, committed):
-                    regressions[name] = [committed, t]
+    loaded = box_is_loaded(fingerprint["calibration_sec"], prev)
+    force_write = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") == "1"
+    regressions: dict[str, list[float]] = {}
+    if prev.get("sf") == sf_val and not loaded:
+        for name, t in times.items():
+            committed = prev.get("queries", {}).get(name)
+            if committed is not None and over_budget(t, committed):
+                regressions[name] = [committed, t]
     if regressions:
         print(f"[bench] REGRESSIONS vs committed BENCH_DETAIL: {regressions}",
               file=sys.stderr)
@@ -435,11 +496,25 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "fingerprint": fingerprint,
     }
     if regressions:
         detail["regressions_vs_committed"] = regressions
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    if loaded and not force_write:
+        # Contended box: these one-shot numbers are not budget-quality.
+        # Keep the committed BENCH_DETAIL intact; still print the contract
+        # line below so a driver-run bench always produces its artifact.
+        ref = (prev.get("fingerprint") or {}).get("calibration_sec")
+        print(
+            "[bench] BOX LOADED: calibration "
+            f"{fingerprint['calibration_sec']}s > {LOAD_REFUSE_RATIO}x committed "
+            f"{ref}s — NOT overwriting BENCH_DETAIL.json and NOT comparing "
+            "against budgets (set SPARK_GRAFT_BENCH_FORCE=1 to override)",
+            file=sys.stderr,
+        )
+    else:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
