@@ -1708,11 +1708,16 @@ def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 150k customers x ~7 levels > 1M). Termination is already
     # guaranteed by the depth guard in the recursion (RECUR_MAX_DEPTH,
     # backed by the engine's cteRecursionLevelLimit default 100), which
-    # bounds work per ROW, the dimension that matters; lift the global
-    # row counter.
+    # bounds work per ROW, the dimension that matters. Lift the global
+    # row counter ONLY for this query's execution: the session is
+    # shared with ~8 other recursive-CTE queries whose circuit breaker
+    # must stay armed, so the prior value is restored after the eager
+    # localCheckpoint materializes the recursion.
+    prior_limit = spark.conf.get("spark.sql.cteRecursionRowLimit")
     spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-    with temp_view(load_table(spark, sf_dir, "customer"), "cust_rec") as view:
-        result = spark.sql(f"""
+    try:
+        with temp_view(load_table(spark, sf_dir, "customer"), "cust_rec") as view:
+            result = spark.sql(f"""
 WITH RECURSIVE walk(custkey, anc, depth, path_cents) AS (
   SELECT c_custkey, c_custkey div 10, 0,
          CAST(round(c_acctbal * 100) AS BIGINT)
@@ -1728,7 +1733,13 @@ SELECT custkey AS c_custkey, MAX(depth) AS depth,
        MAX_BY(path_cents, depth) AS path_cents
 FROM walk GROUP BY custkey
 """)
-        result.localCheckpoint(eager=True)
+            # localCheckpoint returns a NEW DataFrame backed by the
+            # materialized blocks — return THAT one, so downstream
+            # consumers never re-run the recursion under the restored
+            # (re-armed) row limit.
+            result = result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prior_limit)
     return result
 
 

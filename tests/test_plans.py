@@ -588,3 +588,23 @@ def test_runtime_bloom_filter_injection(spark):
     plan = explain_string(q_bloom_runtime_filter(s2, SF_DIR), "formatted").lower()
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_recursive_hierarchy_restores_row_limit_conf(spark):
+    """q_recursive_hierarchy must lift spark.sql.cteRecursionRowLimit only
+    for its own execution (ADVICE r5): the session is shared with other
+    recursive-CTE queries whose row-count circuit breaker must stay armed.
+    Also pins that the returned DataFrame is the checkpointed one — it
+    must stay collectable after the limit is re-armed."""
+    from apache_flink_datastream_api_spark.operators.relational import (
+        q_recursive_hierarchy,
+    )
+
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    assert before != "-1"
+    df = q_recursive_hierarchy(spark, SF_DIR)
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before
+    # collect AFTER restoration: a non-checkpointed plan would re-run the
+    # recursion under the re-armed limit (and fail at scale)
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before
