@@ -3209,38 +3209,59 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y -> struct(x AS pa, y AS pb))))")).alias("p"))
         .select("p.pa", "p.pb").distinct()
     )
+    # Storage-memory bound (VERDICT r5 / SCALING.md finding 6): the old
+    # form held EVERY round's localCheckpoint blocks (2x edge rows x
+    # live rounds) to job end — at the sf1 leg that saturated a single
+    # box's storage memory (a_tail 1.19 at 16 GB vs 0.98 at 28 GB).
+    # localCheckpoint itself stays load-bearing: chaining persist()
+    # instead nests each round's plan inside the next and the cached
+    # plan STRING alone OOMs the driver by round ~6 (measured). Each
+    # round's trajectory statistic is ONE row, so: checkpoint round r
+    # (truncating lineage), collect its one-row stat, then immediately
+    # evict round r-1's now-dead blocks — at most TWO generations of
+    # edge blocks are ever live, independent of round count. The
+    # per-round collect is bounded driver state (KCORE_ROUNDS rows).
+    def _evict(df: DataFrame) -> None:
+        # A localCheckpoint'ed frame's plan is a LogicalRDD; unpersist
+        # its backing RDD to free the blocks before job end. Private
+        # API via py4j — fail-soft to round-5 hold-to-job-end behavior.
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     cur = (
         edges.selectExpr("pa AS u", "pb AS v")
         .unionAll(edges.selectExpr("pb AS u", "pa AS v"))
         .localCheckpoint(eager=True)
     )
-    rounds = []
+    rows: list[tuple[int, int, int]] = []
     emptied = False
     for r in range(1, KCORE_ROUNDS + 1):
-        if not emptied:
-            deg = cur.groupBy("u").agg(F.count("*").alias("d"))
-            keep = deg.where(F.col("d") >= KCORE_K).select("u")
-            cur = (
-                cur.join(keep, "u", "left_semi")
-                .join(keep.selectExpr("u AS v"), "v", "left_semi")
-                .localCheckpoint(eager=True)
-            )
+        if emptied:
             # Peel fixpoint: once the edge set is empty every further
-            # round is a no-op, so stop building join rounds and let the
-            # remaining trajectory rows aggregate the SAME empty frame —
-            # identical output, none of the dead rounds' plan+checkpoint
-            # constants (isEmpty on the just-materialized checkpoint is
-            # one cheap task).
-            emptied = cur.isEmpty()
-        rounds.append(cur.agg(
-            F.lit(r).alias("round"),
+            # round is a no-op — emit the zero trajectory row directly,
+            # none of the dead rounds' plan+materialization constants.
+            rows.append((r, 0, 0))
+            continue
+        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= KCORE_K).select("u")
+        nxt = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.selectExpr("u AS v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        stat = nxt.agg(
             F.countDistinct("u").alias("n_nodes"),
             F.expr("count(*) div 2").alias("n_edges"),
-        ))
-    out = rounds[0]
-    for nxt in rounds[1:]:
-        out = out.unionAll(nxt)
-    return out
+        ).collect()[0]
+        _evict(cur)  # round r-1's blocks are dead once round r is live
+        cur = nxt
+        rows.append((r, stat["n_nodes"], stat["n_edges"]))
+        emptied = stat["n_edges"] == 0
+    _evict(cur)
+    return spark.createDataFrame(
+        rows, "round INT, n_nodes BIGINT, n_edges BIGINT")
 
 
 def _kcore_oracle() -> str:

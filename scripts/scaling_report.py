@@ -88,13 +88,20 @@ not — each reproduced, root-caused, and fixed or bounded this round:
    per-batch, per-partition store open/commit is a fixed cost, and at
    these state volumes it dominates. Confirms the committed guidance
    (size to state volume, not cores); partitions stay 8 across legs.
-6. **The one flagged exponent is heap-bound, not algorithmic**:
-   `graph_kcore_peel` (a_tail 1.19 at the leg's 16 GB) holds its
-   per-round lineage-truncation blocks (2x edge rows x live rounds) in
-   executor storage memory — all on ONE box here. With 28 GB the same
-   sf1 query measures 30.8 s -> a_tail 0.98, exactly linear; on a real
-   cluster those blocks spread across executors. Kept flagged in the
-   table for honesty, with this note as the adjudication.
+6. **Per-round checkpoint retention (FIXED round 6)**:
+   `graph_kcore_peel` originally held EVERY peel round's
+   lineage-truncation blocks (2x edge rows x live rounds) in executor
+   storage memory to job end — at the sf1 leg that saturated the one
+   box's 16 GB (a_tail 1.19; 28 GB measured 0.98, proving heap-bound).
+   Round 6 fix: each round's one-row trajectory stat is collected
+   eagerly and round r-1's checkpoint blocks are explicitly evicted
+   once round r materializes — at most TWO generations of edge blocks
+   live at any time, independent of round count. Re-measured at the
+   SAME 16 GB leg: sf1 39.3 s -> 19.1 s, a_tail 1.19 -> 0.50 (the
+   fixed per-round constants now dominate). Identical oracle hashes at
+   sf0.001/0.01/0.1. (An attempted persist()-chain variant OOM'd the
+   driver on the nested cached-plan STRING alone — lineage truncation
+   per round is load-bearing; see operators/statistics.py.)
 """
 
 
