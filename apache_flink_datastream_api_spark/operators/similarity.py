@@ -1584,6 +1584,14 @@ SELECT qid, vec_id AS neighbor_id, rank, cos_sim FROM (
 # emits the measured per-query overlaps as constants keyed by data scale
 # (events row count — embeddings counts collide across sf0.001/sf0.01).
 # An unknown scale joins to zero pins and FAILS rather than passing.
+#
+# Pin provenance (ADVICE r5): these constants restate output measured
+# under pyspark 4.1.2 / numpy 1.26.4 (xxhash64 + the numpy k-means /
+# PQ reduction order are build-dependent); a different build that
+# hash-mismatches here is drift, not necessarily a bug. The pins detect
+# drift only — the INDEPENDENT correctness gates are the recall-floor
+# tests in tests/test_similarity.py and the artifact checksums in
+# tests/test_annindex.py.
 KNN_RECALL_APPROX_PINNED_ORACLE = f"""
 WITH scale AS (SELECT count(*) AS n FROM events),
 pins(n, method, qid, n_overlap) AS (VALUES

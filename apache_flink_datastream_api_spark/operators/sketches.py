@@ -348,6 +348,11 @@ ORDER BY est_cnt DESC, user_id LIMIT {CMS_TOPK}
 # driver scale, always registered); the merge LAW (union-of-daily ==
 # direct-total) stays pinned in tests/test_sketches.py. An unknown scale
 # deliberately joins to zero pins and FAILS rather than silently passing.
+#
+# Pin provenance (ADVICE r5): constants measured under pyspark 4.1.2 /
+# numpy 1.26.4 (the Datasketches HLL hash is fixed per Spark build). A
+# different build that mismatches here is drift, not necessarily a bug;
+# the merge-law and accuracy-band tests are the independent gates.
 SKETCH_ROLLUP_PINNED_ORACLE = """
 WITH scale AS (SELECT count(*) AS n FROM events),
 pins(n, event_type, approx_uniques, n_daily_sketches) AS (VALUES

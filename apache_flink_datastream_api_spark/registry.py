@@ -12,9 +12,15 @@ oracle SQL string. The driver hash-compares the two at sf=0.01
 - timestamps are emitted as epoch-millis BIGINTs (``unix_millis`` ≡
   DuckDB ``epoch_ms``), never as raw timestamps.
 
-Queries with ``oracle=None`` are genuinely non-SQL-expressible (custom
-streaming state machines, approximate algorithms verified by recall tests
-instead) and get the driver's weaker rows-only check.
+Queries with ``oracle=None`` are genuinely non-SQL-expressible and get
+the driver's weaker rows-only check. Exactly TWO remain —
+``knn_ivf_cosine`` / ``knn_pq_cosine`` (float-trained numpy quantizers:
+the k-means reduction order is not SQL-replayable) — and both are
+covered three independent ways instead: recall-floor tests vs exact
+brute force (tests/test_similarity.py), a hash-checked recall REPORT
+(``knn_recall_report_approx``), and byte-exact checksums of the trained
+centroid/codebook artifacts themselves
+(tests/test_annindex.py::test_trained_quantizer_artifact_checksums).
 """
 
 from __future__ import annotations

@@ -131,7 +131,15 @@ def make_scale(base: str, out: str, factor: int) -> None:
                 )
             if tbl == "embeddings" and i > 0:
                 embs = r.column("embedding").to_pylist()
-                rolled = [e[i % len(e):] + e[: i % len(e)] for e in embs]
+                # Rotation offset cycles over 1..dim-1, never 0: a plain
+                # i % dim gives replica i = dim (2dim, ...) a
+                # byte-identical copy of replica 0's vectors, which
+                # reintroduces the R-way distance-tie artifact the
+                # rotation exists to avoid (ADVICE r5).
+                rolled = [
+                    e[1 + (i - 1) % (len(e) - 1):] + e[: 1 + (i - 1) % (len(e) - 1)]
+                    for e in embs
+                ]
                 r = r.set_column(
                     r.schema.get_field_index("embedding"),
                     t.schema.field("embedding"),
