@@ -52,9 +52,33 @@ def _stream_source_dir(sf_dir: str, table: str) -> str:
     src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     stream_dir = tempfile.mkdtemp(prefix=f"{table}_stream_")
     if os.path.isdir(src):
-        for p in sorted(os.listdir(src)):
-            if p.endswith(".parquet"):
-                os.symlink(os.path.join(src, p), os.path.join(stream_dir, p))
+        parts = [p for p in sorted(os.listdir(src)) if p.endswith(".parquet")]
+        # Micro-batch ORDER under maxFilesPerTrigger follows the source's
+        # MILLISECOND modification times (the source resolves symlinks, so
+        # the targets' mtimes are what count). Time-sliced parts replayed
+        # out of name order would be silently dropped as late data, so
+        # strictly-increasing mtimes in name order are a correctness
+        # precondition, not a nicety (ADVICE r5): stamp them when they
+        # tie/reorder (our own synthesized dirs are writable), and fail
+        # LOUDLY rather than lose rows if the directory is read-only.
+        targets = [os.path.join(src, p) for p in parts]
+        mtimes_ms = [os.stat(t).st_mtime_ns // 1_000_000 for t in targets]
+        if any(b <= a for a, b in zip(mtimes_ms, mtimes_ms[1:])):
+            base_ns = max(mtimes_ms) * 1_000_000
+            try:
+                for i, t in enumerate(targets):
+                    ns = base_ns + (i + 1) * 2_000_000  # +2 ms per part
+                    os.utime(t, ns=(ns, ns))
+            except OSError as ex:
+                raise RuntimeError(
+                    f"{src}: part-file mtimes tie/reorder at ms resolution "
+                    "and the directory is not writable — the streaming "
+                    "replay would silently drop out-of-order files as late "
+                    "data. Re-stamp strictly increasing mtimes in part-name "
+                    "order."
+                ) from ex
+        for p in parts:
+            os.symlink(os.path.join(src, p), os.path.join(stream_dir, p))
     else:
         os.symlink(src, os.path.join(stream_dir, f"{table}.parquet"))
     return stream_dir

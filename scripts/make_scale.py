@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -178,11 +179,19 @@ def make_scale(base: str, out: str, factor: int) -> None:
         os.makedirs(tdir, exist_ok=True)
         n = len(full)
         step = (n + n_parts - 1) // n_parts
+        t0_ns = time.time_ns()
         for i in range(n_parts):
             chunk = full.slice(i * step, step)
             if len(chunk):
-                pq.write_table(
-                    chunk, os.path.join(tdir, f"part-{i:04d}.parquet"))
+                part = os.path.join(tdir, f"part-{i:04d}.parquet")
+                pq.write_table(chunk, part)
+                # Strictly increasing mtimes in part-name order, spaced
+                # well past the file-stream source's MILLISECOND
+                # resolution: micro-batch replay order follows mtime, and
+                # a tie would reorder time-sliced events files, silently
+                # dropping them as late data (ADVICE r5).
+                ns = t0_ns + (i + 1) * 10_000_000  # +10 ms per part
+                os.utime(part, ns=(ns, ns))
     print(f"wrote {out} at {factor}x of {base}")
 
 

@@ -1095,3 +1095,35 @@ def test_x8_neardup_owner_state_survives_micro_batches(spark):
     }
     kept_single = {r.doc_id for r in x8_neardup_stream(spark, SF_DIR).collect()}
     assert kept_chunked == kept_single
+
+
+def test_stream_source_dir_restamps_tied_part_mtimes(tmp_path):
+    """Micro-batch replay order under maxFilesPerTrigger follows the part
+    files' MILLISECOND mtimes; tied/reordered stamps would silently drop
+    time-sliced events files as late data (ADVICE r5). _stream_source_dir
+    must re-stamp strictly increasing mtimes in part-name order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache_flink_datastream_api_spark.streaming.queries import (
+        _stream_source_dir,
+    )
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+    t = pa.table({"x": [1]})
+    same_ns = 1_700_000_000_000 * 1_000_000
+    for i in range(3):
+        p = src / f"part-{i:04d}.parquet"
+        pq.write_table(t, str(p))
+        os.utime(p, ns=(same_ns, same_ns))  # all parts tie at ms resolution
+
+    stream_dir = _stream_source_dir(str(tmp_path), "events")
+    links = sorted(os.listdir(stream_dir))
+    assert links == [f"part-{i:04d}.parquet" for i in range(3)]
+    # symlink targets (what the file source stats) now strictly increase
+    ms = [
+        os.stat(os.path.join(stream_dir, p)).st_mtime_ns // 1_000_000
+        for p in links
+    ]
+    assert all(b > a for a, b in zip(ms, ms[1:])), ms
