@@ -78,6 +78,51 @@ def _ephemeral_checkpoint() -> str:
     return tempfile.mkdtemp(prefix="ckpt_", dir=base)
 
 
+def _record_state_metrics(q) -> None:
+    """When SPARK_GRAFT_STATE_METRICS_FILE is set, append one JSONL record
+    summarizing the drained query's state-store footprint across its
+    micro-batches (per state operator: peak numRowsTotal/memoryUsedBytes,
+    total rows removed, batch count). This is how SCALING.md's streaming
+    state-growth table is measured — watermark-bounded operators must
+    hold PEAK state ∝ watermark window, not corpus size. No-op (and
+    fail-soft) outside that measurement harness."""
+    path = os.environ.get("SPARK_GRAFT_STATE_METRICS_FILE")
+    if not path:
+        return
+    try:
+        import json
+
+        ops: dict[str, dict] = {}
+        progress = q.recentProgress or []
+        for p in progress:
+            d = json.loads(p.json) if hasattr(p, "json") else p
+            for i, so in enumerate(d.get("stateOperators", [])):
+                key = f"{i}:{so.get('operatorName', 'state')}"
+                cur = ops.setdefault(key, {
+                    "operator": so.get("operatorName", "state"),
+                    "peak_rows": 0, "peak_bytes": 0,
+                    "rows_removed": 0, "rows_dropped_late": 0,
+                })
+                cur["peak_rows"] = max(cur["peak_rows"], so.get("numRowsTotal", 0))
+                cur["peak_bytes"] = max(
+                    cur["peak_bytes"], so.get("memoryUsedBytes", 0))
+                cur["rows_removed"] += so.get("numRowsRemoved", 0)
+                cur["rows_dropped_late"] += so.get(
+                    "numRowsDroppedByWatermark", 0)
+        rec = {
+            "label": os.environ.get("SPARK_GRAFT_STATE_METRICS_LABEL", ""),
+            "n_batches": len(progress),
+            "rows_in": sum(
+                (json.loads(p.json) if hasattr(p, "json") else p)
+                .get("numInputRows", 0) for p in progress),
+            "operators": list(ops.values()),
+        }
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except Exception:
+        pass
+
+
 def run_available_now(
     df: DataFrame, spark: SparkSession, mode: str = "update", timeout_s: int = 300
 ) -> DataFrame:
@@ -93,6 +138,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(timeout_s)
+    _record_state_metrics(q)
     # Materialize the result OUT of the memory sink's named table, then
     # drop the table. Without this, every bounded replay leaks its full
     # result set into the session catalog for the session's lifetime —

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import re
 import sys
 
@@ -117,29 +118,44 @@ def load(path: str) -> dict[str, float]:
     return out
 
 
+PLAN_CACHE = "scaling_runs/plan_sweep.json"
+
+
 def plan_sweep(names: list[str]) -> dict[str, dict[str, dict[str, int]]]:
     """Build each query at sf0.1 and sf1 and count wide / single-partition
     exchanges in the physical plan. Streaming queries execute their
     bounded replay during construction — acceptable in this offline
-    report, which is exactly why this sweep is a script, not a test."""
+    report, which is exactly why this sweep is a script, not a test.
+
+    Results are cached per query in PLAN_CACHE (the sweep costs ~20 min;
+    re-rendering SCALING.md for a new timing leg or state table should
+    not re-run it). Delete a query's cache entry — or the file — after
+    changing that query's plan."""
     from apache_flink_datastream_api_spark.plans.inspect import explain_string
     from apache_flink_datastream_api_spark.registry import all_queries
     from apache_flink_datastream_api_spark.session import get_spark
 
-    spark = get_spark()
-    qs = all_queries()
-    out: dict[str, dict[str, dict[str, int]]] = {}
-    dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": "testdata_scaled/sf1"}
-    for name in names:
-        out[name] = {}
-        for label, d in dirs.items():
-            plan = explain_string(qs[name].fn(spark, d), "simple")
-            out[name][label] = {
-                "wide": len(WIDE_RE.findall(plan)),
-                "single": len(SINGLE_RE.findall(plan)),
-            }
-        print(f"  plan {name}: {out[name]}", flush=True)
-    return out
+    cache: dict[str, dict] = {}
+    if os.path.exists(PLAN_CACHE):
+        with open(PLAN_CACHE) as f:
+            cache = json.load(f)
+    missing = [n for n in names if n not in cache]
+    if missing:
+        spark = get_spark()
+        qs = all_queries()
+        dirs = {"sf0.1": "/root/testdata/sf0.1", "sf1": "testdata_scaled/sf1"}
+        for name in missing:
+            cache[name] = {}
+            for label, d in dirs.items():
+                plan = explain_string(qs[name].fn(spark, d), "simple")
+                cache[name][label] = {
+                    "wide": len(WIDE_RE.findall(plan)),
+                    "single": len(SINGLE_RE.findall(plan)),
+                }
+            print(f"  plan {name}: {cache[name]}", flush=True)
+        with open(PLAN_CACHE, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    return {n: cache[n] for n in names}
 
 
 def main() -> None:
@@ -229,8 +245,69 @@ def main() -> None:
                 f"| {n} | {p['sf0.1']['wide']} | {p['sf1']['wide']} "
                 f"| {p['sf0.1']['single']} | {p['sf1']['single']} |\n"
             )
+        write_state_section(f)
     print("wrote SCALING.md;",
           f"{len(superlinear)} superlinear, {len(new_single)} new-single")
+
+
+STATE_METRICS = "scaling_runs/state_metrics.jsonl"
+
+
+def write_state_section(f) -> None:
+    """Render the streaming state-growth table (VERDICT r5 item 4) from
+    scripts/state_metrics.py output, if present. Exponent semantics: the
+    calendar range is FIXED across legs while density grows 3x/10x, so a
+    watermark-bounded raw-row buffer (stream-stream join state) grows
+    linearly with density (a_state ≈ 1) but holds only the
+    watermark-window fraction of the corpus (peak « rows_in), while a
+    windowed AGGREGATE holds one row per open window — constant
+    (a_state ≈ 0). Unbounded buffering would show peak_rows ≈ rows_in
+    (the j2 OOM this table exists to pin)."""
+    if not os.path.exists(STATE_METRICS):
+        return
+    # merge records per label (a query may drain >1 streaming sub-query)
+    agg: dict[str, dict] = {}
+    for line in open(STATE_METRICS):
+        rec = json.loads(line)
+        q, leg = rec["label"].rsplit("@", 1)
+        cur = agg.setdefault((q, leg), {
+            "batches": 0, "rows_in": 0, "peak_rows": 0,
+            "peak_bytes": 0, "removed": 0, "late": 0})
+        cur["batches"] = max(cur["batches"], rec["n_batches"])
+        cur["rows_in"] = max(cur["rows_in"], rec["rows_in"])
+        for op in rec["operators"]:
+            cur["peak_rows"] = max(cur["peak_rows"], op["peak_rows"])
+            cur["peak_bytes"] += op["peak_bytes"]
+            cur["removed"] += op["rows_removed"]
+            cur["late"] += op["rows_dropped_late"]
+    queries = sorted({q for q, _ in agg})
+    f.write(
+        "\n## Streaming state growth (sf0.1x / sf0.3 / sf1)\n\n"
+        "Peak state-store rows across the replay's micro-batches per\n"
+        "query and leg (`StreamingQueryProgress.stateOperators`, captured\n"
+        "by `scripts/state_metrics.py`, one JVM per run). The calendar\n"
+        "range is fixed while density grows, so: windowed AGGREGATES must\n"
+        "hold ~constant state (one row per open window — a_state ≈ 0);\n"
+        "watermark-bounded RAW-ROW buffers (join state) grow with density\n"
+        "(a_state ≈ 1) but hold only the watermark-window fraction of the\n"
+        "corpus (peak « rows_in). Unbounded buffering — the sf1 OOM this\n"
+        "table pins against — would show peak_rows ≈ rows_in.\n\n"
+        "| query | peak rows @0.1x | @0.3 | @1 | a_state | peak/input @1 "
+        "| evicted @1 | MB @1 |\n|---|---|---|---|---|---|---|---|\n"
+    )
+    for q in queries:
+        legs = {leg: v for (qq, leg), v in agg.items() if qq == q}
+        if not all(k in legs for k in ("0.1x", "0.3", "1")):
+            continue
+        p1, p3, p10 = (legs[k]["peak_rows"] for k in ("0.1x", "0.3", "1"))
+        a_state = (
+            math.log(p10 / p3) / math.log(10 / 3) if p10 and p3 else 0.0)
+        frac = p10 / legs["1"]["rows_in"] if legs["1"]["rows_in"] else 0.0
+        f.write(
+            f"| {q} | {p1} | {p3} | {p10} | {a_state:.2f} "
+            f"| {frac:.3f} | {legs['1']['removed']} "
+            f"| {legs['1']['peak_bytes'] / 1e6:.1f} |\n"
+        )
 
 
 if __name__ == "__main__":
