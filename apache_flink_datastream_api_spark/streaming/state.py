@@ -183,6 +183,60 @@ def idle_alerts(
     )
 
 
+# --- timer parity: processing-time buffered flush (ProcessingTimeTimeout) ---
+# Flink's OTHER timer clock: ``registerProcessingTimeTimer`` — wall-clock
+# timers independent of event time (the reference never registers one
+# either, but chapter-5-style alerting patterns lean on both clocks).
+# Spark equivalent: ``applyInPandasWithState`` + ProcessingTimeTimeout +
+# ``state.setTimeoutDuration``; the handler is re-invoked with
+# hasTimedOut=True by a no-data micro-batch once wall-clock passes the
+# deadline. Outputs depend on WALL-CLOCK arrival, so this is test-pinned
+# (tests/test_streaming.py::test_processing_time_timeout_flush), never
+# oracle-checked — the documented Flink-parity line between the two
+# timer clocks (event-time timers: idle_alerts above, oracle-checked).
+
+FLUSH_STATE = StructType([StructField("n_events", LongType())])
+
+
+def buffered_flush(
+    df: DataFrame, quiet_ms: int, key_col: str = "user_id"
+) -> DataFrame:
+    """Processing-time-timer operator: one output row per key, emitted
+    quiet_ms of WALL CLOCK after its last arrival. ``df`` needs no
+    watermark (processing-time timers are event-time-independent)."""
+    key_type = dict(df.dtypes)[key_col]
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cols = [key_col, "n_events"]
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], int(n))], columns=cols)
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(quiet_ms)
+        yield pd.DataFrame([], columns=cols)
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType() if key_type == "bigint" else StringType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    return df.select(key_col).groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=FLUSH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 # --- X2: session durations (CourseUseCase.java:114-180 semantics) ----------
 
 X2_STATE = StructType(

@@ -363,6 +363,9 @@ HEADLINE = [
     "sketch_hll_set_algebra",
     "q_variant_props",
     "q_bloom_runtime_filter",
+    # round 6: Arrow-native exact scan + grouped-map paths
+    "knn_bruteforce_arrow",
+    "emb_pool_arrow_grouped",
 ]
 
 

@@ -14,6 +14,7 @@ from apache_flink_datastream_api_spark.operators.similarity import (
     IVF_NPROBE,
     TOP_K,
     ivf_assignment_table,
+    knn_bruteforce_arrow,
     knn_bruteforce_cosine,
     knn_ivf_cosine,
     knn_lsh_cosine,
@@ -52,6 +53,17 @@ def test_lsh_recall_and_exact_rerank(spark):
     # ≈ 0.22 here); observed healthy recall is ~0.46. The floor separates
     # those regimes rather than chasing sketch noise.
     assert recall >= 0.35, f"recall@{TOP_K} = {recall:.2f}"
+
+
+def test_arrow_scan_matches_jvm(spark):
+    """The mapInArrow scan variant must be BIT-identical to the zip_with
+    plan: same neighbors, same ranks, same float64 cosines to the last
+    bit — the per-dimension numpy accumulation reproduces the JVM fold's
+    left-to-right operation order exactly, which is what lets both
+    variants share one DuckDB oracle."""
+    jvm = sorted(tuple(r) for r in knn_bruteforce_cosine(spark, SF_DIR).collect())
+    arrow = sorted(tuple(r) for r in knn_bruteforce_arrow(spark, SF_DIR).collect())
+    assert arrow == jvm
 
 
 def test_ivf_assignment_is_total_partition(spark):

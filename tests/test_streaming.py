@@ -1173,3 +1173,56 @@ def test_watermark_bounded_state_invariant(spark, tmp_path, monkeypatch):
     assert peak < 0.2 * rows_in, (peak, rows_in)
     # and state is actually EVICTED between micro-batches
     assert sum(o["rows_removed"] for o in join_ops) > 0, join_ops
+
+
+def test_processing_time_timeout_flush(spark, tmp_path):
+    """ProcessingTimeTimeout parity (Flink registerProcessingTimeTimer):
+    a keyed buffer must flush exactly one (key, count) row once WALL
+    CLOCK passes quiet_ms after the key's last arrival — fired by a
+    no-data micro-batch, since no new files arrive after the first.
+    Wall-clock outputs are not oracle material (SURVEY.md §4), so this
+    pins the semantics instead: exact counts, exactly one flush per key,
+    and state removed after the flush."""
+    import time
+
+    from apache_flink_datastream_api_spark.streaming.sinks import (
+        _ephemeral_checkpoint,
+    )
+    from apache_flink_datastream_api_spark.streaming.state import buffered_flush
+
+    src = tmp_path / "flush_src"
+    src.mkdir()
+    (src / "part-000.csv").write_text(
+        "".join(f"{uid},{i}\n" for i, uid in enumerate([7] * 5 + [11] * 3))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).csv(str(src))
+    flushed = buffered_flush(stream, quiet_ms=2_000)
+    q = (
+        flushed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pt_flush")
+        .option("checkpointLocation", _ephemeral_checkpoint())
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if spark.table("pt_flush").count() >= 2:
+                break
+            time.sleep(0.5)
+        rows = {r.user_id: r.n_events for r in spark.table("pt_flush").collect()}
+        assert rows == {7: 5, 11: 3}, rows
+        # exactly one flush per key — the timer removed its state, so no
+        # second firing can occur while the query keeps running
+        time.sleep(3.0)
+        assert spark.table("pt_flush").count() == 2
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("pt_flush")
