@@ -4696,15 +4696,24 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u").agg(F.count("*").alias("d"))
     )
     n_row = deg.agg(F.count("*").alias("n"))
-    wq = Window.orderBy("d", "u")
-    ranked = deg.withColumn("rn", F.row_number().over(wq)).crossJoin(
+    # All four quartile cuts from ONE cumulative pass over the degree
+    # HISTOGRAM (O(distinct degrees) rows — rollup-sized at any scale),
+    # never a row_number over the |V|-row degree list: the d value at
+    # 1-based rank ceil(p*n) equals the smallest d whose cumulative count
+    # reaches that rank (ties share d) — the same exact-discrete-percentile
+    # identity graph_link_prediction uses for its wedge cap. This replaces
+    # four |V|-row single-partition windows with one histogram-sized one.
+    hist = deg.groupBy("d").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).crossJoin(
         F.broadcast(n_row))
-    cuts = None
-    for p in RC_PCTLS:
-        c = ranked.where(
-            f"rn = CAST(ceil({p} * n) AS BIGINT)"
-        ).selectExpr(f"CAST({int(p * 100)} AS INT) AS pctl", "d AS k")
-        cuts = c if cuts is None else cuts.unionAll(c)
+    pctl_rows = spark.createDataFrame(
+        [(int(p * 100), p) for p in RC_PCTLS], "pctl int, p double")
+    cuts = (
+        cum.crossJoin(F.broadcast(pctl_rows))
+        .where("cum >= CAST(ceil(p * n) AS BIGINT)")
+        .groupBy("pctl").agg(F.min("d").alias("k"))
+    )
     da = deg.selectExpr("u AS pa", "d AS da")
     db = deg.selectExpr("u AS pb", "d AS db")
     ek = (
