@@ -384,7 +384,49 @@ LATERAL (
 """
 
 
+# --- DataFrame-API lateral join (Spark 4 df.lateralJoin) --------------------
+# The same correlated top-k-per-group shape as q_lateral_topk, through the
+# Spark 4 DataFrame API instead of SQL text: the right side references the
+# left row via F.col(...).outer(), so Catalyst plans the identical
+# LateralJoin -> per-group window-group-limit it gives the SQL form — this
+# query pins that the programmatic surface decorrelates the same way.
+# Distinct data path from q_lateral_topk (suppliers, not customers).
+
+def q_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    top2 = (
+        s.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.desc("s_acctbal"), "s_suppkey")
+        .limit(2)
+        .select("s_suppkey", "s_acctbal")
+    )
+    return n.lateralJoin(top2).select(
+        "n_name",
+        "s_suppkey",
+        F.expr("CAST(round(s_acctbal * 100) AS BIGINT)").alias("acctbal_cents"),
+    )
+
+
+Q_LATERAL_API_ORACLE = """
+SELECT n.n_name, l.s_suppkey,
+       CAST(round(l.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM nation n,
+LATERAL (
+  SELECT s_suppkey, s_acctbal
+  FROM supplier s
+  WHERE s.s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_suppkey
+  LIMIT 2
+) l
+"""
+
+
 SPECS += [
+    QuerySpec("q_lateral_join_api", q_lateral_join_api, Q_LATERAL_API_ORACLE,
+              "per-nation top-2 suppliers via the DataFrame lateralJoin API "
+              "(outer() column references)",
+              ("relational", "lateral", "spark4")),
     QuerySpec("q_rfm_segmentation", q_rfm_segmentation, Q_RFM_ORACLE,
               "RFM quartile segmentation with floored-boundary exact scoring",
               ("analytics", "segmentation")),

@@ -233,6 +233,46 @@ PIVOT_ORACLE = "SELECT user_id, " + ", ".join(
 ) + " FROM events GROUP BY 1"
 
 
+# --- metric-matrix transpose (Spark 4 df.transpose) --------------------------
+# The report-shaping complement of pivot: pivot turns VALUES into columns;
+# transpose flips a whole (metric x group) aggregate so metrics become the
+# rows — the classic dashboard "one column per segment" readout. The input
+# is an already-aggregated |event_types|-row frame, so the transpose is a
+# driver-scale reshape of a rollup, never of raw data (transpose collects
+# the index column to name the output columns — only ever apply it to
+# aggregate matrices, the same boundedness rule as collect()ing a rollup).
+# All cells share one type (BIGINT) as transpose requires.
+
+def q_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+    return agg.transpose()
+
+
+Q_TRANSPOSE_ORACLE = (
+    "WITH a AS (SELECT event_type, COUNT(*) AS n_events, "
+    "COUNT(DISTINCT user_id) AS n_users, "
+    "MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents "
+    "FROM events GROUP BY 1)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS key, "
+        + ", ".join(
+            f"(SELECT {m} FROM a WHERE event_type = '{t}') AS {t}"
+            for t in EVENT_TYPES
+        )
+        for m in ("n_events", "n_users", "max_cents")
+    )
+)
+
+
 SPECS = [
     QuerySpec("asof_join_purchase_click", asof_purchase_click, ASOF_ORACLE,
               "as-of join via single-shuffle union+last_value", ("temporal", "join")),
@@ -242,6 +282,9 @@ SPECS = [
               "exact linear-interpolation percentiles per group", ("agg",)),
     QuerySpec("event_type_pivot", event_type_pivot, PIVOT_ORACLE,
               "pinned-values pivot count matrix", ("agg",)),
+    QuerySpec("q_transpose_metrics", q_transpose_metrics, Q_TRANSPOSE_ORACLE,
+              "metric-matrix transpose of a per-type rollup (df.transpose)",
+              ("agg", "spark4")),
     QuerySpec("user_moving_avg", user_moving_avg, MOVING_AVG_ORACLE,
               "5-event moving sum/avg over an explicit row frame", ("window",)),
 ]

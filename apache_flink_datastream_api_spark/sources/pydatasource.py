@@ -28,7 +28,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     IntegerType,
@@ -151,6 +153,93 @@ def register(spark: SparkSession) -> None:
     spark.dataSource.register(AuditTrailDataSource)
 
 
+# --- custom Python SINK (DataSourceWriter, two-phase commit) -----------------
+# The writer half of the custom-connector surface (the K-family parity
+# the gated Kafka sink can't execute in this sandbox): each task writes
+# its partition to a DOT-PREFIXED temp file (invisible to every Spark
+# file reader by convention), and only the driver-side commit() renames
+# temp files to their final part names — so a failed/aborted job
+# publishes NOTHING and a re-run can't double-publish (rename is the
+# atomic publish). Same protocol shape as the JVM FileCommitProtocol; on
+# a cluster `path` is a shared filesystem. abort() removes the temps.
+
+@dataclass
+class _SinkCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class AuditTrailSinkWriter(DataSourceWriter):
+    def __init__(self, options, field_names):
+        import uuid
+
+        self.path = options["path"]
+        self.field_names = field_names
+        # Job-scoped temp prefix (the writer instance is pickled to every
+        # task, so all of this job's temps share it): abort() can then
+        # sweep the job's OWN temps by glob — commit messages only cover
+        # tasks that finished write(), never the one that failed mid-way,
+        # and a task that wrote its temp but whose JOB failed must not
+        # leave litter either.
+        self.job_id = uuid.uuid4().hex
+
+    def write(self, rows):
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(
+            self.path, f".tmp-{self.job_id}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(self.field_names, r))) + "\n")
+                n += 1
+        return _SinkCommit(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            d, base = os.path.split(m.tmp_path)
+            os.rename(m.tmp_path, os.path.join(d, base.replace(".tmp-", "part-", 1)))
+
+    def abort(self, messages):
+        import glob
+        import os
+
+        # Remove reported temps AND sweep this job's prefix: messages may
+        # contain None for failed tasks, and written-but-unreported temps
+        # must go too. The dot prefix means readers never saw any of them.
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
+        for leftover in glob.glob(
+            os.path.join(self.path, f".tmp-{self.job_id}-*")
+        ):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
+
+
+class AuditTrailSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "audit_trail_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> AuditTrailSinkWriter:
+        return AuditTrailSinkWriter(self.options, schema.fieldNames())
+
+
+def register_sink(spark: SparkSession) -> None:
+    """Idempotent registration of the JSONL sink."""
+    spark.dataSource.register(AuditTrailSink)
+
+
 # --- registry queries -------------------------------------------------------
 #
 # The oracle regenerates the LCG stream in pure SQL, so the custom source
@@ -250,7 +339,37 @@ def s3_generator_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def k5_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-connector WRITE path: generator source -> custom Python
+    JSONL sink (task-level temp files + driver-side atomic rename on
+    commit) -> read the PUBLISHED files back -> aggregate. Hash-matching
+    the regeneration oracle proves the full write/commit/read loop loses
+    and duplicates nothing — the exactly-once publish contract executed
+    (streaming/exactly_once.py covers the replay side)."""
+    import tempfile
+
+    register(spark)
+    register_sink(spark)
+    n = 10_000
+    d = tempfile.mkdtemp(prefix="pyds_sink_")
+    src = (
+        spark.read.format("audit_trail_gen")
+        .option("numRows", n)
+        .option("partitions", 8)
+        .load()
+    )
+    src.write.format("audit_trail_sink").option("path", d).mode("append").save()
+    back = spark.read.schema(AUDIT_GEN_SCHEMA).json(d)
+    return _gen_agg(back)
+
+
 SPECS = [
+    QuerySpec(
+        "k5_python_sink_roundtrip", k5_python_sink_roundtrip, _gen_oracle(10_000),
+        "custom Python DataSourceWriter sink (two-phase temp-file commit), "
+        "write/read-back loop hash-checked against the regeneration oracle",
+        ("sink", "spark4"),
+    ),
     QuerySpec(
         "s3_generator_source", s3_generator_source, _gen_oracle(10_000),
         "S3 synthetic generator as a custom Python DataSource (batch), "

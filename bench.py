@@ -363,9 +363,13 @@ HEADLINE = [
     "sketch_hll_set_algebra",
     "q_variant_props",
     "q_bloom_runtime_filter",
-    # round 6: Arrow-native exact scan + grouped-map paths
+    # round 6: Arrow-native exact scan + grouped-map paths, custom Python
+    # sink, DataFrame-API lateral join, transpose
     "knn_bruteforce_arrow",
     "emb_pool_arrow_grouped",
+    "k5_python_sink_roundtrip",
+    "q_lateral_join_api",
+    "q_transpose_metrics",
 ]
 
 

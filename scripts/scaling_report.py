@@ -246,6 +246,7 @@ def main() -> None:
                 f"| {p['sf0.1']['single']} | {p['sf1']['single']} |\n"
             )
         write_state_section(f)
+        write_round6_sections(f)
     print("wrote SCALING.md;",
           f"{len(superlinear)} superlinear, {len(new_single)} new-single")
 
@@ -322,6 +323,68 @@ def write_state_section(f) -> None:
         "peak/input > 1 by the band multiplicity, NOT by membership\n"
         "lists); bucket count ∝ corpus is the documented design with O(1)\n"
         "bytes per bucket.\n"
+    )
+
+
+def write_round6_sections(f) -> None:
+    """Round-6 measured findings that travel with the report: the
+    streaming-replay fixed-cost floor (VERDICT r5 item 6, closed with
+    data) and plan deltas for queries whose physical strategy changed."""
+    f.write(
+        "\n## Streaming replay fixed-cost floor (round 6, VERDICT r5 item 6)\n"
+        "\n"
+        "Can the bounded replays' ~12 s tail (`j3` + `x4` + `j2` + `x8` at\n"
+        "sf0.1) be coarsened away? Measured: no — the tail is the engine's\n"
+        "per-query constant, not a batching artifact.\n"
+        "\n"
+        "- At the driver scales `events` is ONE parquet file, so each replay is\n"
+        "  already the minimum 2 micro-batches (data + final watermark-advance\n"
+        "  batch); there is nothing to coarsen (`maxFilesPerTrigger` only\n"
+        "  matters on the multi-file scaled legs, where file-by-file watermark\n"
+        "  advance is the state-bounding contract, not an overhead).\n"
+        "- Per-batch breakdown (`durationMs`): j2 batch0 = 4.8 s trigger (3.3 s\n"
+        "  addBatch, 1.0 s incremental planning), batch1 (no-data flush) 1.5 s;\n"
+        "  j3 analogous with two join state stores. The addBatch time is join\n"
+        "  state puts/evictions for the full 200-300k buffered rows — inherent\n"
+        "  to single-batch availableNow, where everything arrives before the\n"
+        "  watermark moves.\n"
+        "- State-partition sweep (`SPARK_GRAFT_STREAM_PARTITIONS`): 2 -> 36.6 s,\n"
+        "  4 -> 23.2 s, 8 -> 24.4 s over the four queries — the committed\n"
+        "  default (8) is at the flat bottom; fewer partitions starve the\n"
+        "  Python-stateful ops, more pay per-partition store commits\n"
+        "  (finding 7's 8-vs-16 result).\n"
+        "- Conf levers (`minBatchesToRetain=2`,\n"
+        "  `stateStore.maintenanceInterval=600s`, `minDeltasForSnapshot=100`):\n"
+        "  14.2 s baseline vs 14.4 s tuned over the four queries — noise; the\n"
+        "  checkpoint already lives in tmpfs, so retention/snapshot work is not\n"
+        "  on the clock.\n"
+        "\n"
+        "The one real lever was x4's keyed-shuffle width (fixed in round 6's\n"
+        "predecessor commit c30c020, 5x fewer Python state invocations). The\n"
+        "remaining tail is micro-batch + state-commit + Python-runner startup\n"
+        "constants that amortize to zero at production stream lengths — a\n"
+        "100 TB ingest pays them once per QUERY, not per batch of 100k rows.\n"
+        "\n"
+        "## Round-6 plan deltas\n"
+        "\n"
+        "- `graph_rich_club`: the four degree-quartile cuts previously ranked the\n"
+        "  FULL |V|-row degree list in a single-partition row_number window, once\n"
+        "  per percentile. Now all four cuts come from one cumulative pass over\n"
+        "  the degree HISTOGRAM (O(distinct degrees) rows at any scale) — the\n"
+        "  same exact-discrete-percentile identity graph_link_prediction uses.\n"
+        "  Plan: 115 -> 45 wide exchanges, 16 -> 4 single-partition exchanges at\n"
+        "  BOTH sf0.1 and sf1 (plan_sweep.json refreshed); oracle hash identical.\n"
+        "  Honest wall-clock (INTERLEAVED old-vs-new A/B, 3 rounds each):\n"
+        "  statistically identical at sf0.1 (min 2.97 vs 2.86 s), old ~10%\n"
+        "  faster at sf1 (min 10.3 vs 11.3 s — more exchange-reuse of the\n"
+        "  edges subtree in the old megaplan). Kept anyway: the win is\n"
+        "  removing |V|-row serialization points, which a single box cannot\n"
+        "  price but a 10^9-vertex graph does; the ~10% sf1 constant is noise\n"
+        "  against that. (A driver-materialized 4-row cut table was also\n"
+        "  tried — 2x WORSE at sf1: collect() splits the job and forfeits\n"
+        "  exchange reuse, so edges builds twice. Exchange reuse beats\n"
+        "  subtree dedup-by-hand.) The timing table's rich_club row is this\n"
+        "  round's re-measurement (session minima, new plan).\n"
     )
 
 

@@ -80,3 +80,55 @@ def test_stream_drains_over_multiple_microbatches(spark):
         q.stop()
     got = spark.table(name).orderBy("id").collect()
     assert [tuple(r) for r in got] == [gen_row(i) for i in range(100)]
+
+
+def test_sink_atomic_publish_and_abort(spark, tmp_path):
+    """The custom Python sink's two-phase commit: a successful job
+    publishes exactly its part files (no temps left behind); a FAILED job
+    publishes NOTHING — its task temps are dot-prefixed (invisible to
+    readers) and removed by abort()."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_flink_datastream_api_spark.sources.pydatasource import (
+        register,
+        register_sink,
+    )
+
+    register(spark)
+    register_sink(spark)
+    src = (
+        spark.read.format("audit_trail_gen")
+        .option("numRows", 200)
+        .option("partitions", 4)
+        .load()
+    )
+
+    ok_dir = tmp_path / "ok"
+    ok_dir.mkdir()
+    src.write.format("audit_trail_sink").option("path", str(ok_dir)).mode(
+        "append"
+    ).save()
+    names = sorted(os.listdir(ok_dir))
+    assert len(names) == 4 and all(n.startswith("part-") for n in names), names
+    assert spark.read.json(str(ok_dir)).count() == 200
+
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+
+    @F.udf("long")
+    def boom(i):
+        if i == 137:
+            raise ValueError("induced task failure")
+        return i
+
+    failing = src.withColumn("id", boom("id"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        failing.write.format("audit_trail_sink").option(
+            "path", str(bad_dir)
+        ).mode("append").save()
+    # nothing published, nothing left over
+    assert os.listdir(bad_dir) == [], os.listdir(bad_dir)
