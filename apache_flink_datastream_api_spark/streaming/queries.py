@@ -1104,10 +1104,48 @@ SELECT user_id, event_type, ts_ms FROM f WHERE keep = 1
 """
 
 
+def x4_debounce_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME debounce, all-JVM: a kept event is by definition the FIRST
+    event of a gap-separated burst, i.e. a session-window leader — so
+    ``session_window`` with gap = GAP+1 ms (sessions merge when the
+    inter-event distance <= GAP, split when STRICTLY > GAP, matching the
+    oracle's ``diff > GAP`` boundary exactly, ms-integer timestamps) and
+    ``min(ts_ms)`` per session reproduces x4_debounce_stream row-for-row
+    through the JVM session state store — zero Python in the stream.
+
+    This is the 100 TB path: x4's ``applyInPandasWithState`` form costs
+    ~(batches x active keys) Python group invocations (SCALING.md
+    finding 3; 46 s at the sf1 leg), while this plan keeps the whole
+    state machine in the JVM where the same leg runs in seconds. Both
+    stay registered: x4 pins the Flink-ValueState PATTERN, this one pins
+    the production plan — identical oracle."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withColumn("ts2", F.timestamp_millis(F.unix_millis("ts")))
+        .groupBy(
+            "user_id",
+            "event_type",
+            F.session_window("ts2", f"{DEBOUNCE_GAP_MS + 1} milliseconds").alias("w"),
+        )
+        .agg(F.min(F.unix_millis("ts2")).alias("ts_ms"))
+        .select("user_id", "event_type", "ts_ms")
+    )
+    # session-window streaming aggregations allow complete/append only;
+    # complete's final table equals the batch answer on a bounded replay
+    # (same choice as w4_session_stream). Production uses append + a
+    # watermark, which also evicts closed sessions from state.
+    return run_available_now(agg, spark, mode="complete")
+
+
 SPECS += [
     QuerySpec("x4_debounce_stream", x4_debounce_stream, X4_DEBOUNCE_ORACLE,
               "applyInPandasWithState keyed debounce (streaming twin of q_event_debounce)",
               ("streaming", "stateful")),
+    QuerySpec("x4_debounce_session_stream", x4_debounce_session_stream,
+              X4_DEBOUNCE_ORACLE,
+              "the same debounce as an all-JVM session-window aggregation "
+              "(burst leaders = session firsts) — the scale path",
+              ("streaming", "window", "stateful")),
 ]
 
 

@@ -370,6 +370,7 @@ HEADLINE = [
     "k5_python_sink_roundtrip",
     "q_lateral_join_api",
     "q_transpose_metrics",
+    "x4_debounce_session_stream",
 ]
 
 
