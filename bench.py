@@ -399,8 +399,44 @@ def calibrate() -> float:
     return round(time.time() - t0, 3)
 
 
+def sibling_jvm_rss_gb() -> float:
+    """Total RSS (GiB) of java processes already running when the bench
+    starts — i.e., NOT this bench's own executor JVM (call before
+    get_spark). A co-tenant Spark JVM (a pytest fixture session, another
+    bench) contaminates wall-clock through memory pressure and GC, which
+    the CPU calibration loop cannot see — the round-5/6 phantom-
+    regression mode. Fail-soft to 0 on non-Linux."""
+    total_kb = 0
+    try:
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/comm") as f:
+                    if f.read().strip() != "java":
+                        continue
+                with open(f"/proc/{d}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            total_kb += int(line.split()[1])
+                            break
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return round(total_kb / 1024 / 1024, 2)
+
+
+# A sibling JVM bigger than this means the box has a co-tenant Spark
+# session; wall-clock comparisons against quiet-box budgets are then
+# unreliable even when the CPU calibration loop reads clean. Any real
+# Spark driver JVM exceeds this; stray small java tooling does not.
+SIBLING_JVM_REFUSE_GB = 0.5
+
+
 def load_fingerprint() -> dict:
-    fp = {"calibration_sec": calibrate()}
+    fp = {"calibration_sec": calibrate(),
+          "sibling_jvm_rss_gb": sibling_jvm_rss_gb()}
     try:
         with open("/proc/loadavg") as f:
             parts = f.read().split()
@@ -412,8 +448,14 @@ def load_fingerprint() -> dict:
     return fp
 
 
-def box_is_loaded(measured_calibration: float, committed_detail: dict) -> bool:
-    """True when the calibration loop shows contention vs the committed ref."""
+def box_is_loaded(measured_calibration: float, committed_detail: dict,
+                  sibling_gb: float | None = None) -> bool:
+    """True when the calibration loop shows CPU contention vs the
+    committed reference, OR a co-tenant JVM holds significant memory
+    (sibling_gb, when provided) — either way, one-shot wall-clock
+    comparison against quiet-box budgets is meaningless."""
+    if sibling_gb is not None and sibling_gb > SIBLING_JVM_REFUSE_GB:
+        return True
     ref = (committed_detail.get("fingerprint") or {}).get("calibration_sec")
     return ref is not None and measured_calibration > LOAD_REFUSE_RATIO * ref
 
@@ -431,6 +473,10 @@ def over_budget(measured: float, committed: float) -> bool:
 
 
 def main() -> None:
+    # Fingerprint BEFORE starting this bench's own JVM, so any java
+    # process observed is a genuine co-tenant, not our executor.
+    fingerprint = load_fingerprint()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     specs = all_queries()
@@ -440,8 +486,6 @@ def main() -> None:
     # per-query map inline, and leave BENCH_DETAIL.json untouched.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     subset = [n for n in only.split(",") if n] if only else None
-
-    fingerprint = load_fingerprint()
 
     times: dict[str, float] = {}
     for name in subset if subset is not None else HEADLINE:
@@ -484,7 +528,8 @@ def main() -> None:
     if os.path.exists(detail_path):
         with open(detail_path) as f:
             prev = json.load(f)
-    loaded = box_is_loaded(fingerprint["calibration_sec"], prev)
+    loaded = box_is_loaded(fingerprint["calibration_sec"], prev,
+                           fingerprint.get("sibling_jvm_rss_gb"))
     force_write = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "") == "1"
     regressions: dict[str, list[float]] = {}
     if prev.get("sf") == sf_val and not loaded:
