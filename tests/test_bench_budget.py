@@ -82,6 +82,20 @@ def test_headline_queries_within_committed_budget():
     else:
         guarded = [n for n in bench.HEADLINE if n in budgets]
 
+    # Pre-flight co-tenancy check BEFORE paying for the ~15-minute
+    # measurement: inside a full-suite run the session fixture's Spark JVM
+    # is already alive, the comparison would be skipped afterwards anyway
+    # (noise protocol step 2) — skip up front instead. The post-measurement
+    # fingerprint check below still covers a JVM appearing mid-run.
+    sibling_gb = bench.sibling_jvm_rss_gb()
+    if sibling_gb > bench.SIBLING_JVM_REFUSE_GB:
+        pytest.skip(
+            f"co-tenant Spark JVM alive (RSS {sibling_gb} GiB > "
+            f"{bench.SIBLING_JVM_REFUSE_GB} GiB): shared-JVM wall-clock is "
+            "not comparable to quiet-box budgets — run this guard "
+            "standalone (it is part of the round-close sequence)"
+        )
+
     env = dict(
         os.environ,
         SPARK_GRAFT_BENCH_ONLY=",".join(guarded),
