@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.vectors import dot_duck, dot_spark, norm_duck, norm_spark
-from ..registry import QuerySpec
+from ..registry import QuerySpec, pinned_oracle
 from ..sources.tables import load_table
 
 N_QUERIES = 5   # query set: vec_id < 5
@@ -1775,7 +1775,7 @@ SPECS += [
               "LSH top-K overlap vs exact brute force, integer recall_ppm",
               ("similarity", "ann", "audit")),
     QuerySpec("knn_recall_report_approx", knn_recall_report_approx,
-              KNN_RECALL_APPROX_PINNED_ORACLE,
+              pinned_oracle(KNN_RECALL_APPROX_PINNED_ORACLE),
               "IVF/PQ top-K overlap vs brute force — recall numbers pinned "
               "as oracle constants (quantizer training collects are ordered, "
               "so the report is deterministic and partition-invariant; "

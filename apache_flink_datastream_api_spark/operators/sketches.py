@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import salted_hash64, salted_hash64_sql
-from ..registry import QuerySpec
+from ..registry import QuerySpec, pinned_oracle
 from ..sources.tables import load_table
 
 RSD = 0.02           # HLL target relative standard deviation
@@ -390,7 +390,7 @@ SPECS = [
               "hash-checked exactly; accuracy vs exact pinned in tests",
               ("sketch", "approx")),
     QuerySpec("sketch_rollup_uniques", sketch_rollup_uniques,
-              SKETCH_ROLLUP_PINNED_ORACLE,
+              pinned_oracle(SKETCH_ROLLUP_PINNED_ORACLE),
               "binary HLL sketches rolled up via hll_union_agg — "
               "estimates pinned as oracle constants (HLL max-merge is "
               "order-independent, so the post-union estimate is exactly "

@@ -40,6 +40,39 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default=())
 
 
+# Toolchain the pinned-CONSTANT oracles (knn_recall_report_approx, the
+# HLL rollup pins) were measured under. Those constants restate output
+# that is deterministic PER BUILD (xxhash64 / Datasketches HLL hashing,
+# numpy reduction order) — on a different build a mismatch is drift, not
+# a bug, and the independent gates (recall-floor tests, merge-law tests,
+# artifact checksums) remain authoritative.
+PIN_BUILD = {"pyspark": "4.1.2", "numpy": "1.26.4"}
+
+
+def pinned_oracle(sql: str) -> str | None:
+    """Gate a pinned-constant oracle on the recorded build provenance
+    (VERDICT r6 item 6): return ``sql`` when the running toolchain
+    matches ``PIN_BUILD``; on a toolchain bump return None — the query
+    then registers as rows-only (the driver's weaker check) with a loud
+    stderr note instead of hash-FAILing on phantom drift."""
+    import sys
+
+    import numpy
+    import pyspark
+
+    current = {"pyspark": pyspark.__version__, "numpy": numpy.__version__}
+    if current == PIN_BUILD:
+        return sql
+    print(
+        f"[registry] pinned-constant oracle disabled: toolchain {current} "
+        f"differs from pin provenance {PIN_BUILD}; the query degrades to "
+        "rows-only until its constants are re-measured (the recall-floor/"
+        "merge-law tests remain the correctness gates)",
+        file=sys.stderr,
+    )
+    return None
+
+
 def _collect() -> dict[str, QuerySpec]:
     from .operators import (
         analytics, annindex, behavior, dataflow, dedup, io_roundtrip,

@@ -198,11 +198,23 @@ class AuditTrailSinkWriter(DataSourceWriter):
         return _SinkCommit(tmp, n)
 
     def commit(self, messages):
+        import glob
         import os
 
         for m in messages:
             d, base = os.path.split(m.tmp_path)
             os.rename(m.tmp_path, os.path.join(d, base.replace(".tmp-", "part-", 1)))
+        # Sweep this job's leftover temps on the SUCCESS path too: a
+        # failed-then-retried or speculative task attempt wrote a temp
+        # that no commit message names — without this it would sit in
+        # the output directory forever (abort() already sweeps).
+        for leftover in glob.glob(
+            os.path.join(self.path, f".tmp-{self.job_id}-*")
+        ):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
 
     def abort(self, messages):
         import glob
@@ -346,21 +358,29 @@ def k5_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the regeneration oracle proves the full write/commit/read loop loses
     and duplicates nothing — the exactly-once publish contract executed
     (streaming/exactly_once.py covers the replay side)."""
+    import shutil
     import tempfile
 
     register(spark)
     register_sink(spark)
     n = 10_000
     d = tempfile.mkdtemp(prefix="pyds_sink_")
-    src = (
-        spark.read.format("audit_trail_gen")
-        .option("numRows", n)
-        .option("partitions", 8)
-        .load()
-    )
-    src.write.format("audit_trail_sink").option("path", d).mode("append").save()
-    back = spark.read.schema(AUDIT_GEN_SCHEMA).json(d)
-    return _gen_agg(back)
+    try:
+        src = (
+            spark.read.format("audit_trail_gen")
+            .option("numRows", n)
+            .option("partitions", 8)
+            .load()
+        )
+        src.write.format("audit_trail_sink").option("path", d).mode("append").save()
+        back = spark.read.schema(AUDIT_GEN_SCHEMA).json(d)
+        # Materialize the (tiny) aggregate off the published files so the
+        # scratch dir can be removed NOW — without this every invocation
+        # (bench warm + measured runs, each sim) leaks a 10k-row JSONL
+        # directory in /tmp for the machine's lifetime (ADVICE r6).
+        return _gen_agg(back).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 SPECS = [

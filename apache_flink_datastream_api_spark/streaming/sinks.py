@@ -115,6 +115,15 @@ def _record_state_metrics(q) -> None:
             "rows_in": sum(
                 (json.loads(p.json) if hasattr(p, "json") else p)
                 .get("numInputRows", 0) for p in progress),
+            # per-trigger emitted rows: append-mode queries must hold this
+            # ∝ sessions CLOSED that trigger, while complete mode rewrites
+            # the cumulative table every trigger (the contrast SCALING.md's
+            # output-growth row pins).
+            "sink_rows_per_batch": [
+                ((json.loads(p.json) if hasattr(p, "json") else p)
+                 .get("sink", {}) or {}).get("numOutputRows", -1)
+                for p in progress
+            ],
             "operators": list(ops.values()),
         }
         with open(path, "a") as f:

@@ -13,12 +13,20 @@ MIN of the measured runs is reported: steady-state data-path throughput,
 robust to transient machine load.
 
 Noise robustness (VERDICT r5 item 1): every run records a load fingerprint
-(/proc/loadavg, process count, and a fixed single-thread calibration loop)
-into BENCH_DETAIL.json. When the calibration loop runs >1.3x slower than
-the committed reference, the box is contended and one-shot wall-clock
-comparisons are meaningless — the refresh then REFUSES to overwrite
-BENCH_DETAIL.json or flag regressions (override: SPARK_GRAFT_BENCH_FORCE=1),
-and the pytest guard skips instead of raising phantom failures.
+(/proc/loadavg, process count, and a fixed single-thread calibration loop).
+When the calibration loop runs >1.3x slower than the committed reference,
+the box is contended and one-shot wall-clock comparisons are meaningless —
+regressions are then not flagged (override: SPARK_GRAFT_BENCH_FORCE=1) and
+the pytest guard skips instead of raising phantom failures.
+
+Artifact discipline (VERDICT r6 "What's wrong" #1): a plain ``python
+bench.py`` writes its full per-query detail to BENCH_RUN.json (gitignored
+scratch — safe for the driver or any third party to run repeatedly).
+The COMMITTED budget file BENCH_DETAIL.json is only refreshed under
+SPARK_GRAFT_BENCH_REFRESH=1, and even then only when the quiet-box
+fingerprint check passes (SPARK_GRAFT_BENCH_FORCE=1 overrides) — so the
+curated reference changes exactly when the builder says so, and
+``git status`` stays clean after anyone else's run.
 """
 
 from __future__ import annotations
@@ -555,19 +563,28 @@ def main() -> None:
         detail["regressions_vs_committed"] = regressions
     if loaded and not force_write:
         # Contended box: these one-shot numbers are not budget-quality.
-        # Keep the committed BENCH_DETAIL intact; still print the contract
-        # line below so a driver-run bench always produces its artifact.
         ref = (prev.get("fingerprint") or {}).get("calibration_sec")
         print(
             "[bench] BOX LOADED: calibration "
-            f"{fingerprint['calibration_sec']}s > {LOAD_REFUSE_RATIO}x committed "
-            f"{ref}s — NOT overwriting BENCH_DETAIL.json and NOT comparing "
-            "against budgets (set SPARK_GRAFT_BENCH_FORCE=1 to override)",
+            f"{fingerprint['calibration_sec']}s vs committed {ref}s or "
+            f"sibling JVM {fingerprint.get('sibling_jvm_rss_gb')} GiB — "
+            "NOT comparing against budgets and NOT refresh-eligible "
+            "(set SPARK_GRAFT_BENCH_FORCE=1 to override)",
             file=sys.stderr,
         )
-    else:
+    # Every full run writes its detail to the gitignored RUN artifact;
+    # the committed budget only moves on an explicit builder refresh.
+    run_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RUN.json")
+    with open(run_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    refresh = os.environ.get("SPARK_GRAFT_BENCH_REFRESH", "") == "1"
+    if refresh and (not loaded or force_write):
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
+    elif refresh:
+        print("[bench] refresh requested but box is loaded — committed "
+              "BENCH_DETAIL.json left untouched", file=sys.stderr)
     print(
         json.dumps(
             {

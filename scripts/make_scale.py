@@ -87,7 +87,63 @@ def _prefix_tokens(text: str, i: int) -> str:
     return " ".join(f"r{i}{t}" for t in text.split())
 
 
-def make_scale(base: str, out: str, factor: int) -> None:
+# --- Zipf skew mode (VERDICT r6 item 2) -------------------------------------
+# The uniform construction above deliberately keeps per-key group sizes
+# constant, so the scaling sweep attributes exponents to the PLAN. But a
+# real 100 TB corpus is NOT uniform: boilerplate-heavy document sources
+# and celebrity users dominate shuffle keys. ``--zipf`` derives a leg
+# where the hot-key path is actually exercised:
+#
+# - ``events.user_id`` and ``lineitem.l_partkey`` are remapped through a
+#   deterministic inverse-CDF Zipf(s) over their replicated key universe
+#   (rank 0 = hottest; at s=1.1 over ~30k keys the top key owns ~10% of
+#   all rows). Remapped keys stay inside the universe, so dim joins and
+#   FK integrity hold.
+# - ``documents`` get a Zipf-assigned SOURCE whose shared boilerplate
+#   prefix (24 tokens) is prepended to the text: hot sources make hot
+#   shingle/MinHash-band buckets — the hot path of every dedup family.
+#
+# Everything is a pure function of row identity (golden-ratio hash of a
+# stable id) — no RNG, reproducible, same properties as the uniform
+# replicas otherwise.
+
+ZIPF_S = 1.1
+ZIPF_DOC_SOURCES = 1000
+ZIPF_BOILER_TOKENS = 24
+
+
+def _zipf_ranks(ids, universe: int, s: float = ZIPF_S):
+    """Map stable integer ids to Zipf-distributed ranks in [0, universe):
+    uniform deviate from a golden-ratio hash, then inverse CDF."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.uint64)
+    h = (ids * np.uint64(2654435761) + np.uint64(0x9E3779B9)) & np.uint64(
+        0x7FFFFFFF)
+    p = h.astype(np.float64) / float(2**31)
+    w = 1.0 / np.power(np.arange(1, universe + 1, dtype=np.float64), s)
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    return np.minimum(np.searchsorted(cdf, p, side="right"), universe - 1)
+
+
+def _zipf_remap_column(full, col: str, base_keys, factor: int, stride: int,
+                       hash_ids) -> "pa.Table":
+    """Replace ``col`` with Zipf-distributed keys drawn from the exact
+    replicated universe (base keys + every replica shift), ranked hottest
+    -> coldest in key order."""
+    import numpy as np
+
+    base_sorted = np.sort(np.asarray(base_keys, dtype=np.int64))
+    universe = np.concatenate(
+        [base_sorted + i * stride for i in range(factor)])
+    ranks = _zipf_ranks(hash_ids, len(universe))
+    new_col = pa.array(universe[ranks], type=full.schema.field(col).type)
+    return full.set_column(
+        full.schema.get_field_index(col), full.schema.field(col), new_col)
+
+
+def make_scale(base: str, out: str, factor: int, zipf: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     strides = {}
     for name, (tbl, col) in STRIDE_SRC.items():
@@ -170,6 +226,44 @@ def make_scale(base: str, out: str, factor: int) -> None:
         # state-runner invocations ≈ batches x active keys) into an
         # artificial quadratic.
         full = pa.concat_tables(replicas)
+        if zipf and tbl == "events":
+            base_users = pc.unique(t.column("user_id")).to_pylist()
+            full = _zipf_remap_column(
+                full, "user_id", base_users, factor, strides["events_user"],
+                full.column("event_id").to_numpy())
+        if zipf and tbl == "lineitem":
+            base_parts = pc.unique(
+                pq.read_table(os.path.join(base, "part.parquet"),
+                              columns=["p_partkey"]).column("p_partkey")
+            ).to_pylist()
+            import numpy as np
+
+            hash_ids = (full.column("l_orderkey").to_numpy() * 8
+                        + full.column("l_linenumber").to_numpy())
+            full = _zipf_remap_column(
+                full, "l_partkey", base_parts, factor, strides["part"],
+                hash_ids)
+        if zipf and tbl == "documents":
+            sources = _zipf_ranks(
+                full.column("doc_id").to_numpy(), ZIPF_DOC_SOURCES)
+            boiler = {
+                s: " ".join(f"s{s}b{j}" for j in range(ZIPF_BOILER_TOKENS))
+                for s in set(sources.tolist())
+            }
+            texts = [
+                boiler[s] + " " + x
+                for s, x in zip(sources.tolist(),
+                                full.column("text").to_pylist())
+            ]
+            full = full.set_column(
+                full.schema.get_field_index("text"),
+                t.schema.field("text"),
+                pa.array(texts, t.schema.field("text").type))
+            full = full.set_column(
+                full.schema.get_field_index("n_chars"),
+                t.schema.field("n_chars"),
+                pa.array([len(x) for x in texts],
+                         t.schema.field("n_chars").type))
         if tbl == "events":
             full = full.sort_by([("ts", "ascending"), ("event_id", "ascending")])
             n_parts = EVENT_SLICES
@@ -200,5 +294,8 @@ if __name__ == "__main__":
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--factor", type=int, required=True)
+    ap.add_argument("--zipf", action="store_true",
+                    help="Zipf-skew hot keys (events.user_id, "
+                         "lineitem.l_partkey) and document sources")
     a = ap.parse_args()
-    make_scale(a.base, a.out, a.factor)
+    make_scale(a.base, a.out, a.factor, zipf=a.zipf)

@@ -37,6 +37,11 @@ QUERIES = [
     "j3_threeway_stream_join",
     "x4_debounce_stream",
     "x8_neardup_stream",
+    # round 7: the append+watermark production twins — the row of interest
+    # is sink_rows_per_batch (emitted ∝ sessions closed per trigger) next
+    # to state eviction, vs complete mode's cumulative rewrite.
+    "w4_session_append_stream",
+    "x4_debounce_append_stream",
 ]
 
 LEGS = [  # (label, dir, driver heap) — mirrors the timing legs

@@ -163,7 +163,23 @@ def test_headline_queries_within_committed_budget():
             f"re-adjudication run failed:\n{proc2.stderr[-4000:]}"
         )
         line2 = [l for l in proc2.stdout.splitlines() if l.startswith("{")][-1]
-        remeasured = json.loads(line2)["queries"]
+        result2 = json.loads(line2)
+        # The re-adjudication is only authoritative if ITS box was quiet
+        # too: a co-tenant JVM or CPU contention appearing during the
+        # second measurement would confirm exactly the phantom regression
+        # this protocol exists to prevent (ADVICE r6).
+        fp2 = result2.get("fingerprint") or {}
+        calib2 = fp2.get("calibration_sec")
+        if calib2 is not None and bench.box_is_loaded(
+            calib2, detail, fp2.get("sibling_jvm_rss_gb")
+        ):
+            pytest.skip(
+                "box became loaded during the isolated re-adjudication run "
+                f"(calibration {calib2}s, sibling JVM RSS "
+                f"{fp2.get('sibling_jvm_rss_gb')} GiB) — survivors are not "
+                "trustworthy; re-run on a quiet box"
+            )
+        remeasured = result2["queries"]
         over = {
             name: (budgets[name], measured[name], remeasured[name])
             for name in over

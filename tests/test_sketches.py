@@ -106,3 +106,25 @@ def test_hll_rollup_merge_consistent_and_accurate(spark):
     for et in exact:
         assert rolled[et] == direct[et], (et, rolled[et], direct[et])
         assert abs(rolled[et] - exact[et]) <= max(2, 0.05 * exact[et])
+
+
+def test_pinned_oracle_build_guard():
+    """Pinned-constant oracles degrade to rows-only (None) on a toolchain
+    bump instead of hash-FAILing on phantom drift (VERDICT r6 item 6);
+    on the recorded build they pass through unchanged."""
+    from unittest import mock
+
+    import numpy
+
+    from apache_flink_datastream_api_spark.registry import (
+        PIN_BUILD, pinned_oracle,
+    )
+
+    import pyspark
+
+    if (pyspark.__version__, numpy.__version__) == (
+        PIN_BUILD["pyspark"], PIN_BUILD["numpy"]
+    ):
+        assert pinned_oracle("SELECT 1") == "SELECT 1"
+    with mock.patch.object(numpy, "__version__", "999.0.0"):
+        assert pinned_oracle("SELECT 1") is None

@@ -1226,3 +1226,151 @@ def test_processing_time_timeout_flush(spark, tmp_path):
     finally:
         q.stop()
         spark.catalog.dropTempView("pt_flush")
+
+
+# --- W4/X4 append+watermark production twins (VERDICT r6 item 1) ------------
+
+def test_append_session_watermark_tie_emitted(spark, tmp_path):
+    """Pin the closed-session boundary: a session whose end equals the
+    final watermark EXACTLY is flushed by availableNow's closing no-data
+    batch (i.e. emission condition is end <= watermark, so the append
+    oracles' <= restriction is the right one, not <)."""
+    from apache_flink_datastream_api_spark.streaming.sinks import run_available_now
+
+    # user 1 @ 1000 ms, gap 10 s -> session end 11000; user 2 @ 16000 ms;
+    # delay 5 s -> final watermark = 16000 - 5000 = 11000 == user 1's end.
+    pdir = str(tmp_path / "tie")
+    spark.createDataFrame(
+        [(1, 1000), (2, 16000)], "user_id INT, ts_ms LONG"
+    ).coalesce(1).write.parquet(pdir)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(pdir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "10 seconds").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("user_id", F.unix_millis("w.end").alias("end_ms"), "cnt")
+    )
+    out = run_available_now(agg, spark, mode="append").collect()
+    # the tie session emitted; user 2's (end 26000 > wm 11000) held back
+    assert sorted((r.user_id, r.end_ms) for r in out) == [(1, 11000)]
+
+
+def test_append_session_multibatch_parity(spark, tmp_path, monkeypatch):
+    """Production contract of the append twins over a REAL multi-batch
+    replay (time-sliced multi-file leg): the drained append-mode result
+    equals the batch closed-session set, sessions are emitted
+    incrementally (per-trigger sink rows sum to the total — complete
+    mode would rewrite the cumulative table each trigger), and closed
+    state is evicted."""
+    import json
+
+    leg = "testdata_scaled/sf0.1x"
+    if not os.path.isdir(leg):
+        pytest.skip("scaled multi-file leg not present")
+
+    from apache_flink_datastream_api_spark.streaming.queries import (
+        STREAM_WM_DELAY_MS,
+        w4_session_append_stream,
+    )
+
+    out = tmp_path / "state.jsonl"
+    monkeypatch.setenv("SPARK_GRAFT_STATE_METRICS_FILE", str(out))
+    monkeypatch.setenv("SPARK_GRAFT_STATE_METRICS_LABEL", "w4_append")
+    got = _sorted_rows(
+        w4_session_append_stream(spark, leg),
+        ["user_id", "session_start_ms", "session_end_ms", "cnt"],
+    )
+
+    # batch analog: same session_window plan on a batch read, restricted
+    # to sessions the final watermark (max ts - delay) has closed
+    e = load_table(spark, leg, "events").withColumn(
+        "ts2", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    wm = e.agg(
+        (F.max(F.unix_millis("ts2")) - F.lit(STREAM_WM_DELAY_MS)).alias("wm")
+    ).collect()[0].wm
+    # NB: the closed-session filter must run AFTER materializing the
+    # aggregate. Catalyst pushes post-agg predicates on session_window
+    # output columns below the session MERGE (it treats session_window
+    # like an ordinary grouping key), which drops constituent events
+    # before merging and silently splits sessions — see
+    # test_session_window_filter_pushdown_hazard.
+    want_df = (
+        e.groupBy("user_id", F.session_window("ts2", "6 hours").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "cnt",
+        )
+    )
+    want = sorted(
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.cnt)
+        for r in want_df.collect()
+        if r.session_end_ms <= wm
+    )
+    assert got == want
+
+    rec = next(
+        json.loads(l) for l in open(out)
+        if json.loads(l)["label"] == "w4_append"
+    )
+    assert rec["n_batches"] > 1, "multi-file replay must run multiple batches"
+    sink_rows = [r for r in rec["sink_rows_per_batch"] if r >= 0]
+    # append emits each session ONCE: per-trigger outputs sum to the total
+    # (complete mode's final trigger alone would emit the full table)
+    assert sum(sink_rows) == len(got), (sink_rows, len(got))
+    assert max(sink_rows) < len(got), (sink_rows, len(got))
+    # and closed-session state is actually evicted between micro-batches
+    assert any(o["rows_removed"] > 0 for o in rec["operators"]), rec
+
+
+def test_session_window_filter_pushdown_hazard(spark):
+    """Engine sharp edge discovered in round 7: in BATCH mode, a filter
+    on session_window output columns (start/end) written after the
+    aggregation is pushed by Catalyst below the session MERGE — the raw
+    per-row [ts, ts+gap) windows get filtered before merging, silently
+    splitting sessions. (Streaming append mode is unaffected; the
+    watermark eviction is inside the stateful operator.) This pin makes
+    the hazard loud: the pushed-down form splits a 3-event session, the
+    materialize-then-filter form keeps it whole. If a Spark upgrade
+    fixes the pushdown, the first assertion flips and this test should
+    be updated to say so."""
+    rows = [(3, 0), (3, 7_000_000), (3, 12_000_000)]  # gaps < 6 h: ONE session
+    df = spark.createDataFrame(rows, "user_id INT, ms LONG").withColumn(
+        "ts2", F.timestamp_millis("ms")
+    )
+    agg = (
+        df.groupBy("user_id", F.session_window("ts2", "6 hours").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("s"),
+            F.unix_millis("w.end").alias("e"),
+            "cnt",
+        )
+    )
+    # cutoff between event 2's and event 3's raw window ends: a pushed-down
+    # filter drops event 3 BEFORE merging and yields a 2-event session
+    cutoff = 7_000_000 + 6 * 3600 * 1000 + 1
+    pushed = agg.where(F.col("e") <= cutoff).collect()
+    assert [(r.cnt, r.e) for r in pushed] == [(2, cutoff - 1)], (
+        "Catalyst no longer pushes session-window filters below the merge; "
+        f"update this pin and the workaround comments: {pushed}"
+    )
+    # correct form: materialize first, then filter
+    whole = [r for r in agg.collect() if r.e <= cutoff]
+    assert whole == []  # the true merged session ends later than the cutoff
+    assert [(r.cnt, r.e) for r in agg.collect()] == [(3, 12_000_000 + 6 * 3600 * 1000)]
