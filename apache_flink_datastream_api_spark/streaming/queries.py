@@ -107,7 +107,13 @@ def _events_stream_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     )
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
+    """``stream_dir``: reuse an existing symlink dir from a prior
+    ``_stream_source_dir`` call instead of creating a fresh one. Required
+    for checkpoint RESUME — the file source's offset log records absolute
+    paths, so a restarted query must read the exact same directory."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Streaming state stores are partitioned by shuffle.partitions at query
@@ -119,7 +125,6 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > target:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    stream_dir = _stream_source_dir(sf_dir, "events")
     schema, ts_is_long = _events_stream_schema(sf_dir)
     # One file per micro-batch: a multi-file (time-sliced) events table
     # then replays as successive batches whose watermark advances file
@@ -128,6 +133,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the watermark-bounded-state contract executed, not just claimed.
     # (At the driver scales events is a single file: one batch, exactly
     # the behavior every oracle was validated against.)
+    if stream_dir is None:
+        stream_dir = _stream_source_dir(sf_dir, "events")
     max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES", "1")
     raw = (
         spark.readStream.schema(schema)
@@ -1411,20 +1418,29 @@ def j3_threeway_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the batch truth exactly, so the oracle is one 3-way SQL join.
     Hops are 24 h with 25 h watermarks (event density at test scale makes
     10-minute chains vanish; the state bound scales with the interval)."""
+    return run_available_now(j3_pipeline(spark, sf_dir), spark, mode="append")
+
+
+def j3_pipeline(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
+    """The j3 streaming plan pre-sink (two chained join state stores).
+    Exposed separately so the kill-and-resume test can run it against a
+    DURABLE checkpoint and a stable source dir."""
     views = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, stream_dir)
         .where(F.col("event_type") == "view")
         .selectExpr("user_id AS v_user", "ts AS v_ts")
         .withWatermark("v_ts", "25 hours")
     )
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, stream_dir)
         .where(F.col("event_type") == "click")
         .selectExpr("user_id AS c_user", "ts AS c_ts")
         .withWatermark("c_ts", "25 hours")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
+        _events_stream(spark, sf_dir, stream_dir)
         .where(F.col("event_type") == "purchase")
         .selectExpr("user_id AS p_user", "ts AS p_ts")
         .withWatermark("p_ts", "25 hours")
@@ -1440,7 +1456,7 @@ def j3_threeway_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # must evict on the CLICK time (the side still accepting matches)
         "c_user", "c_ts", F.unix_millis("v_ts").alias("view_ts_ms"),
     )
-    vcp = vc.join(
+    return vc.join(
         purchases,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
@@ -1451,7 +1467,6 @@ def j3_threeway_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("c_ts").alias("click_ts_ms"),
         F.unix_millis("p_ts").alias("purchase_ts_ms"),
     )
-    return run_available_now(vcp, spark, mode="append")
 
 
 J3_THREEWAY_ORACLE = """
@@ -1476,6 +1491,83 @@ SPECS += [
               J3_THREEWAY_ORACLE,
               "three-way watermarked interval join through two state stores",
               ("streaming", "join")),
+]
+
+
+# --- J3 first-touch variant: the funnel under celebrity-key skew ------------
+# Round 7's Zipf leg exposed a SEMANTIC hazard in j3's pair-expansion
+# funnel: a hot user owning ~16% of events makes the interval join's
+# OUTPUT multiplicative (~10^9 rows from one key at sf0.3z — any engine
+# must emit them; no plan fixes cubic output). The production answer is
+# first-touch ATTRIBUTION: reduce each (user, 24 h window, type) to its
+# EARLIEST event BEFORE joining, so both join sides carry at most one
+# row per user-window and output is linear in events — a celebrity user
+# costs the same as anyone else. Engine-wise this pins Spark 4's
+# multiple-stateful-operator chain: THREE windowed min-aggregations
+# feeding TWO stream-stream window equi-joins in one append query
+# (beyond w6's agg->agg chain).
+
+FT_BUCKET_MS = 86_400_000  # 24 h tumbling attribution window
+FT_WM = "25 hours"
+FT_WM_MS = 90_000_000
+
+
+def j3_first_touch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def firsts(t: str) -> DataFrame:
+        return (
+            _events_stream(spark, sf_dir)
+            .where(F.col("event_type") == t)
+            .withColumn("ts2", F.timestamp_millis(F.unix_millis("ts")))
+            .withWatermark("ts2", FT_WM)
+            .groupBy("user_id", F.window("ts2", "24 hours").alias("w"))
+            .agg(F.min(F.unix_millis("ts2")).alias(f"{t}_ms"))
+        )
+
+    vc = firsts("view").join(firsts("click"), ["user_id", "w"]).where(
+        F.col("click_ms") >= F.col("view_ms"))
+    vcp = vc.join(firsts("purchase"), ["user_id", "w"]).where(
+        F.col("purchase_ms") >= F.col("click_ms"))
+    out = vcp.select(
+        "user_id",
+        F.unix_millis("w.start").alias("bucket_ms"),
+        "view_ms", "click_ms", "purchase_ms",
+    )
+    return run_available_now(out, spark, mode="append")
+
+
+# Append emission: a window's firsts (and hence its joined row) flush
+# when the final watermark (max ts - 25 h) passes the window end — the
+# same <= boundary the session append twins pin.
+J3_FIRST_TOUCH_ORACLE = f"""
+WITH f AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch_ms(ts) / {FT_BUCKET_MS}) AS BIGINT)
+           * {FT_BUCKET_MS} AS bucket_ms,
+         MIN(epoch_ms(ts)) AS ms
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY 1, 2, 3
+)
+SELECT v.user_id, v.bucket_ms,
+       v.ms AS view_ms, c.ms AS click_ms, p.ms AS purchase_ms
+FROM f v
+JOIN f c ON c.user_id = v.user_id AND c.bucket_ms = v.bucket_ms
+        AND c.event_type = 'click' AND c.ms >= v.ms
+JOIN f p ON p.user_id = v.user_id AND p.bucket_ms = v.bucket_ms
+        AND p.event_type = 'purchase' AND p.ms >= c.ms
+WHERE v.event_type = 'view'
+  AND v.bucket_ms + {FT_BUCKET_MS} <=
+      (SELECT MAX(epoch_ms(ts)) - {FT_WM_MS} FROM events)
+"""
+
+
+SPECS += [
+    QuerySpec("j3_first_touch_stream", j3_first_touch_stream,
+              J3_FIRST_TOUCH_ORACLE,
+              "first-touch attribution funnel: per-window firsts reduced "
+              "BEFORE joining (3 windowed aggs -> 2 window equi-joins in "
+              "one append query) — linear output under celebrity-key "
+              "skew where j3's pair expansion is multiplicative",
+              ("streaming", "join", "window", "skew")),
 ]
 
 

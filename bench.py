@@ -379,6 +379,9 @@ HEADLINE = [
     "q_lateral_join_api",
     "q_transpose_metrics",
     "x4_debounce_session_stream",
+    "w4_session_append_stream",
+    "x4_debounce_append_stream",
+    "j3_first_touch_stream",
 ]
 
 

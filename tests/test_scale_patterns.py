@@ -325,3 +325,62 @@ def test_map_in_arrow_matches_sql_expression(spark):
         ).collect()
     )
     assert arrow_out == sql_out and len(arrow_out) > 0
+
+
+def test_aqe_skew_split_on_zipf_leg(spark):
+    """The synthetic AQE skew-split pin, executed on the REAL skewed leg
+    (VERDICT r6 item 2): the Zipf lineitem's hot l_partkey (~14% of all
+    rows on one key) joined to the part dimension must show skew
+    handling in the final adaptive plan. Thresholds are tuned the same
+    way as the synthetic pin — the default 256 MB production threshold
+    is deliberately far above a test-scale leg."""
+    import os
+
+    import pytest
+
+    leg = "testdata_scaled/sf0.3z"
+    if not os.path.isdir(leg):
+        pytest.skip("zipf leg not present")
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.shuffle.partitions",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # 32 shuffle partitions so the hot key's partition stands clear of
+        # the median (the suite fixture's 4-partition default hides it)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+
+        li = load_table(spark, leg, "lineitem").select("l_partkey", "l_quantity")
+        p = load_table(spark, leg, "part").select("p_partkey")
+        joined = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy()
+            .agg(F.count("*").alias("n"))
+        )
+        [row] = joined.collect()
+        assert row.n == li.count()  # FK integrity held by the generator
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1374,3 +1374,72 @@ def test_session_window_filter_pushdown_hazard(spark):
     whole = [r for r in agg.collect() if r.e <= cutoff]
     assert whole == []  # the true merged session ends later than the cutoff
     assert [(r.cnt, r.e) for r in agg.collect()] == [(3, 12_000_000 + 6 * 3600 * 1000)]
+
+
+def test_j3_kill_and_resume_mid_replay(spark, tmp_path):
+    """Production recovery contract at real state volume (VERDICT r6
+    item 3): kill the TWO-state-store j3 funnel join mid-replay at the
+    sf1 leg, restart from its checkpoint, and the drained file-sink
+    result is identical to the uninterrupted run — no lost matches, no
+    duplicates (the parquet sink's _spark_metadata commit log plus the
+    join state stores recover exactly-once)."""
+    import time
+
+    from apache_flink_datastream_api_spark.streaming.queries import (
+        _stream_source_dir,
+        j3_pipeline,
+    )
+
+    leg = "testdata_scaled/sf1"
+    if not os.path.isdir(leg):
+        pytest.skip("scaled sf1 leg not present")
+
+    cols = ["user_id", "view_ts_ms", "click_ts_ms", "purchase_ts_ms"]
+    want = _sorted_rows(
+        run_available_now(j3_pipeline(spark, leg), spark, mode="append"), cols
+    )
+    assert want, "fixture produced no funnel matches"
+
+    # durable run: STABLE source dir (the offset log records absolute
+    # paths) + durable checkpoint + exactly-once parquet sink
+    sdir = _stream_source_dir(leg, "events")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            j3_pipeline(spark, leg, stream_dir=sdir)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    deadline = time.monotonic() + 300
+    killed_at = -1
+    while time.monotonic() < deadline:
+        lp = q1.lastProgress
+        if lp and lp["batchId"] >= 3:
+            killed_at = lp["batchId"]
+            break
+        if not q1.isActive:  # replay finished before we could kill it
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(120)
+    assert killed_at >= 0, "query finished before batch 3 - leg too small"
+
+    t0 = time.monotonic()
+    q2 = start()
+    q2.awaitTermination(600)
+    recovery_s = time.monotonic() - t0
+    # the resumed query actually processed the remaining files
+    assert q2.lastProgress is not None
+    assert q2.lastProgress["batchId"] > killed_at
+    print(f"\n[kill-resume] killed after batch {killed_at}, "
+          f"recovery drain {recovery_s:.1f}s")
+
+    got_df = spark.read.parquet(out)
+    assert sorted(tuple(r) for r in got_df.select(*cols).collect()) == want
