@@ -144,8 +144,32 @@ def _pct(xs, p):
     return xs[min(len(xs) - 1, int(math.ceil(p / 100 * len(xs))) - 1)]
 
 
+ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
+           "RocksDBStateStoreProvider")
+
+
 def run_one(spark, name) -> dict:
-    df, mode = QUERIES[name](spark)
+    """``name`` may carry a ``:rocksdb`` suffix: same query, RocksDB
+    state-store provider — the backend a 100 TB deployment runs (state
+    spills to local SSD instead of bounding at executor heap), so the
+    table prices the provider swap, not just the operator."""
+    base, _, provider = name.partition(":")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        spark.conf.set(key, ROCKSDB)
+    try:
+        return _run_one(spark, name, base)
+    finally:
+        if provider == "rocksdb":
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+
+def _run_one(spark, name, base) -> dict:
+    df, mode = QUERIES[base](spark)
     q = (
         df.writeStream.outputMode(mode)
         .format("noop")
@@ -187,7 +211,12 @@ def run_one(spark, name) -> dict:
 def main() -> None:
     from apache_flink_datastream_api_spark.session import get_spark
 
-    names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(QUERIES)
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if not names:
+        names = list(QUERIES)
+        if "--rocksdb" in sys.argv:
+            names += [f"{n}:rocksdb" for n in QUERIES]
+
     spark = get_spark(app_name="throughput")
     results = []
     for name in names:
