@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -238,6 +239,104 @@ class AuditTrailSinkWriter(DataSourceWriter):
                 pass
 
 
+class AuditTrailStreamSinkWriter(DataSourceStreamWriter):
+    """STREAMING half of the custom sink (k6): per-micro-batch two-phase
+    commit with an idempotent batch ledger. Tasks write dot-prefixed
+    temp files; the driver's ``commit(messages, batchId)`` atomically
+    renames them into ``part-{batchId}-...`` visibility UNLESS the
+    ``_committed/{batchId}`` ledger marker already exists — a batch
+    REPLAYED after failure/restart publishes nothing twice. This is the
+    per-checkpoint exactly-once publish contract Flink's 2PC Kafka
+    producer provides (``chapter4/EventTimeOperations.java:178-216``),
+    executed end-to-end on the connector the sandbox allows; the batch
+    half of the protocol is ``AuditTrailSinkWriter`` above."""
+
+    def __init__(self, options, field_names):
+        import uuid
+
+        self.path = options["path"]
+        self.field_names = field_names
+        self.job_id = uuid.uuid4().hex
+
+    def write(self, rows):
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(
+            self.path, f".tmp-{self.job_id}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(self.field_names, r))) + "\n")
+                n += 1
+        return _SinkCommit(tmp, n)
+
+    def _sweep(self):
+        # NB: the engine may re-instantiate the writer between write()
+        # and commit() (fresh job_id), so sweep every temp in the dir —
+        # one streaming query owns its output directory by contract
+        # (unlike the batch sink, where concurrent jobs may share one).
+        import glob
+        import os
+
+        for leftover in glob.glob(os.path.join(self.path, ".tmp-*")):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId) -> None:
+        import glob
+        import os
+
+        ledger = os.path.join(self.path, "_committed")
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, str(batchId))
+        if os.path.exists(marker):
+            # replayed batch after restart: its outputs are already
+            # published — drop this attempt's temps, publish nothing
+            self._sweep()
+            return
+        fresh = set()
+        for m in messages:
+            if m is None:
+                continue
+            d, base = os.path.split(m.tmp_path)
+            new_base = base.replace(".tmp-", f"part-{batchId:05d}-", 1)
+            os.rename(m.tmp_path, os.path.join(d, new_base))
+            fresh.add(new_base)
+        # Crash-window repair: a prior attempt may have renamed its parts
+        # for this batch and died BEFORE writing the marker. Stale = this
+        # batch's parts not named by THIS commit's messages. (Identified
+        # by message paths, not job_id — the engine re-instantiates the
+        # writer for the driver-side commit, so self.job_id differs from
+        # the one the task temps were named under.)
+        for p in glob.glob(os.path.join(self.path, f"part-{batchId:05d}-*")):
+            if os.path.basename(p) not in fresh:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        # Marker last, via temp+atomic-rename: once it exists, every
+        # replay of this batch drops its temps and publishes nothing.
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as f:
+            f.write("committed")
+        os.replace(tmp_marker, marker)
+
+    def abort(self, messages, batchId) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
+        self._sweep()
+
+
 class AuditTrailSink(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -245,6 +344,9 @@ class AuditTrailSink(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> AuditTrailSinkWriter:
         return AuditTrailSinkWriter(self.options, schema.fieldNames())
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return AuditTrailStreamSinkWriter(self.options, schema.fieldNames())
 
 
 def register_sink(spark: SparkSession) -> None:
@@ -383,7 +485,73 @@ def k5_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def k6_python_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-connector STREAMING write path: offset-tracked generator
+    stream -> custom Python ``DataSourceStreamWriter`` (per-micro-batch
+    two-phase commit with an idempotent batch ledger) -> read the
+    published files back -> aggregate. Hash-matching the regeneration
+    oracle proves the multi-batch write/commit/read loop loses and
+    duplicates nothing; the ledger's replay idempotence (a re-committed
+    batchId publishes nothing twice) is failure-injection-tested in
+    tests/test_pydatasource.py."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    register(spark)
+    register_sink(spark)
+    n = 3000
+    d = tempfile.mkdtemp(prefix="pyds_ssink_")
+    try:
+        stream = (
+            spark.readStream.format("audit_trail_gen")
+            .option("numRows", n)
+            .option("rowsPerBatch", 1000)
+            .load()
+        )
+        # processingTime trigger + published-row drain (not availableNow:
+        # the Python stream source's availableNow end-offset is computed
+        # once, which would collapse the capped generator to one batch —
+        # this query exists to exercise the MULTI-batch commit ledger).
+        q = (
+            stream.writeStream.format("audit_trail_sink")
+            .option("path", d)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 180
+            published = 0
+            while time.monotonic() < deadline:
+                published = 0
+                for part in glob.glob(os.path.join(d, "part-*")):
+                    with open(part) as f:
+                        published += sum(1 for _ in f)
+                if published == n:
+                    break
+                time.sleep(0.3)
+            else:
+                raise TimeoutError(
+                    f"stream sink published {published}/{n} rows")
+        finally:
+            q.stop()
+        back = spark.read.schema(AUDIT_GEN_SCHEMA).json(d)
+        return _gen_agg(back).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 SPECS = [
+    QuerySpec(
+        "k6_python_stream_sink_roundtrip", k6_python_stream_sink_roundtrip,
+        _gen_oracle(3000),
+        "custom Python DataSourceStreamWriter sink: per-micro-batch "
+        "two-phase commit + idempotent batch ledger, multi-batch "
+        "write/read-back loop hash-checked against the regeneration oracle",
+        ("sink", "streaming", "spark4"),
+    ),
     QuerySpec(
         "k5_python_sink_roundtrip", k5_python_sink_roundtrip, _gen_oracle(10_000),
         "custom Python DataSourceWriter sink (two-phase temp-file commit), "

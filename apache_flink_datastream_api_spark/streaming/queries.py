@@ -1335,10 +1335,48 @@ def w7_dynamic_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, spark, mode="complete")
 
 
+def w7_dynamic_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w7's production twin (same pattern as w4_session_append_stream):
+    watermarked DYNAMIC-gap session windows in append mode — each
+    session emits once when the watermark passes its end (end = max of
+    member ts + that member's own gap) and its state is evicted."""
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts2", F.timestamp_millis(F.unix_millis("ts")))
+        .withWatermark("ts2", STREAM_WM_DELAY)
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("12 hours")).otherwise(
+        F.lit("6 hours")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts2", gap).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "cnt",
+        )
+    )
+    return run_available_now(agg, spark, mode="append")
+
+
+W7_APPEND_ORACLE = f"""
+SELECT * FROM ({W7_ORACLE})
+WHERE session_end_ms <=
+      (SELECT MAX(epoch_ms(ts)) - {3_600_000} FROM events)
+"""
+
+
 SPECS += [
     QuerySpec("w7_dynamic_session_stream", w7_dynamic_session_stream, W7_ORACLE,
               "dynamic-gap session windows on the streaming state store",
               ("streaming", "window", "spark4")),
+    QuerySpec("w7_dynamic_append_stream", w7_dynamic_append_stream,
+              W7_APPEND_ORACLE,
+              "watermarked append-mode dynamic-gap session windows — the "
+              "production form of w7_dynamic_session_stream",
+              ("streaming", "window", "stateful", "spark4")),
 ]
 
 

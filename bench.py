@@ -376,9 +376,11 @@ HEADLINE = [
     "knn_bruteforce_arrow",
     "emb_pool_arrow_grouped",
     "k5_python_sink_roundtrip",
+    "k6_python_stream_sink_roundtrip",
     "q_lateral_join_api",
     "q_transpose_metrics",
     "x4_debounce_session_stream",
+    "w7_dynamic_append_stream",
     "w4_session_append_stream",
     "x4_debounce_append_stream",
     "j3_first_touch_stream",

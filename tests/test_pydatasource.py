@@ -132,3 +132,70 @@ def test_sink_atomic_publish_and_abort(spark, tmp_path):
         ).mode("append").save()
     # nothing published, nothing left over
     assert os.listdir(bad_dir) == [], os.listdir(bad_dir)
+
+
+import os
+
+
+def _stream_writer(path):
+    from apache_flink_datastream_api_spark.sources.pydatasource import (
+        AuditTrailStreamSinkWriter,
+    )
+
+    return AuditTrailStreamSinkWriter({"path": str(path)}, ["a", "b"])
+
+
+def test_stream_sink_batch_ledger_replay_idempotent(tmp_path):
+    """k6 exactly-once contract, failure-injected at the protocol level:
+    a batch REPLAYED after restart (new writer instance, marker already
+    in the ledger) publishes nothing twice and leaves no temp litter."""
+    w1 = _stream_writer(tmp_path)
+    msgs = [w1.write(iter([(1, "x"), (2, "y")])), w1.write(iter([(3, "z")]))]
+    w1.commit(msgs, 0)
+    parts = sorted(p for p in os.listdir(tmp_path) if p.startswith("part-"))
+    assert len(parts) == 2 and all(p.startswith("part-00000-") for p in parts)
+    rows_before = sum(
+        1 for p in parts for _ in open(os.path.join(tmp_path, p)))
+    assert rows_before == 3
+
+    # restart: the engine re-creates the writer (fresh job_id) and
+    # replays batch 0 — same data, new temps
+    w2 = _stream_writer(tmp_path)
+    msgs2 = [w2.write(iter([(1, "x"), (2, "y")])), w2.write(iter([(3, "z")]))]
+    w2.commit(msgs2, 0)
+
+    after = sorted(p for p in os.listdir(tmp_path) if p.startswith("part-"))
+    assert after == parts, "replayed batch must not re-publish"
+    assert not [p for p in os.listdir(tmp_path) if p.startswith(".tmp-")]
+
+
+def test_stream_sink_crash_window_repair(tmp_path):
+    """A prior attempt that renamed its parts but died BEFORE writing the
+    ledger marker must be superseded exactly once: the replaying commit
+    removes the stale parts and publishes its own."""
+    w1 = _stream_writer(tmp_path)
+    msgs = [w1.write(iter([(1, "x"), (2, "y")]))]
+    # simulate the crash window: renames happened, marker did not
+    for m in msgs:
+        d, base = os.path.split(m.tmp_path)
+        os.rename(m.tmp_path,
+                  os.path.join(d, base.replace(".tmp-", "part-00001-", 1)))
+    assert not os.path.exists(tmp_path / "_committed" / "1")
+
+    w2 = _stream_writer(tmp_path)
+    msgs2 = [w2.write(iter([(1, "x"), (2, "y")]))]
+    w2.commit(msgs2, 1)
+
+    parts = [p for p in os.listdir(tmp_path) if p.startswith("part-00001-")]
+    assert len(parts) == 1, parts  # exactly ONE publication survived
+    rows = sum(1 for _ in open(tmp_path / parts[0]))
+    assert rows == 2
+    assert os.path.exists(tmp_path / "_committed" / "1")
+    assert not [p for p in os.listdir(tmp_path) if p.startswith(".tmp-")]
+
+
+def test_stream_sink_abort_publishes_nothing(tmp_path):
+    w = _stream_writer(tmp_path)
+    msgs = [w.write(iter([(1, "x")])), None]  # one task never reported
+    w.abort(msgs, 0)
+    assert [p for p in os.listdir(tmp_path) if not p.startswith("_")] == []
