@@ -522,6 +522,11 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     if subset is not None:
+        # End-of-run calibration: contention ARRIVING mid-measurement is
+        # invisible to the pre-run fingerprint (this box's co-tenant is
+        # intermittent) — the guard checks both ends before trusting a
+        # wall-clock comparison.
+        fingerprint["calibration_sec_end"] = calibrate()
         print(json.dumps({
             "metric": "headline_queries_subset_runtime",
             "value": round(sum(times.values()), 3),

@@ -123,7 +123,13 @@ def test_headline_queries_within_committed_budget():
     # is authoritative when run standalone on a quiet box — the bench
     # refresh in the close sequence is that run.
     fp = result.get("fingerprint") or {}
-    calib = fp.get("calibration_sec")
+    # contention can ARRIVE mid-measurement (intermittent host co-tenant),
+    # so judge the run by the worse of its start/end calibrations
+    calib = max(
+        (c for c in (fp.get("calibration_sec"), fp.get("calibration_sec_end"))
+         if c is not None),
+        default=None,
+    )
     if calib is not None and bench.box_is_loaded(
         calib, detail, fp.get("sibling_jvm_rss_gb")
     ):
@@ -169,7 +175,12 @@ def test_headline_queries_within_committed_budget():
         # second measurement would confirm exactly the phantom regression
         # this protocol exists to prevent (ADVICE r6).
         fp2 = result2.get("fingerprint") or {}
-        calib2 = fp2.get("calibration_sec")
+        calib2 = max(
+            (c for c in (fp2.get("calibration_sec"),
+                         fp2.get("calibration_sec_end"))
+             if c is not None),
+            default=None,
+        )
         if calib2 is not None and bench.box_is_loaded(
             calib2, detail, fp2.get("sibling_jvm_rss_gb")
         ):
