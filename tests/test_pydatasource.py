@@ -199,3 +199,81 @@ def test_stream_sink_abort_publishes_nothing(tmp_path):
     msgs = [w.write(iter([(1, "x")])), None]  # one task never reported
     w.abort(msgs, 0)
     assert [p for p in os.listdir(tmp_path) if not p.startswith("_")] == []
+
+
+def test_stream_sink_ledger_exactly_once_property(tmp_path):
+    """Property: for ANY interleaving of batch attempts — first tries,
+    replays after restart (fresh writer instance), crash-window retries
+    (renamed parts, no marker), aborts — each committed batchId ends up
+    published EXACTLY once and no temp files survive. Drives the ledger
+    through randomized schedules rather than the three hand-picked
+    scenarios above."""
+    import json as _json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # batchId
+            st.sampled_from(["commit", "crash", "abort"]),  # attempt fate
+            st.integers(min_value=1, max_value=3),          # rows in batch
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(events)
+    def run(schedule):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(dir=tmp_path, prefix="prop_")
+        try:
+            committed = set()
+            payload = {}  # batchId -> rows of the LAST committed attempt
+            for batch_id, fate, n_rows in schedule:
+                w = _stream_writer(d)  # every attempt: fresh instance
+                rows = [(batch_id * 100 + i, f"r{i}") for i in range(n_rows)]
+                msgs = [w.write(iter(rows))]
+                if fate == "abort":
+                    w.abort(msgs, batch_id)
+                elif fate == "crash":
+                    # commit() died mid-way. Its real order is marker
+                    # check -> renames -> marker write, so a crash can
+                    # leave renamed parts ONLY when the marker did not
+                    # already exist; a crash after the marker check of a
+                    # committed batch leaves at most unswept temps.
+                    if not os.path.exists(
+                        os.path.join(d, "_committed", str(batch_id))
+                    ):
+                        for m in msgs:
+                            dd, base = os.path.split(m.tmp_path)
+                            os.rename(m.tmp_path, os.path.join(
+                                dd, base.replace(
+                                    ".tmp-", f"part-{batch_id:05d}-", 1)))
+                else:
+                    w.commit(msgs, batch_id)
+                    if batch_id not in committed:
+                        committed.add(batch_id)
+                        payload[batch_id] = rows
+            # published state: per committed batch, exactly the FIRST
+            # committed attempt's rows, exactly once; crash leftovers of
+            # never-committed batches may remain (repaired on their next
+            # commit), but temps never survive a commit/abort
+            for b in committed:
+                parts = [p for p in os.listdir(d)
+                         if p.startswith(f"part-{b:05d}-")]
+                got = []
+                for p in parts:
+                    with open(os.path.join(d, p)) as f:
+                        got += [tuple(_json.loads(l).values()) for l in f]
+                want = [(i, s) for i, s in payload[b]]
+                assert sorted(got) == sorted(want), (b, got, want)
+                assert os.path.exists(os.path.join(d, "_committed", str(b)))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run()
