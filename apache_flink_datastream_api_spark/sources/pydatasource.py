@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -134,6 +135,32 @@ class AuditTrailStreamReader(DataSourceStreamReader):
         pass
 
 
+class AuditTrailSimpleStreamReader(SimpleDataSourceStreamReader):
+    """The THIRD Python source API variant: the driver-side simple
+    stream reader (``read(start) -> (rows, nextOffset)``). Spark
+    PREFETCHES on the driver and caches each range; after a restart it
+    replays uncommitted ranges through ``readBetweenOffsets`` — which
+    must regenerate the identical rows, trivially true here because row
+    i is a pure function of i. The partition-parallel
+    ``AuditTrailStreamReader`` above is the scale path; this variant
+    pins the low-volume/driver-side contract of the same source."""
+
+    def __init__(self, options):
+        self.num_rows = int(options.get("numrows", 100))
+        self.rows_per_batch = int(options.get("rowsperbatch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        i = start["index"]
+        end = min(i + self.rows_per_batch, self.num_rows)
+        return iter([gen_row(j) for j in range(i, end)]), {"index": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([gen_row(j) for j in range(start["index"], end["index"])])
+
+
 class AuditTrailDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -149,9 +176,27 @@ class AuditTrailDataSource(DataSource):
         return AuditTrailStreamReader(self.options)
 
 
+class AuditTrailSimpleDataSource(DataSource):
+    """Same generator exposed through ``simpleStreamReader`` (a
+    DataSource may define streamReader OR simpleStreamReader; the
+    engine prefers the partitioned one when both exist, so the simple
+    variant gets its own format name)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "audit_trail_gen_simple"
+
+    def schema(self) -> StructType:
+        return AUDIT_GEN_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType):
+        return AuditTrailSimpleStreamReader(self.options)
+
+
 def register(spark: SparkSession) -> None:
     """Idempotent registration of the generator source."""
     spark.dataSource.register(AuditTrailDataSource)
+    spark.dataSource.register(AuditTrailSimpleDataSource)
 
 
 # --- custom Python SINK (DataSourceWriter, two-phase commit) -----------------
@@ -453,6 +498,44 @@ def s3_generator_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def s3_generator_simple_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 through the SIMPLE stream-reader API (driver-side prefetch,
+    readBetweenOffsets replay) — same bounded drain and regeneration
+    oracle as the partitioned stream variant."""
+    import uuid
+
+    register(spark)
+    n = 2000
+    stream = (
+        spark.readStream.format("audit_trail_gen_simple")
+        .option("numRows", n)
+        .option("rowsPerBatch", 500)
+        .load()
+    )
+    agg = _gen_agg(stream)
+    name = f"gens_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _ephemeral_checkpoint())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            done = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+            if done == n:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError(f"simple stream drained {done}/{n} rows")
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def k5_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom-connector WRITE path: generator source -> custom Python
     JSONL sink (task-level temp files + driver-side atomic rename on
@@ -563,6 +646,14 @@ SPECS = [
         "S3 synthetic generator as a custom Python DataSource (batch), "
         "LCG-deterministic so the oracle regenerates it in SQL",
         ("source", "spark4"),
+    ),
+    QuerySpec(
+        "s3_generator_simple_stream", s3_generator_simple_stream,
+        _gen_oracle(2000),
+        "S3 generator via SimpleDataSourceStreamReader (driver-side "
+        "prefetch + readBetweenOffsets replay), multi-batch drain "
+        "hash-checked against the regeneration oracle",
+        ("source", "streaming", "spark4"),
     ),
     QuerySpec(
         "s3_generator_stream", s3_generator_stream, _gen_oracle(3000),

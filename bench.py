@@ -377,6 +377,7 @@ HEADLINE = [
     "emb_pool_arrow_grouped",
     "k5_python_sink_roundtrip",
     "k6_python_stream_sink_roundtrip",
+    "s3_generator_simple_stream",
     "q_lateral_join_api",
     "q_transpose_metrics",
     "x4_debounce_session_stream",
