@@ -13,14 +13,20 @@ oracle SQL string. The driver hash-compares the two at sf=0.01
   DuckDB ``epoch_ms``), never as raw timestamps.
 
 Queries with ``oracle=None`` are genuinely non-SQL-expressible and get
-the driver's weaker rows-only check. Exactly TWO remain —
-``knn_ivf_cosine`` / ``knn_pq_cosine`` (float-trained numpy quantizers:
-the k-means reduction order is not SQL-replayable) — and both are
-covered three independent ways instead: recall-floor tests vs exact
-brute force (tests/test_similarity.py), a hash-checked recall REPORT
-(``knn_recall_report_approx``), and byte-exact checksums of the trained
-centroid/codebook artifacts themselves
+the driver's weaker rows-only check. Exactly TWO are unconditionally so
+— ``knn_ivf_cosine`` / ``knn_pq_cosine`` (float-trained numpy
+quantizers: the k-means reduction order is not SQL-replayable) — and
+both are covered three independent ways instead: recall-floor tests vs
+exact brute force (tests/test_similarity.py), a hash-checked recall
+REPORT (``knn_recall_report_approx``), and byte-exact checksums of the
+trained centroid/codebook artifacts themselves
 (tests/test_annindex.py::test_trained_quantizer_artifact_checksums).
+Additionally, the two PINNED-CONSTANT oracles
+(``knn_recall_report_approx``, ``sketch_rollup_uniques``) are
+build-gated by :func:`pinned_oracle`: on a toolchain that diverges from
+``PIN_BUILD`` they conditionally degrade to rows-only, with the
+downgrade recorded both on stderr and in the machine-readable
+``scaling_runs/oracle_downgrade.json``.
 """
 
 from __future__ import annotations
@@ -49,19 +55,36 @@ class QuerySpec:
 PIN_BUILD = {"pyspark": "4.1.2", "numpy": "1.26.4"}
 
 
+def _build_matches(current: dict[str, str]) -> bool:
+    """pyspark must match exactly (the xxhash64/HLL implementations the
+    pins restate live in that jar); numpy is compared on (major, minor)
+    only — a patch release does not change the reduction-order semantics
+    the pinned constants depend on, and exact-equality would silently
+    downgrade two hash oracles on every harmless patch bump."""
+    if current["pyspark"] != PIN_BUILD["pyspark"]:
+        return False
+    cur_np = current["numpy"].split(".")[:2]
+    pin_np = PIN_BUILD["numpy"].split(".")[:2]
+    return cur_np == pin_np
+
+
 def pinned_oracle(sql: str) -> str | None:
     """Gate a pinned-constant oracle on the recorded build provenance
     (VERDICT r6 item 6): return ``sql`` when the running toolchain
     matches ``PIN_BUILD``; on a toolchain bump return None — the query
-    then registers as rows-only (the driver's weaker check) with a loud
-    stderr note instead of hash-FAILing on phantom drift."""
+    then registers as rows-only (the driver's weaker check), with the
+    downgrade recorded on stderr AND in
+    ``scaling_runs/oracle_downgrade.json`` so the round log can pick it
+    up mechanically, instead of hash-FAILing on phantom drift."""
+    import json
+    import os
     import sys
 
     import numpy
     import pyspark
 
     current = {"pyspark": pyspark.__version__, "numpy": numpy.__version__}
-    if current == PIN_BUILD:
+    if _build_matches(current):
         return sql
     print(
         f"[registry] pinned-constant oracle disabled: toolchain {current} "
@@ -70,6 +93,15 @@ def pinned_oracle(sql: str) -> str | None:
         "merge-law tests remain the correctness gates)",
         file=sys.stderr,
     )
+    try:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "scaling_runs", "oracle_downgrade.json")
+        with open(path, "w") as f:
+            json.dump({"current": current, "pin": PIN_BUILD,
+                       "effect": "pinned-constant oracles degraded to "
+                                 "rows-only"}, f, indent=2)
+    except OSError:
+        pass  # read-only checkout: the stderr note still lands
     return None
 
 

@@ -309,7 +309,7 @@ class AuditTrailStreamSinkWriter(DataSourceStreamWriter):
         import uuid
 
         tmp = os.path.join(
-            self.path, f".tmp-{self.job_id}-{uuid.uuid4().hex}.jsonl")
+            self.path, f".stmp-{self.job_id}-{uuid.uuid4().hex}.jsonl")
         n = 0
         with open(tmp, "w") as f:
             for r in rows:
@@ -319,13 +319,14 @@ class AuditTrailStreamSinkWriter(DataSourceStreamWriter):
 
     def _sweep(self):
         # NB: the engine may re-instantiate the writer between write()
-        # and commit() (fresh job_id), so sweep every temp in the dir —
-        # one streaming query owns its output directory by contract
-        # (unlike the batch sink, where concurrent jobs may share one).
+        # and commit() (fresh job_id), so sweep every STREAM temp in the
+        # dir. Stream temps are namespaced ``.stmp-`` precisely so this
+        # sweep can never delete an in-flight BATCH writer's ``.tmp-``
+        # files if a batch job shares the directory (ADVICE r7).
         import glob
         import os
 
-        for leftover in glob.glob(os.path.join(self.path, ".tmp-*")):
+        for leftover in glob.glob(os.path.join(self.path, ".stmp-*")):
             try:
                 os.remove(leftover)
             except OSError:
@@ -348,7 +349,7 @@ class AuditTrailStreamSinkWriter(DataSourceStreamWriter):
             if m is None:
                 continue
             d, base = os.path.split(m.tmp_path)
-            new_base = base.replace(".tmp-", f"part-{batchId:05d}-", 1)
+            new_base = base.replace(".stmp-", f"part-{batchId:05d}-", 1)
             os.rename(m.tmp_path, os.path.join(d, new_base))
             fresh.add(new_base)
         # Crash-window repair: a prior attempt may have renamed its parts
@@ -383,6 +384,18 @@ class AuditTrailStreamSinkWriter(DataSourceStreamWriter):
 
 
 class AuditTrailSink(DataSource):
+    """JSONL sink exposing BOTH write paths under one format name:
+    the batch 2PC writer (k5) and the streaming ledger writer (k6).
+
+    Directory contract: batch jobs may safely SHARE an output directory
+    (batch temps are ``.tmp-{job_id}-*`` and each job only sweeps its
+    own job_id); a STREAMING query replay sweeps every ``.stmp-*`` in
+    the directory, so stream temps are namespaced ``.stmp-`` — a batch
+    write running concurrently with a streaming query in the same
+    directory cannot have its in-flight temps deleted by the stream
+    sweep. Two streaming queries must NOT share one directory (their
+    sweeps and batch ledgers would interleave)."""
+
     @classmethod
     def name(cls) -> str:
         return "audit_trail_sink"

@@ -1364,7 +1364,7 @@ def w7_dynamic_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 W7_APPEND_ORACLE = f"""
 SELECT * FROM ({W7_ORACLE})
 WHERE session_end_ms <=
-      (SELECT MAX(epoch_ms(ts)) - {3_600_000} FROM events)
+      (SELECT MAX(epoch_ms(ts)) - {STREAM_WM_DELAY_MS} FROM events)
 """
 
 

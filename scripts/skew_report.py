@@ -15,8 +15,16 @@ test_aqe_skew_split_on_zipf_leg (real hot key, tuned thresholds).
 Methodology mirrors the uniform sweep: bench.py subset mode (noop sink,
 warm + min-of-2), each query x leg in its OWN JVM, 8g driver heap.
 
+A query that cannot finish a leg (e.g. ``j3_threeway_stream_join`` on the
+Zipf leg, whose interval join has multiplicative output under the hot
+key — SCALING.md adjudication) is recorded as a ``{"sec": null}`` DNF
+record rather than aborting the sweep, and rendered as ``DNF`` in the
+table.
+
 Usage:
-    python scripts/skew_report.py            # run sweep -> skew_sweep.jsonl
+    python scripts/skew_report.py            # full sweep -> skew_sweep.jsonl
+    python scripts/skew_report.py --only q1,q2   # re-run just those queries,
+                                                 # merge into the existing file
     python scripts/skew_report.py --table    # print the markdown table
 """
 
@@ -37,10 +45,18 @@ QUERIES = [
     "graph_rich_club",
     "j2_join_then_window_stream",
     "j3_threeway_stream_join",
+    "j3_first_touch_stream",
     "x8_neardup_stream",
     "q_spearman_corr",
     "x4_debounce_append_stream",
+    "dedup_substring_spans",
+    "pipeline_dedup_e2e",
 ]
+
+# Per-query subprocess timeout. j3_threeway_stream_join's zipf leg is a
+# KNOWN multiplicative-output DNF (SCALING.md); cap it short so the sweep
+# records the DNF and moves on instead of burning 30 minutes.
+TIMEOUTS = {("j3_threeway_stream_join", "zipf"): 300}
 
 LEGS = [
     ("uniform", "testdata_scaled/sf0.3"),
@@ -50,39 +66,70 @@ LEGS = [
 OUT = os.path.join(REPO, "scaling_runs", "skew_sweep.jsonl")
 
 
-def run_sweep() -> None:
-    if os.path.exists(OUT):
-        os.remove(OUT)
+def _run_one(q: str, label: str, d: str) -> dict:
+    """One query x leg in its own JVM; DNF (timeout / nonzero rc) becomes
+    a {"sec": None} record instead of aborting the sweep."""
+    print(f"[skew] {q} @ {label}", flush=True)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_ONLY=q,
+        SPARK_GRAFT_SF_DIR=os.path.join(REPO, d),
+        SPARK_DRIVER_MEMORY="8g",
+        PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell",
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, capture_output=True, text=True,
+            timeout=TIMEOUTS.get((q, label), 1800),
+        )
+        if proc.returncode != 0:
+            print(f"[skew] {q}@{label} DNF (rc={proc.returncode}):\n"
+                  f"{proc.stderr[-2000:]}", flush=True)
+            return {"leg": label, "query": q, "sec": None,
+                    "dnf": f"rc={proc.returncode}"}
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        return {"leg": label, "query": q, "sec": rec["queries"][q],
+                "fingerprint": rec.get("fingerprint", {})}
+    except subprocess.TimeoutExpired:
+        print(f"[skew] {q}@{label} DNF (timeout)", flush=True)
+        return {"leg": label, "query": q, "sec": None, "dnf": "timeout"}
+
+
+def _load() -> list[dict]:
+    if not os.path.exists(OUT):
+        return []
+    return [json.loads(l) for l in open(OUT)]
+
+
+def _save(recs: list[dict]) -> None:
+    tmp = OUT + ".tmp"
+    with open(tmp, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    os.replace(tmp, OUT)
+
+
+def run_sweep(only: set[str] | None = None) -> None:
+    """Run (query, leg) pairs and merge into OUT atomically. With ``only``,
+    re-run just those queries and keep every other committed record —
+    the committed artifact is never destroyed by a partial run."""
+    recs = _load()
+    keep = [r for r in recs
+            if only is not None and r["query"] not in only]
+    fresh: list[dict] = []
     for label, d in LEGS:
         for q in QUERIES:
-            print(f"[skew] {q} @ {label}", flush=True)
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_BENCH_ONLY=q,
-                SPARK_GRAFT_SF_DIR=os.path.join(REPO, d),
-                SPARK_DRIVER_MEMORY="8g",
-                PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell",
-            )
-            proc = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                env=env, cwd=REPO, capture_output=True, text=True,
-                timeout=1800,
-            )
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"{q}@{label} failed:\n{proc.stderr[-3000:]}")
-            line = [l for l in proc.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            rec = json.loads(line)
-            with open(OUT, "a") as f:
-                f.write(json.dumps(
-                    {"leg": label, "query": q,
-                     "sec": rec["queries"][q],
-                     "fingerprint": rec.get("fingerprint", {})}) + "\n")
+            if only is not None and q not in only:
+                continue
+            fresh.append(_run_one(q, label, d))
+            _save(keep + fresh)  # checkpoint after every leg
+    _save(keep + fresh)
 
 
 def table() -> None:
-    recs = [json.loads(l) for l in open(OUT)]
+    recs = _load()
     t: dict[str, dict[str, float]] = {}
     for r in recs:
         t.setdefault(r["query"], {})[r["leg"]] = r["sec"]
@@ -90,16 +137,26 @@ def table() -> None:
     print("|---|---|---|---|")
     worst = 0.0
     for q in QUERIES:
-        u, z = t[q].get("uniform"), t[q].get("zipf")
-        ratio = z / u if u and z else float("nan")
-        worst = max(worst, ratio)
-        print(f"| `{q}` | {u:.2f} | {z:.2f} | {ratio:.2f}x |")
-    print(f"\nworst ratio: {worst:.2f}x")
+        u = t.get(q, {}).get("uniform")
+        z = t.get(q, {}).get("zipf")
+        u_s = f"{u:.2f}" if u is not None else "DNF"
+        z_s = f"{z:.2f}" if z is not None else "DNF"
+        if u and z:
+            ratio_s = f"{z / u:.2f}x"
+            worst = max(worst, z / u)
+        else:
+            ratio_s = "—"
+        print(f"| `{q}` | {u_s} | {z_s} | {ratio_s} |")
+    print(f"\nworst completed ratio: {worst:.2f}x")
 
 
 if __name__ == "__main__":
     if "--table" in sys.argv:
         table()
     else:
-        run_sweep()
+        only = None
+        if "--only" in sys.argv:
+            only = set(
+                sys.argv[sys.argv.index("--only") + 1].split(","))
+        run_sweep(only)
         table()

@@ -166,7 +166,7 @@ def test_stream_sink_batch_ledger_replay_idempotent(tmp_path):
 
     after = sorted(p for p in os.listdir(tmp_path) if p.startswith("part-"))
     assert after == parts, "replayed batch must not re-publish"
-    assert not [p for p in os.listdir(tmp_path) if p.startswith(".tmp-")]
+    assert not [p for p in os.listdir(tmp_path) if p.startswith(".stmp-")]
 
 
 def test_stream_sink_crash_window_repair(tmp_path):
@@ -179,7 +179,7 @@ def test_stream_sink_crash_window_repair(tmp_path):
     for m in msgs:
         d, base = os.path.split(m.tmp_path)
         os.rename(m.tmp_path,
-                  os.path.join(d, base.replace(".tmp-", "part-00001-", 1)))
+                  os.path.join(d, base.replace(".stmp-", "part-00001-", 1)))
     assert not os.path.exists(tmp_path / "_committed" / "1")
 
     w2 = _stream_writer(tmp_path)
@@ -191,7 +191,26 @@ def test_stream_sink_crash_window_repair(tmp_path):
     rows = sum(1 for _ in open(tmp_path / parts[0]))
     assert rows == 2
     assert os.path.exists(tmp_path / "_committed" / "1")
-    assert not [p for p in os.listdir(tmp_path) if p.startswith(".tmp-")]
+    assert not [p for p in os.listdir(tmp_path) if p.startswith(".stmp-")]
+
+
+def test_stream_sweep_spares_batch_writer_temps(tmp_path):
+    """ADVICE r7: the stream sweep deletes every ``.stmp-*`` but must
+    never touch a concurrent BATCH writer's ``.tmp-*`` in-flight temps
+    when both share one output directory."""
+    batch_tmp = tmp_path / ".tmp-batchjob-deadbeef.jsonl"
+    batch_tmp.write_text('{"a": 1}\n')
+
+    w = _stream_writer(tmp_path)
+    msgs = [w.write(iter([(1, "x")]))]
+    w.commit(msgs, 0)  # commit path runs repairs; replay below runs _sweep
+
+    w2 = _stream_writer(tmp_path)
+    msgs2 = [w2.write(iter([(1, "x")]))]
+    w2.commit(msgs2, 0)  # replayed batch: drops its .stmp- temps
+
+    assert batch_tmp.exists(), "stream sweep must not delete batch temps"
+    assert not [p for p in os.listdir(tmp_path) if p.startswith(".stmp-")]
 
 
 def test_stream_sink_abort_publishes_nothing(tmp_path):
@@ -253,7 +272,7 @@ def test_stream_sink_ledger_exactly_once_property(tmp_path):
                             dd, base = os.path.split(m.tmp_path)
                             os.rename(m.tmp_path, os.path.join(
                                 dd, base.replace(
-                                    ".tmp-", f"part-{batch_id:05d}-", 1)))
+                                    ".stmp-", f"part-{batch_id:05d}-", 1)))
                 else:
                     w.commit(msgs, batch_id)
                     if batch_id not in committed:
