@@ -417,7 +417,9 @@ def register_sink(spark: SparkSession) -> None:
 # The oracle regenerates the LCG stream in pure SQL, so the custom source
 # is hash-checked end-to-end (not rows-only).
 
+import os  # noqa: E402
 import time  # noqa: E402
+from contextlib import contextmanager  # noqa: E402
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
@@ -437,6 +439,25 @@ WITH r AS (
   FROM generate_series(0, {n - 1}) t(i)
 )
 """
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, default: str = "4"):
+    """Pin shuffle partitions (= streaming state-store instances per
+    stateful operator) for the duration of a bounded drain, restoring
+    the session conf afterwards. The generator drains aggregate a few
+    thousand rows per micro-batch, and each batch pays a state-store
+    open/commit PER PARTITION: at 32 session partitions the 4-batch
+    simple-stream drain spends 5+ s on store bookkeeping, at 4 it runs
+    in ~2.4 s (measured r8, sf-independent). A real deployment sizes
+    via SPARK_GRAFT_STREAM_PARTITIONS, which takes precedence."""
+    target = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", default)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", target)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _gen_agg(df: DataFrame) -> DataFrame:
@@ -481,33 +502,34 @@ def s3_generator_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     n = 3000
-    stream = (
-        spark.readStream.format("audit_trail_gen")
-        .option("numRows", n)
-        .option("rowsPerBatch", 1000)
-        .load()
-    )
-    agg = _gen_agg(stream)
-    name = f"gen_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _ephemeral_checkpoint())
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = time.monotonic() + 180
-        while time.monotonic() < deadline:
-            done = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
-            if done == n:
-                break
-            time.sleep(0.3)
-        else:
-            raise TimeoutError(f"generator stream drained {done}/{n} rows")
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.format("audit_trail_gen")
+            .option("numRows", n)
+            .option("rowsPerBatch", 1000)
+            .load()
+        )
+        agg = _gen_agg(stream)
+        name = f"gen_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 180
+            while time.monotonic() < deadline:
+                done = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+                if done == n:
+                    break
+                time.sleep(0.1)
+            else:
+                raise TimeoutError(f"generator stream drained {done}/{n} rows")
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -519,33 +541,34 @@ def s3_generator_simple_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register(spark)
     n = 2000
-    stream = (
-        spark.readStream.format("audit_trail_gen_simple")
-        .option("numRows", n)
-        .option("rowsPerBatch", 500)
-        .load()
-    )
-    agg = _gen_agg(stream)
-    name = f"gens_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _ephemeral_checkpoint())
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = time.monotonic() + 180
-        while time.monotonic() < deadline:
-            done = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
-            if done == n:
-                break
-            time.sleep(0.3)
-        else:
-            raise TimeoutError(f"simple stream drained {done}/{n} rows")
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.format("audit_trail_gen_simple")
+            .option("numRows", n)
+            .option("rowsPerBatch", 500)
+            .load()
+        )
+        agg = _gen_agg(stream)
+        name = f"gens_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _ephemeral_checkpoint())
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 180
+            while time.monotonic() < deadline:
+                done = spark.table(name).agg(F.sum("cnt")).collect()[0][0]
+                if done == n:
+                    break
+                time.sleep(0.1)
+            else:
+                raise TimeoutError(f"simple stream drained {done}/{n} rows")
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -614,7 +637,7 @@ def k6_python_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
             stream.writeStream.format("audit_trail_sink")
             .option("path", d)
             .option("checkpointLocation", _ephemeral_checkpoint())
-            .trigger(processingTime="250 milliseconds")
+            .trigger(processingTime="100 milliseconds")
             .start()
         )
         try:
@@ -627,7 +650,7 @@ def k6_python_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
                         published += sum(1 for _ in f)
                 if published == n:
                     break
-                time.sleep(0.3)
+                time.sleep(0.1)
             else:
                 raise TimeoutError(
                     f"stream sink published {published}/{n} rows")

@@ -1551,6 +1551,18 @@ FT_WM_MS = 90_000_000
 
 
 def j3_first_touch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # This chain carries FIVE state stores (3 window aggs + 2 joins), and
+    # every micro-batch pays a store open/commit per store per shuffle
+    # partition — the per-batch floor is 5x a single-agg query's. At the
+    # demo state volume 4 partitions halve wall-clock vs the 8 the other
+    # stream queries use (measured r8: 5.2 s vs 10.4 s at sf0.1); a real
+    # deployment sizes via SPARK_GRAFT_STREAM_PARTITIONS as usual, which
+    # takes precedence here too. Conf is restored after the bounded run
+    # so later queries in the session are unaffected.
+    target = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", target)
+
     def firsts(t: str) -> DataFrame:
         return (
             _events_stream(spark, sf_dir)
@@ -1561,16 +1573,19 @@ def j3_first_touch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.unix_millis("ts2")).alias(f"{t}_ms"))
         )
 
-    vc = firsts("view").join(firsts("click"), ["user_id", "w"]).where(
-        F.col("click_ms") >= F.col("view_ms"))
-    vcp = vc.join(firsts("purchase"), ["user_id", "w"]).where(
-        F.col("purchase_ms") >= F.col("click_ms"))
-    out = vcp.select(
-        "user_id",
-        F.unix_millis("w.start").alias("bucket_ms"),
-        "view_ms", "click_ms", "purchase_ms",
-    )
-    return run_available_now(out, spark, mode="append")
+    try:
+        vc = firsts("view").join(firsts("click"), ["user_id", "w"]).where(
+            F.col("click_ms") >= F.col("view_ms"))
+        vcp = vc.join(firsts("purchase"), ["user_id", "w"]).where(
+            F.col("purchase_ms") >= F.col("click_ms"))
+        out = vcp.select(
+            "user_id",
+            F.unix_millis("w.start").alias("bucket_ms"),
+            "view_ms", "click_ms", "purchase_ms",
+        )
+        return run_available_now(out, spark, mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # Append emission: a window's firsts (and hence its joined row) flush

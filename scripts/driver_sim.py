@@ -1,6 +1,9 @@
 """Simulate the driver's t1 smoke + t2 correctness gate end-to-end.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [--only q1,q2,...]
+
+``--only`` restricts the t2 gate to the named queries (fast re-check of
+just-touched operators); the full run remains the round-close gate.
 
 Creates a VANILLA SparkSession (no engine confs — like the driver would),
 imports __spark_entry__, runs entry() as smoke, then every queries() entry
@@ -20,7 +23,13 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, ".")
 import __spark_entry__ as e  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = sys.argv[1:]
+ONLY: set[str] | None = None
+if "--only" in _args:
+    i = _args.index("--only")
+    ONLY = set(_args[i + 1].split(","))
+    _args = _args[:i] + _args[i + 2:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -58,6 +67,10 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     queries, oracles = e.queries(), e.oracle_sql()
+    if ONLY is not None:
+        unknown = ONLY - queries.keys()
+        assert not unknown, f"--only names not in queries(): {sorted(unknown)}"
+        queries = {k: v for k, v in queries.items() if k in ONLY}
     n_pass = n_fail = n_rows_only = 0
     for name, fn in sorted(queries.items()):
         t0 = time.time()

@@ -131,11 +131,51 @@ def q_x8_jvm(spark):
     return neardup_bucket_state(docs), "update"
 
 
+def q_j3_first_touch(spark):
+    """The multi-stateful-operator chain (VERDICT r7 item 5): three
+    windowed min-aggregations feeding two stream-stream window
+    equi-joins in ONE append query — five state stores. Event-type must
+    be derived independently of user_id here: ``value % 5`` is constant
+    per user (N_USERS is a multiple of 5), which would starve the funnel
+    of (view, click, purchase) triples; ``(value div N_USERS) % 5``
+    gives every user all five types across a 100k-row batch. Windows are
+    60 s of event time (~0.6 wall-s per window at 1 ms/row cadence) so
+    windows close and rows flow through BOTH joins at steady state."""
+    ev = _rate(spark).select(
+        (F.col("value") % N_USERS).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("view", "click", "purchase", "error", "signup")]),
+            ((F.col("value") / N_USERS).cast("long") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.lit(BASE_MS) + F.col("value")).alias("ts_ms"),
+    )
+
+    def firsts(t):
+        return (
+            ev.where(F.col("event_type") == t)
+            .withColumn("ts2", F.timestamp_millis("ts_ms"))
+            .withWatermark("ts2", "10 seconds")
+            .groupBy("user_id", F.window("ts2", "60 seconds").alias("w"))
+            .agg(F.min("ts_ms").alias(f"{t}_ms"))
+        )
+
+    vc = firsts("view").join(firsts("click"), ["user_id", "w"]).where(
+        F.col("click_ms") >= F.col("view_ms"))
+    vcp = vc.join(firsts("purchase"), ["user_id", "w"]).where(
+        F.col("purchase_ms") >= F.col("click_ms"))
+    out = vcp.select(
+        "user_id", F.unix_millis("w.start").alias("bucket_ms"),
+        "view_ms", "click_ms", "purchase_ms")
+    return out, "append"
+
+
 QUERIES = {
     "x1_python": q_x1_python,
     "x4_python": q_x4_python,
     "x4_jvm": q_x4_jvm,
     "x8_jvm": q_x8_jvm,
+    "j3_ft_jvm": q_j3_first_touch,
 }
 
 
