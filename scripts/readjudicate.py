@@ -65,8 +65,13 @@ def main() -> None:
         print(f"[readj] {q}: min {min(secs):.3f}s vs budget {b} -> {verdict}",
               flush=True)
     path = os.path.join(REPO, "scaling_runs", "readjudication.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(out)  # keep prior adjudications; latest per query wins
     with open(path, "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(merged, f, indent=2)
     print(f"[readj] wrote {path}", flush=True)
 
 

@@ -111,7 +111,12 @@ def test_hll_rollup_merge_consistent_and_accurate(spark):
 def test_pinned_oracle_build_guard():
     """Pinned-constant oracles degrade to rows-only (None) on a toolchain
     bump instead of hash-FAILing on phantom drift (VERDICT r6 item 6);
-    on the recorded build they pass through unchanged."""
+    on the recorded build they pass through unchanged. r8 (ADVICE): a
+    numpy PATCH bump keeps the oracle (match on major.minor), and a real
+    downgrade is recorded in a machine-readable artifact — which this
+    test removes afterwards, since ITS downgrade is simulated."""
+    import json
+    import os
     from unittest import mock
 
     import numpy
@@ -126,5 +131,16 @@ def test_pinned_oracle_build_guard():
         PIN_BUILD["pyspark"], PIN_BUILD["numpy"]
     ):
         assert pinned_oracle("SELECT 1") == "SELECT 1"
+        # patch-level numpy bump: reduction-order semantics unchanged,
+        # oracle kept
+        np_patch_bump = PIN_BUILD["numpy"].rsplit(".", 1)[0] + ".999"
+        with mock.patch.object(numpy, "__version__", np_patch_bump):
+            assert pinned_oracle("SELECT 1") == "SELECT 1"
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scaling_runs", "oracle_downgrade.json")
     with mock.patch.object(numpy, "__version__", "999.0.0"):
         assert pinned_oracle("SELECT 1") is None
+    with open(art) as f:
+        assert json.load(f)["current"]["numpy"] == "999.0.0"
+    os.remove(art)  # simulated downgrade must not masquerade as real
