@@ -1609,3 +1609,106 @@ SPECS += [
               "span-length threshold sweep: removal volume at K in {10,20,40}",
               ("dedup", "substring", "audit", "eval")),
 ]
+
+
+# --- SemDeDup-style semantic prune ------------------------------------------
+# Semantic dedup as a RETENTION DECISION (SemDeDup, Abbas et al. 2023 —
+# arXiv:2303.09540): bucket embeddings by a quantizer, then within each
+# bucket drop every vector that has a similar lower-id neighbor. Unlike
+# `dedup_embedding_cosine` (which reports candidate PAIRS blocked on a
+# GIVEN label), this derives its blocks FROM the embedding itself and
+# emits the keep/drop accounting a pipeline acts on. The quantizer here
+# is the deterministic sign quantizer (first SEM_B dimensions' sign bits
+# -> 2^SEM_B orthant buckets) so the DuckDB oracle replays it exactly;
+# the trained-quantizer production variant is the persisted IVF index
+# path (operators/annindex.py), whose cells swap in for buckets
+# unchanged. At 100 TB: bucket count scales with SEM_B (or IVF K), the
+# pairwise stage is bounded per bucket (sum of c_b^2, never n^2 global),
+# and the decision rule needs no iteration — one bucketed self-join plus
+# an anti-join, all map-side before the bucket shuffle.
+#
+# Keep rule (deterministic, order-free): vec v is DROPPED iff some
+# u < v in v's bucket has cos(u, v) >= SEM_TAU (u itself kept or not).
+# Consequence tested in tests/test_dedup_semantic.py: the kept set never
+# contains a within-bucket pair at >= SEM_TAU, and every dropped vector
+# has a lower-id witness.
+
+SEM_B = 6            # sign bits -> 64 buckets (scale knob; 16+ at 100 TB)
+SEM_TAU = 0.3        # testdata embeddings are near-random (max pair ~0.51)
+
+_SEM_BUCKET_S = (
+    "aggregate(sequence(1, {b}), 0L, (s, j) -> "
+    "s + IF(element_at(embedding, j) > cast(0 as float), "
+    "shiftleft(1L, j - 1), 0L))"
+)
+_SEM_BUCKET_D = (
+    "CAST(list_sum(list_transform(generate_series(1, {b}), "
+    "j -> CASE WHEN embedding[j] > 0 THEN (1::BIGINT << (j - 1)) "
+    "ELSE 0 END)) AS BIGINT)"
+)
+
+
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.selectExpr(
+        "vec_id",
+        f"{_SEM_BUCKET_S.format(b=SEM_B)} AS bucket",
+        "embedding",
+        f"sqrt({_DOT_S.format(a='embedding', b='embedding')}) AS norm",
+    )
+    lo = n.selectExpr(
+        "vec_id AS lo_id", "bucket", "embedding AS lo_emb", "norm AS lo_norm")
+    dropped = (
+        n.join(lo, "bucket")
+        .where(F.col("lo_id") < F.col("vec_id"))
+        .where(F.expr(
+            f"{_DOT_S.format(a='lo_emb', b='embedding')} / (lo_norm * norm)"
+            f" >= {SEM_TAU}"))
+        .select("vec_id").distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        n.join(dropped, "vec_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0))
+             .alias("n_kept"),
+            F.sum(F.when(F.col("is_dropped").isNull(), F.col("vec_id"))
+                   .otherwise(F.lit(0))).alias("kept_id_sum"),
+        )
+    )
+
+
+DEDUP_SEMDEDUP_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id,
+         {_SEM_BUCKET_D.format(b=SEM_B)} AS bucket,
+         embedding,
+         sqrt({_DOT_D.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings
+), dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM n lo JOIN n hi ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+  WHERE {_DOT_D.format(a='lo.embedding', b='hi.embedding')}
+          / (lo.norm * hi.norm) >= {SEM_TAU}
+)
+SELECT bucket,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN n.vec_id ELSE 0 END)
+         AS BIGINT) AS kept_id_sum
+FROM n LEFT JOIN dropped d USING (vec_id)
+GROUP BY bucket
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_semdedup_prune", dedup_semdedup_prune,
+              DEDUP_SEMDEDUP_ORACLE,
+              "SemDeDup-style semantic prune: sign-quantizer buckets, "
+              "greedy lower-id keep rule, per-bucket retention + exact "
+              "kept-set checksum",
+              ("dedup", "vector", "llm")),
+]
