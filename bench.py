@@ -487,6 +487,52 @@ def over_budget(measured: float, committed: float) -> bool:
     return measured > max(GUARD_REL * committed, committed + GUARD_ABS_FLOOR)
 
 
+def _isolated_remeasure(
+    name: str, ref_calibration: float | None,
+    timeout_s: int = 300, attempts: int = 3,
+) -> float | None:
+    """Re-measure one flagged query in a FRESH subprocess JVM (subset
+    mode: warm + min-of-2, same methodology). A re-measure taken on a
+    contended window proves nothing either way, so an attempt only
+    counts when the subprocess's OWN both-end calibration is clean vs
+    the committed reference; up to ``attempts`` tries, 30 s apart.
+    Returns the measured seconds, or None when no clean attempt landed —
+    the caller then keeps the original flag rather than silently
+    clearing it (and the run's fingerprint shows the contention)."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=name)
+    env.pop("SPARK_GRAFT_BENCH_REFRESH", None)  # subset never refreshes
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(30)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout_s,
+            )
+            if proc.returncode != 0:
+                return None
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            rec = json.loads(line)
+            fp = rec.get("fingerprint", {})
+            cals = [fp.get("calibration_sec"), fp.get("calibration_sec_end")]
+            if ref_calibration is not None and any(
+                c is None or c > LOAD_REFUSE_RATIO * ref_calibration
+                for c in cals
+            ):
+                print(f"[bench] {name} isolated re-measure attempt "
+                      f"{attempt + 1}: contended window (calibration "
+                      f"{cals} vs ref {ref_calibration}) — retrying",
+                      file=sys.stderr)
+                continue
+            return rec["queries"][name]
+        except (subprocess.TimeoutExpired, IndexError, KeyError, ValueError):
+            return None
+    return None
+
+
 def main() -> None:
     # Fingerprint BEFORE starting this bench's own JVM, so any java
     # process observed is a genuine co-tenant, not our executor.
@@ -592,6 +638,34 @@ def main() -> None:
             committed = prev.get("queries", {}).get(name)
             if committed is not None and over_budget(t, committed):
                 regressions[name] = [committed, t]
+    # Self-adjudication (r8): a ~330-query shared-JVM session has a heavy
+    # per-query right tail — identical-code re-runs flag DISJOINT 1-2
+    # query sets (GC/code-cache lottery; SCALING.md r6 finding 4 and the
+    # r8 adjudication). A real regression reproduces in a FRESH isolated
+    # JVM; a lottery victim does not. Re-measure each flagged query in a
+    # subprocess before reporting, so the recorded regression set
+    # contains only reproducible offenders.
+    # Cap the adjudication effort: past a handful of flags the cause is
+    # systematic (contended run or a genuinely broad regression) and
+    # per-query re-measures would add ~3 min each without changing the
+    # verdict — report the raw set instead.
+    MAX_ADJUDICATIONS = 5
+    ref_cal = (prev.get("fingerprint") or {}).get("calibration_sec")
+    if len(regressions) > MAX_ADJUDICATIONS:
+        print(f"[bench] {len(regressions)} queries flagged — too many for "
+              "per-query adjudication (systematic cause); reporting raw",
+              file=sys.stderr)
+    for name in list(regressions) if len(regressions) <= MAX_ADJUDICATIONS \
+            else []:
+        committed = regressions[name][0]
+        iso = _isolated_remeasure(name, ref_cal)
+        if iso is not None and not over_budget(iso, committed):
+            print(f"[bench] {name} re-adjudicated in isolated JVM: {iso}s "
+                  f"vs budget {committed}s — shared-session lottery noise, "
+                  "not a regression", file=sys.stderr)
+            del regressions[name]
+        elif iso is not None:
+            regressions[name].append(iso)  # reproduced: record the iso time
     if regressions:
         print(f"[bench] REGRESSIONS vs committed BENCH_DETAIL: {regressions}",
               file=sys.stderr)
