@@ -1550,6 +1550,35 @@ FT_WM = "25 hours"
 FT_WM_MS = 90_000_000
 
 
+def j3_first_touch_pipeline(
+    spark: SparkSession, sf_dir: str, stream_dir: str | None = None
+) -> DataFrame:
+    """The unexecuted five-state-store chain (3 windowed min-aggs -> 2
+    stream-stream window equi-joins). ``stream_dir``: reuse one stable
+    symlink dir across all THREE sources — required for checkpoint
+    RESUME, where the offset logs record absolute paths."""
+
+    def firsts(t: str) -> DataFrame:
+        return (
+            _events_stream(spark, sf_dir, stream_dir)
+            .where(F.col("event_type") == t)
+            .withColumn("ts2", F.timestamp_millis(F.unix_millis("ts")))
+            .withWatermark("ts2", FT_WM)
+            .groupBy("user_id", F.window("ts2", "24 hours").alias("w"))
+            .agg(F.min(F.unix_millis("ts2")).alias(f"{t}_ms"))
+        )
+
+    vc = firsts("view").join(firsts("click"), ["user_id", "w"]).where(
+        F.col("click_ms") >= F.col("view_ms"))
+    vcp = vc.join(firsts("purchase"), ["user_id", "w"]).where(
+        F.col("purchase_ms") >= F.col("click_ms"))
+    return vcp.select(
+        "user_id",
+        F.unix_millis("w.start").alias("bucket_ms"),
+        "view_ms", "click_ms", "purchase_ms",
+    )
+
+
 def j3_first_touch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # This chain carries FIVE state stores (3 window aggs + 2 joins), and
     # every micro-batch pays a store open/commit per store per shuffle
@@ -1562,28 +1591,9 @@ def j3_first_touch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
     prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.shuffle.partitions", target)
-
-    def firsts(t: str) -> DataFrame:
-        return (
-            _events_stream(spark, sf_dir)
-            .where(F.col("event_type") == t)
-            .withColumn("ts2", F.timestamp_millis(F.unix_millis("ts")))
-            .withWatermark("ts2", FT_WM)
-            .groupBy("user_id", F.window("ts2", "24 hours").alias("w"))
-            .agg(F.min(F.unix_millis("ts2")).alias(f"{t}_ms"))
-        )
-
     try:
-        vc = firsts("view").join(firsts("click"), ["user_id", "w"]).where(
-            F.col("click_ms") >= F.col("view_ms"))
-        vcp = vc.join(firsts("purchase"), ["user_id", "w"]).where(
-            F.col("purchase_ms") >= F.col("click_ms"))
-        out = vcp.select(
-            "user_id",
-            F.unix_millis("w.start").alias("bucket_ms"),
-            "view_ms", "click_ms", "purchase_ms",
-        )
-        return run_available_now(out, spark, mode="append")
+        return run_available_now(
+            j3_first_touch_pipeline(spark, sf_dir), spark, mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

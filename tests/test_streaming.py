@@ -1443,3 +1443,76 @@ def test_j3_kill_and_resume_mid_replay(spark, tmp_path):
 
     got_df = spark.read.parquet(out)
     assert sorted(tuple(r) for r in got_df.select(*cols).collect()) == want
+
+
+def test_j3_first_touch_kill_and_resume_mid_replay(spark, tmp_path):
+    """Recovery contract for the FIVE-state-store chain (r8, extending
+    the two-store j3 proof of r7): kill the first-touch funnel (3
+    windowed min-aggs -> 2 stream-stream window joins) mid-replay at the
+    sf1 leg, restart from its checkpoint, and the drained file-sink
+    result is identical to the uninterrupted run. This is the recovery
+    mode Spark 4's multiple-stateful-operator chains must survive in
+    production: all five stores plus three source offset logs restore to
+    one consistent cut."""
+    import time
+
+    from apache_flink_datastream_api_spark.streaming.queries import (
+        _stream_source_dir,
+        j3_first_touch_pipeline,
+    )
+
+    leg = "testdata_scaled/sf1"
+    if not os.path.isdir(leg):
+        pytest.skip("scaled sf1 leg not present")
+
+    cols = ["user_id", "bucket_ms", "view_ms", "click_ms", "purchase_ms"]
+    want = _sorted_rows(
+        run_available_now(
+            j3_first_touch_pipeline(spark, leg), spark, mode="append"),
+        cols,
+    )
+    assert want, "fixture produced no funnel firsts"
+
+    # durable run: ONE stable source dir shared by all three sources
+    # (offset logs record absolute paths) + durable checkpoint +
+    # exactly-once parquet sink
+    sdir = _stream_source_dir(leg, "events")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            j3_first_touch_pipeline(spark, leg, stream_dir=sdir)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    deadline = time.monotonic() + 300
+    killed_at = -1
+    while time.monotonic() < deadline:
+        lp = q1.lastProgress
+        if lp and lp["batchId"] >= 3:
+            killed_at = lp["batchId"]
+            break
+        if not q1.isActive:  # replay finished before we could kill it
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(120)
+    assert killed_at >= 0, "query finished before batch 3 - leg too small"
+
+    t0 = time.monotonic()
+    q2 = start()
+    q2.awaitTermination(600)
+    recovery_s = time.monotonic() - t0
+    assert q2.lastProgress is not None
+    assert q2.lastProgress["batchId"] > killed_at
+    print(f"\n[kill-resume j3_ft] killed after batch {killed_at}, "
+          f"recovery drain {recovery_s:.1f}s")
+
+    got_df = spark.read.parquet(out)
+    assert sorted(tuple(r) for r in got_df.select(*cols).collect()) == want
