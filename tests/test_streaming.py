@@ -1445,7 +1445,8 @@ def test_j3_kill_and_resume_mid_replay(spark, tmp_path):
     assert sorted(tuple(r) for r in got_df.select(*cols).collect()) == want
 
 
-def test_j3_first_touch_kill_and_resume_mid_replay(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_j3_first_touch_kill_and_resume_mid_replay(spark, tmp_path, provider):
     """Recovery contract for the FIVE-state-store chain (r8, extending
     the two-store j3 proof of r7): kill the first-touch funnel (3
     windowed min-aggs -> 2 stream-stream window joins) mid-replay at the
@@ -1453,7 +1454,10 @@ def test_j3_first_touch_kill_and_resume_mid_replay(spark, tmp_path):
     result is identical to the uninterrupted run. This is the recovery
     mode Spark 4's multiple-stateful-operator chains must survive in
     production: all five stores plus three source offset logs restore to
-    one consistent cut."""
+    one consistent cut. Parametrized over BOTH state-store providers —
+    RocksDB recovery (changelog/snapshot reload from the checkpoint)
+    is a different code path than the heap-backed store's delta files,
+    and it is the one a 100 TB deployment runs."""
     import time
 
     from apache_flink_datastream_api_spark.streaming.queries import (
@@ -1465,10 +1469,20 @@ def test_j3_first_touch_kill_and_resume_mid_replay(spark, tmp_path):
     if not os.path.isdir(leg):
         pytest.skip("scaled sf1 leg not present")
 
+    s = spark
+    if provider == "rocksdb":
+        # cloned session so the provider conf doesn't leak into others
+        s = spark.newSession()
+        s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
     cols = ["user_id", "bucket_ms", "view_ms", "click_ms", "purchase_ms"]
     want = _sorted_rows(
         run_available_now(
-            j3_first_touch_pipeline(spark, leg), spark, mode="append"),
+            j3_first_touch_pipeline(s, leg), s, mode="append"),
         cols,
     )
     assert want, "fixture produced no funnel firsts"
@@ -1481,7 +1495,7 @@ def test_j3_first_touch_kill_and_resume_mid_replay(spark, tmp_path):
 
     def start():
         return (
-            j3_first_touch_pipeline(spark, leg, stream_dir=sdir)
+            j3_first_touch_pipeline(s, leg, stream_dir=sdir)
             .writeStream.outputMode("append")
             .format("parquet")
             .option("path", out)
@@ -1511,8 +1525,8 @@ def test_j3_first_touch_kill_and_resume_mid_replay(spark, tmp_path):
     recovery_s = time.monotonic() - t0
     assert q2.lastProgress is not None
     assert q2.lastProgress["batchId"] > killed_at
-    print(f"\n[kill-resume j3_ft] killed after batch {killed_at}, "
-          f"recovery drain {recovery_s:.1f}s")
+    print(f"\n[kill-resume j3_ft/{provider}] killed after batch "
+          f"{killed_at}, recovery drain {recovery_s:.1f}s")
 
-    got_df = spark.read.parquet(out)
+    got_df = s.read.parquet(out)
     assert sorted(tuple(r) for r in got_df.select(*cols).collect()) == want
