@@ -1,11 +1,14 @@
 """Deeper TPC-H shapes + analytic window functions.
 
 Extends the relational corpus (operators/relational.py) with the remaining
-TPC-H query shapes expressible over the driver's simplified star schema
-(no partsupp table, so q2/q8/q9/q11/q16/q20 are out of scope by data, not
-by engine capability), plus the analytic-function surface (ntile,
-percent_rank, cume_dist, first_value) the reference hand-builds with
-ValueState (SURVEY.md §2.5 note, §2.8).
+TPC-H query shapes expressible directly over the driver's simplified star
+schema (Q8 is in operators/relational.py — no partsupp needed); the
+partsupp-dependent Q2/Q9/Q11/Q16/Q20 live in operators/partsupp.py over a
+deterministic DERIVED supplier-part catalog (hash-assigned supplier×part pairs with
+synthesized supplycost/availqty — driver-oracle-checked since r7). Also
+here: the analytic-function surface (ntile, percent_rank, cume_dist,
+first_value) the reference hand-builds with ValueState (SURVEY.md §2.5
+note, §2.8).
 
 Scale notes mirror relational.py: dims broadcast explicitly, fact-fact
 joins shuffle on their join key once, every aggregate is partial

@@ -93,13 +93,13 @@ def _assign_cells_int8(df: DataFrame, cents: "np.ndarray") -> DataFrame:
     return df.withColumn("cluster_id", cell("q"))
 
 
-def _train_centroids(qv: DataFrame) -> "np.ndarray":
+def _train_centroids(qv: DataFrame, k: int = PIVF_K) -> "np.ndarray":
     """Seeds in md5(vec_id) order, one exact Lloyd step. Driver state is
     K centroid vectors (bounded); the refinement sums are a distributed
     K x dim integer aggregation."""
     seed_rows = (
         qv.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(PIVF_K).select("q").collect()
+        .limit(k).select("q").collect()
     )
     S = np.array([r.q for r in seed_rows], dtype="int64")
     sums = (
@@ -123,19 +123,22 @@ def _train_centroids(qv: DataFrame) -> "np.ndarray":
 _INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, scope: str = "full") -> str:
+def build_ivf_index(spark: SparkSession, sf_dir: str, scope: str = "full",
+                    k: int = PIVF_K) -> str:
     """Build (once) and persist the IVF index for sf_dir; returns its
     directory: ``centroids/`` (K rows: cluster_id, c, cc) and ``assign/``
-    (vec_id, q, qq) partitioned by cluster_id."""
-    key = (sf_dir, scope)
+    (vec_id, q, qq) partitioned by cluster_id. ``k`` is the cell count —
+    the registered queries use the default; the K-proportional-to-n
+    scale sweep (scripts/semdedup_sweep.py) passes larger values."""
+    key = (sf_dir, scope, k)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     qv = _quantized(spark, sf_dir, scope)
-    cent = _train_centroids(qv)
+    cent = _train_centroids(qv, k)
     base = tempfile.mkdtemp(prefix=f"ivf_index_{scope}_")
     cent_rows = [
         (i + 1, [int(x) for x in cent[i]], int((cent[i] * cent[i]).sum()))
-        for i in range(PIVF_K)
+        for i in range(k)
     ]
     spark.createDataFrame(
         cent_rows, "cluster_id int, c array<bigint>, cc bigint"
@@ -352,7 +355,7 @@ def knn_ivf_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition sets are pruned to the probed cells). Proves the appended
     vectors are immediately searchable without any rebuild."""
     knn_index_delta(spark, sf_dir)  # ensure history index + delta exist
-    base = _INDEX_CACHE[(sf_dir, "hist")]
+    base = _INDEX_CACHE[(sf_dir, "hist", PIVF_K)]
     cent = _load_centroids(spark, base)
     hist = spark.read.parquet(os.path.join(base, "assign"))
     delta = spark.read.parquet(os.path.join(base, "assign_delta"))

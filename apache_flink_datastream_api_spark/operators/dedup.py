@@ -1712,3 +1712,96 @@ SPECS += [
               "kept-set checksum",
               ("dedup", "vector", "llm")),
 ]
+
+
+# --- SemDeDup over the persisted IVF index (production variant) --------------
+# VERDICT r8 item 3: the sign quantizer above is FIXED at 2^SEM_B buckets,
+# so per-bucket pairwise work (sum of c_b^2) is quadratic in n at fixed B.
+# The production form buckets by the TRAINED coarse quantizer of the
+# persisted ANN index (operators/annindex.py — the SemDeDup paper's
+# k-means cells): K grows with the corpus (K proportional to n keeps mean
+# cell occupancy CONSTANT, so sum of c_b^2 ~ n * cell_size = linear in n;
+# measured in scripts/semdedup_sweep.py -> SCALING.md), cells are already
+# persisted/partition-pruned, and the prune reuses the index a pipeline
+# built for serving anyway — no second quantizer pass over the corpus.
+#
+# Same keep rule as above (drop v iff some u < v in v's cell has
+# cos(u, v) >= SEM_TAU), but over the index's int8-quantized vectors with
+# the threshold test kept INTEGER-EXACT: cos >= 3/10 on non-negative dot
+# <=> 100*dot^2 >= 9*qq_u*qq_v (dot <= 64*127^2 ~ 1.03e6, so 100*dot^2
+# <= ~1.1e14 — int64-safe). No float division crosses the engine boundary,
+# so DuckDB replays the whole lifecycle (build + prune) bit-for-bit.
+
+# cos(u,v) >= SEM_TAU as pure int64 arithmetic (SEM_TAU = 3/10)
+_SEM_TAU_NUM2, _SEM_TAU_DEN2 = 9, 100
+
+
+def dedup_semdedup_ivf(spark: SparkSession, sf_dir: str,
+                       k: int | None = None) -> DataFrame:
+    import os
+
+    from .annindex import _IDOT_S, build_ivf_index
+
+    # k=None -> the persisted index's default cell count (what the
+    # registered query + oracle replay); the scale sweep passes K
+    # proportional to n (scripts/semdedup_sweep.py)
+    base = (build_ivf_index(spark, sf_dir, "full") if k is None
+            else build_ivf_index(spark, sf_dir, "full", k=k))
+    assign = spark.read.parquet(os.path.join(base, "assign")) \
+        .withColumn("cluster_id", F.col("cluster_id").cast("int"))
+    lo = assign.selectExpr("vec_id AS lo_id", "cluster_id",
+                           "q AS lo_q", "qq AS lo_qq")
+    dot = _IDOT_S.format(a="lo_q", b="q")
+    dropped = (
+        assign.join(lo, "cluster_id")
+        .where(F.col("lo_id") < F.col("vec_id"))
+        .withColumn("dot", F.expr(dot))
+        .where(F.expr(f"dot > 0 AND {_SEM_TAU_DEN2} * dot * dot >= "
+                      f"{_SEM_TAU_NUM2} * lo_qq * qq"))
+        .select("vec_id").distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0))
+             .alias("n_kept"),
+            F.sum(F.when(F.col("is_dropped").isNull(), F.col("vec_id"))
+                   .otherwise(F.lit(0))).alias("kept_id_sum"),
+        )
+    )
+
+
+def _semdedup_ivf_oracle() -> str:
+    from .annindex import _IDOT_D, _build_ctes
+
+    dot = _IDOT_D.format(a="lo.q", b="hi.q")
+    return _build_ctes("full") + f"""
+, dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM a1 lo JOIN a1 hi
+    ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+  WHERE {dot} > 0
+    AND {_SEM_TAU_DEN2} * {dot} * {dot} >= {_SEM_TAU_NUM2} * lo.qq * hi.qq
+)
+SELECT CAST(a.cluster_id AS INT) AS cluster_id,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END)
+         AS BIGINT) AS kept_id_sum
+FROM a1 a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+GROUP BY a.cluster_id
+"""
+
+
+SPECS += [
+    QuerySpec("dedup_semdedup_ivf", dedup_semdedup_ivf,
+              _semdedup_ivf_oracle(),
+              "SemDeDup over the persisted IVF index's trained cells "
+              "(K grows with the corpus -> per-cell pair work bounded); "
+              "integer-exact keep rule, same retention accounting",
+              ("dedup", "vector", "llm", "index")),
+]

@@ -85,6 +85,17 @@ def pinned_oracle(sql: str) -> str | None:
 
     current = {"pyspark": pyspark.__version__, "numpy": numpy.__version__}
     if _build_matches(current):
+        # A prior mismatched-toolchain run may have left the downgrade
+        # artifact behind; on a matching build it would keep reporting a
+        # downgrade that is no longer in effect (ADVICE r8) — clear it.
+        try:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            stale = os.path.join(repo, "scaling_runs",
+                                 "oracle_downgrade.json")
+            if os.path.exists(stale):
+                os.remove(stale)
+        except OSError:
+            pass  # read-only checkout: the artifact is someone else's copy
         return sql
     print(
         f"[registry] pinned-constant oracle disabled: toolchain {current} "

@@ -112,20 +112,26 @@ def _save(recs: list[dict]) -> None:
 
 
 def run_sweep(only: set[str] | None = None) -> None:
-    """Run (query, leg) pairs and merge into OUT atomically. With ``only``,
-    re-run just those queries and keep every other committed record —
-    the committed artifact is never destroyed by a partial run."""
+    """Run (query, leg) pairs and merge into OUT atomically. Every
+    checkpoint write is a superset-preserving merge (ADVICE r8): a
+    committed record is only dropped once its replacement EXISTS in this
+    run — so a crash mid-sweep (full or ``--only``) never loses a
+    committed (query, leg) record that was not yet re-measured."""
     recs = _load()
-    keep = [r for r in recs
-            if only is not None and r["query"] not in only]
+
+    def merge(fresh: list[dict]) -> list[dict]:
+        replaced = {(r["query"], r["leg"]) for r in fresh}
+        return [r for r in recs
+                if (r["query"], r["leg"]) not in replaced] + fresh
+
     fresh: list[dict] = []
     for label, d in LEGS:
         for q in QUERIES:
             if only is not None and q not in only:
                 continue
             fresh.append(_run_one(q, label, d))
-            _save(keep + fresh)  # checkpoint after every leg
-    _save(keep + fresh)
+            _save(merge(fresh))  # checkpoint after every leg
+    _save(merge(fresh))
 
 
 def table() -> None:

@@ -141,10 +141,27 @@ def test_headline_queries_within_committed_budget():
             "re-run on a quiet box"
         )
 
+    # Host-drift normalization (VERDICT r8 item 1): committed budgets are
+    # only meaningful on a window matching their multi-core calibration —
+    # divide measured wall-clock by the spark_calibration_sec ratio before
+    # the envelope comparison (bench.drift_factor), and skip entirely when
+    # the drift exceeds the normalization cap (contention the single-thread
+    # probe in box_is_loaded cannot see).
+    ref_spark_cal = (detail.get("fingerprint") or {}).get(
+        "spark_calibration_sec"
+    )
+    if bench.drift_refused(fp.get("spark_calibration_sec"), ref_spark_cal):
+        pytest.skip(
+            f"multi-core drift {fp.get('spark_calibration_sec')}s vs "
+            f"committed {ref_spark_cal}s exceeds {bench.DRIFT_NORM_CAP}x — "
+            "window not budget-comparable"
+        )
+    norm = bench.drift_factor(fp.get("spark_calibration_sec"), ref_spark_cal)
+
     over = {
         name: (budgets[name], measured[name])
         for name in guarded
-        if bench.over_budget(measured[name], budgets[name])
+        if bench.over_budget(measured[name] / norm, budgets[name])
     }
 
     if over:
@@ -190,11 +207,21 @@ def test_headline_queries_within_committed_budget():
                 f"{fp2.get('sibling_jvm_rss_gb')} GiB) — survivors are not "
                 "trustworthy; re-run on a quiet box"
             )
+        if bench.drift_refused(
+            fp2.get("spark_calibration_sec"), ref_spark_cal
+        ):
+            pytest.skip(
+                "multi-core drift during re-adjudication exceeds "
+                f"{bench.DRIFT_NORM_CAP}x — window not budget-comparable"
+            )
+        norm2 = bench.drift_factor(
+            fp2.get("spark_calibration_sec"), ref_spark_cal
+        )
         remeasured = result2["queries"]
         over = {
             name: (budgets[name], measured[name], remeasured[name])
             for name in over
-            if bench.over_budget(remeasured[name], budgets[name])
+            if bench.over_budget(remeasured[name] / norm2, budgets[name])
         }
 
     assert not over, (

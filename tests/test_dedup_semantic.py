@@ -102,3 +102,74 @@ def test_semdedup_accounting_matches_engine(spark):
         assert got[b].n_vecs == len(ids)
         assert got[b].n_kept == len(kept_ids)
         assert got[b].kept_id_sum == sum(kept_ids)
+
+
+def _ivf_numpy_state(spark):
+    """Replay the IVF-cell variant's integer keep rule in exact int64
+    arithmetic over the persisted index's own assignment table (the same
+    artifact the engine query reads), returning cells + the dropped set."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apache_flink_datastream_api_spark.operators.annindex import (
+        build_ivf_index,
+    )
+    from apache_flink_datastream_api_spark.operators.dedup import (
+        _SEM_TAU_DEN2, _SEM_TAU_NUM2,
+    )
+
+    base = build_ivf_index(spark, SF_DIR, "full")
+    rows = spark.read.parquet(os.path.join(base, "assign")) \
+        .withColumn("cluster_id", F.col("cluster_id").cast("int")).collect()
+    q = {r.vec_id: np.asarray(r.q, dtype=np.int64) for r in rows}
+    qq = {r.vec_id: int(r.qq) for r in rows}
+    cells: dict[int, list[int]] = {}
+    for r in rows:
+        cells.setdefault(int(r.cluster_id), []).append(r.vec_id)
+
+    def similar(lo, hi):
+        dot = int(q[lo] @ q[hi])
+        return dot > 0 and _SEM_TAU_DEN2 * dot * dot >= \
+            _SEM_TAU_NUM2 * qq[lo] * qq[hi]
+
+    dropped = set()
+    for _, ids in cells.items():
+        ids.sort()
+        for i, hi in enumerate(ids):
+            if any(similar(lo, hi) for lo in ids[:i]):
+                dropped.add(hi)
+    return cells, dropped, similar
+
+
+def test_semdedup_ivf_keep_rule_invariants(spark):
+    cells, dropped, similar = _ivf_numpy_state(spark)
+
+    # (1) no surviving within-cell pair is similar; (2) every dropped
+    # vector has a lower-id witness in its cell
+    for _, ids in cells.items():
+        ids = sorted(ids)
+        alive = [i for i in ids if i not in dropped]
+        for i, a in enumerate(alive):
+            for b in alive[i + 1:]:
+                assert not similar(a, b), (a, b)
+        for i, hi in enumerate(ids):
+            if hi in dropped:
+                assert any(similar(lo, hi) for lo in ids[:i]), hi
+
+
+def test_semdedup_ivf_accounting_matches_engine(spark):
+    from apache_flink_datastream_api_spark.operators.dedup import (
+        dedup_semdedup_ivf,
+    )
+
+    cells, dropped, _ = _ivf_numpy_state(spark)
+    got = {r.cluster_id: r
+           for r in dedup_semdedup_ivf(spark, SF_DIR).collect()}
+    assert set(got) == set(cells)
+    for c, ids in cells.items():
+        kept_ids = [i for i in ids if i not in dropped]
+        assert got[c].n_vecs == len(ids)
+        assert got[c].n_kept == len(kept_ids)
+        assert got[c].kept_id_sum == sum(kept_ids)

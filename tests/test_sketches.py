@@ -139,8 +139,23 @@ def test_pinned_oracle_build_guard():
     art = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scaling_runs", "oracle_downgrade.json")
-    with mock.patch.object(numpy, "__version__", "999.0.0"):
-        assert pinned_oracle("SELECT 1") is None
-    with open(art) as f:
-        assert json.load(f)["current"]["numpy"] == "999.0.0"
-    os.remove(art)  # simulated downgrade must not masquerade as real
+    # On a toolchain that GENUINELY diverges from PIN_BUILD a real
+    # downgrade artifact exists (written at import time) — snapshot it and
+    # restore in a finally, so neither the simulated artifact below nor a
+    # mid-test assert failure can clobber or fake the real record
+    # (ADVICE r8).
+    pre_existing = None
+    if os.path.exists(art):
+        with open(art) as f:
+            pre_existing = f.read()
+    try:
+        with mock.patch.object(numpy, "__version__", "999.0.0"):
+            assert pinned_oracle("SELECT 1") is None
+        with open(art) as f:
+            assert json.load(f)["current"]["numpy"] == "999.0.0"
+    finally:
+        if pre_existing is not None:
+            with open(art, "w") as f:
+                f.write(pre_existing)
+        elif os.path.exists(art):
+            os.remove(art)  # simulated downgrade must not masquerade as real
