@@ -36,6 +36,7 @@ files; history partitions are never rewritten.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import tempfile
@@ -396,6 +397,146 @@ def knn_ivf_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Compaction threshold: a cell is rewritten when its delta rows exceed
+# this percent of the cell's total. The delta is the last 100-DELTA_PCT %
+# of vec_ids, i.e. ~20% of each cell on average — the threshold sits AT
+# that average (strict >), so cells above-average in delta share compact
+# and the rest don't: every scale exercises BOTH paths (8/16, 7/16,
+# 10/16 cells at sf0.001/0.01/0.1).
+COMPACT_PCT = 20
+
+
+def _compacted_layout(spark: SparkSession, sf_dir: str):
+    """Run cell-level compaction once per (session, sf_dir): cells whose
+    delta share exceeds COMPACT_PCT% are rewritten as fresh merged
+    partitions under ``assign_compacted/`` (is_delta retained so the
+    accounting stays auditable); all other cells keep serving from their
+    original history + delta files, which compaction NEVER rewrites —
+    the superseded files of compacted cells just become GC-eligible
+    (deletion out of scope here: immutability keeps the proof
+    re-runnable). Returns (hist_df, delta_df, compacted_df|None,
+    compacted_cell_ids)."""
+    knn_index_delta(spark, sf_dir)  # ensure history index + delta exist
+    base = _INDEX_CACHE[(sf_dir, "hist", PIVF_K)]
+    comp_dir = os.path.join(base, "assign_compacted")
+    hist = spark.read.parquet(os.path.join(base, "assign"))
+    delta = spark.read.parquet(os.path.join(base, "assign_delta"))
+    merged = (
+        hist.select("vec_id", "q", "qq", "cluster_id")
+        .withColumn("is_delta", F.lit(0))
+        .unionByName(
+            delta.select("vec_id", "q", "qq", "cluster_id")
+            .withColumn("is_delta", F.lit(1)))
+    )
+    manifest = os.path.join(base, "compact_manifest.json")
+    if not os.path.exists(manifest):
+        counts = merged.groupBy("cluster_id").agg(
+            F.count("*").alias("n"), F.sum("is_delta").alias("nd")).collect()
+        cells = sorted(int(r.cluster_id) for r in counts
+                       if r.nd * 100 > COMPACT_PCT * r.n)
+        if cells:
+            (
+                merged.where(F.col("cluster_id").isin(cells))
+                .write.mode("overwrite").partitionBy("cluster_id")
+                .parquet(comp_dir)
+            )
+        with open(manifest, "w") as f:
+            json.dump({"compacted_cells": cells}, f)
+    with open(manifest) as f:
+        comp_cells = json.load(f)["compacted_cells"]
+    comp = (spark.read.parquet(comp_dir) if comp_cells
+            else spark.createDataFrame(
+                [], "vec_id bigint, q array<bigint>, qq bigint, "
+                    "cluster_id int, is_delta int"))
+    return hist, delta, comp, comp_cells
+
+
+def knn_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index compaction accounting, computed from the POST-compaction
+    layout (compacted cells read from the rewritten files, the rest from
+    the original history/delta files) — so the oracle hash match proves
+    the rewrite preserved every row and routed every cell to exactly one
+    side. Decision rule is integer-exact: compact iff
+    n_delta * 100 > COMPACT_PCT * (n_history + n_delta)."""
+    hist, delta, comp, comp_cells = _compacted_layout(spark, sf_dir)
+    untouched = (
+        hist.select("vec_id", "cluster_id").withColumn("is_delta", F.lit(0))
+        .unionByName(delta.select("vec_id", "cluster_id")
+                     .withColumn("is_delta", F.lit(1)))
+        .where(~F.col("cluster_id").isin(comp_cells) if comp_cells
+               else F.lit(True))
+    )
+    layout = untouched.unionByName(
+        comp.select("vec_id", "cluster_id", "is_delta"))
+    return (
+        layout.groupBy("cluster_id")
+        .agg(
+            F.sum(F.expr("1 - is_delta")).cast("long").alias("n_history"),
+            F.sum("is_delta").cast("long").alias("n_delta"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+        .withColumn("cluster_id", F.col("cluster_id").cast("int"))
+        .withColumn(
+            "is_compacted",
+            (F.col("n_delta") * 100
+             > COMPACT_PCT * (F.col("n_history") + F.col("n_delta")))
+            .cast("int"))
+        .select("cluster_id", "n_history", "n_delta", "is_compacted",
+                "id_checksum")
+    )
+
+
+def knn_ivf_compacted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-k against the post-compaction layout. The oracle is the
+    delta-serve oracle VERBATIM: compaction must be invisible to queries
+    (same rows, same cells, same results) — the strongest equivalence
+    check available, enforced as a hash match."""
+    hist, delta, comp, comp_cells = _compacted_layout(spark, sf_dir)
+    base = _INDEX_CACHE[(sf_dir, "hist", PIVF_K)]
+    cent = _load_centroids(spark, base)
+
+    q_rows = hist.where(F.col("vec_id") < N_QUERIES) \
+        .select("vec_id", "q", "qq").collect()
+    cc = (cent * cent).sum(axis=1)
+    probe_pairs = []
+    for r in sorted(q_rows, key=lambda r: r.vec_id):
+        qarr = np.array(r.q, dtype="int64")
+        d = -2 * (cent @ qarr) + cc
+        for c in np.argsort(d, kind="stable")[:PIVF_NPROBE]:
+            probe_pairs.append((int(r.vec_id), int(c) + 1))
+    probes = F.broadcast(spark.createDataFrame(
+        probe_pairs, "qid long, cluster_id int"))
+    cells = sorted({c for _, c in probe_pairs})
+    qdf = F.broadcast(spark.createDataFrame(
+        [(int(r.vec_id), list(r.q), int(r.qq)) for r in q_rows],
+        "qid long, q_vec array<bigint>, q_nrm bigint"))
+
+    untouched = (
+        hist.select("vec_id", "q", "qq", "cluster_id").unionByName(
+            delta.select("vec_id", "q", "qq", "cluster_id"))
+        .where(~F.col("cluster_id").isin(comp_cells) if comp_cells
+               else F.lit(True))
+    )
+    index = untouched.unionByName(
+        comp.select("vec_id", "q", "qq", "cluster_id"))
+    cand = (
+        index.where(F.col("cluster_id").isin(cells))
+        .join(probes, "cluster_id")
+        .where(F.col("vec_id") != F.col("qid"))
+    )
+    scored = cand.join(qdf, "qid").selectExpr(
+        "qid", "vec_id",
+        f"CAST({_IDOT_S.format(a='q', b='q_vec')} AS DOUBLE)"
+        " / sqrt(CAST(qq AS DOUBLE) * q_nrm) AS cos_sim",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank", "cos_sim")
+    )
+
+
 def knn_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-ops audit over the stored full index: cell occupancy spread
     and hot-cell share. The numbers that drive a production rebuild
@@ -479,6 +620,33 @@ FROM agg
 """
 
 
+KNN_INDEX_COMPACT_ORACLE = _build_ctes("hist") + f"""
+, delta_src AS (
+  SELECT vec_id, {_Q8_D} AS q FROM embeddings
+  WHERE vec_id > (SELECT CAST(floor(MAX(vec_id) * {DELTA_PCT} / 100.0) AS BIGINT)
+                  FROM embeddings)
+), delta AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT p.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_DELTA_DIST}, c.cluster_id) AS rk
+    FROM delta_src p CROSS JOIN cent c
+  ) WHERE rk = 1
+), merged AS (
+  SELECT vec_id, cluster_id, 0 AS is_delta FROM a1
+  UNION ALL
+  SELECT vec_id, cluster_id, 1 AS is_delta FROM delta
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       CAST(SUM(1 - is_delta) AS BIGINT) AS n_history,
+       CAST(SUM(is_delta) AS BIGINT) AS n_delta,
+       CAST(CASE WHEN SUM(is_delta) * 100 > {COMPACT_PCT} * COUNT(*)
+            THEN 1 ELSE 0 END AS INT) AS is_compacted,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+FROM merged GROUP BY cluster_id
+"""
+
+
 SPECS = [
     QuerySpec("knn_ivf_persisted", knn_ivf_persisted, KNN_IVF_PERSISTED_ORACLE,
               "ANN served from the persisted integer-exact IVF index: "
@@ -498,4 +666,15 @@ SPECS = [
               "index-ops audit: cell occupancy spread and hot-cell share "
               "over the stored index",
               ("similarity", "ann", "index", "audit")),
+    QuerySpec("knn_index_compact", knn_index_compact,
+              KNN_INDEX_COMPACT_ORACLE,
+              "cell-level compaction of the delta-appended index: "
+              "high-delta cells rewritten as merged partitions, the rest "
+              "untouched; accounting read back from the new layout",
+              ("similarity", "ann", "index", "maintenance")),
+    QuerySpec("knn_ivf_compacted_serve", knn_ivf_compacted_serve,
+              KNN_DELTA_SERVE_ORACLE,
+              "serve against the post-compaction layout — compaction is "
+              "invisible to queries (delta-serve oracle verbatim)",
+              ("similarity", "ann", "index", "maintenance")),
 ]

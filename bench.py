@@ -367,6 +367,8 @@ HEADLINE = [
     "knn_index_delta",
     "knn_ivf_delta_serve",
     "knn_index_health",
+    "knn_index_compact",
+    "knn_ivf_compacted_serve",
     "x13_index_ingest_stream",
     "sketch_hll_set_algebra",
     "q_variant_props",
@@ -519,6 +521,26 @@ def drift_refused(measured_cal: float | None,
     where normalization is trustworthy (> DRIFT_NORM_CAP x reference)."""
     return bool(measured_cal and committed_cal
                 and measured_cal / committed_cal > DRIFT_NORM_CAP)
+
+
+# Bounded stderr flag dump (VERDICT r8 item 5): the driver captures a
+# bounded stdout/stderr tail and the JSON contract line prints AFTER the
+# flag report — an unbounded dump (r8 printed all 8 raw flags inline)
+# risks pushing the contract line out of the captured window, the r1
+# truncation failure mode. The full set always lands in BENCH_RUN.json.
+MAX_PRINTED_FLAGS = 8
+
+
+def format_regressions(regressions: dict[str, list[float]],
+                       norm: float) -> str:
+    """One bounded line for stderr regardless of flag count."""
+    shown = dict(sorted(regressions.items())[:MAX_PRINTED_FLAGS])
+    extra = len(regressions) - len(shown)
+    suffix = (f" … +{extra} more (full set in BENCH_RUN.json)"
+              if extra > 0 else "")
+    return (f"[bench] REGRESSIONS vs committed BENCH_DETAIL "
+            f"({len(regressions)}, drift norm {norm:.3f}x): "
+            f"{shown}{suffix}")
 
 
 def _isolated_remeasure(
@@ -704,19 +726,28 @@ def main() -> None:
     # JVM; a lottery victim does not. Re-measure each flagged query in a
     # subprocess before reporting, so the recorded regression set
     # contains only reproducible offenders.
-    # Cap the adjudication effort: past a handful of flags the cause is
-    # systematic (contended run or a genuinely broad regression) and
-    # per-query re-measures would add ~3 min each without changing the
-    # verdict — report the raw set instead.
+    # Cap the adjudication effort on DRIVER-facing runs: past a handful
+    # of flags the cause is systematic (contended run or a genuinely
+    # broad regression) and per-query re-measures would add ~3 min each
+    # without changing the verdict — report the raw set instead. A
+    # REFRESH run has no cap: it is rare, builder-initiated, and about
+    # to WRITE these numbers as committed budgets — the r9 refresh
+    # proved a full run can carry two multi-minute contaminated patches
+    # (HEADLINE positions 75-86 and 182-184 inflated 2-6x with clean
+    # whole-run fingerprints) that the per-query min-of-2 cannot escape;
+    # skipping adjudication there commits garbage budgets.
     MAX_ADJUDICATIONS = 5
+    refresh = os.environ.get("SPARK_GRAFT_BENCH_REFRESH", "") == "1"
+    adjudicate_all = refresh and (not loaded or force_write)
     ref_cal = (prev.get("fingerprint") or {}).get("calibration_sec")
-    if len(regressions) > MAX_ADJUDICATIONS:
+    if len(regressions) > MAX_ADJUDICATIONS and not adjudicate_all:
         print(f"[bench] {len(regressions)} queries flagged — too many for "
               "per-query adjudication (systematic cause); reporting raw",
               file=sys.stderr)
-    for name in list(regressions) if len(regressions) <= MAX_ADJUDICATIONS \
-            else []:
-        committed = regressions[name][0]
+    refresh_adjudicated: dict[str, list[float]] = {}
+    for name in list(regressions) if adjudicate_all \
+            or len(regressions) <= MAX_ADJUDICATIONS else []:
+        committed, session_t = regressions[name][0], regressions[name][1]
         remeasure = _isolated_remeasure(name, ref_cal)
         if remeasure is None:
             continue  # no clean attempt: keep the original flag
@@ -732,20 +763,22 @@ def main() -> None:
             del regressions[name]
         else:
             regressions[name].append(iso)  # reproduced: record the iso time
+        if refresh:
+            # Either way the SESSION reading is not budget-quality for
+            # this query (a cleared flag = contaminated patch; a
+            # reproduced one = the isolated value IS the current truth):
+            # the fresh-JVM measurement becomes the committed budget —
+            # normalized onto THIS refresh's reference window (the new
+            # file's fingerprint is the new committed reference, and
+            # every future comparison divides by the drift factor vs
+            # it, so a budget must be a reference-window estimate).
+            budget = round(iso / drift_factor(
+                iso_spark_cal, fingerprint.get("spark_calibration_sec")), 3)
+            times[name] = budget
+            refresh_adjudicated[name] = [committed, round(session_t, 3),
+                                         budget]
     if regressions:
-        # Bounded stderr dump (VERDICT r8 item 5): the driver captures a
-        # bounded tail and the JSON contract line prints AFTER this — a
-        # 50-flag dump would push the contract line out of the captured
-        # window (the r1 truncation failure mode). Full set always lands
-        # in BENCH_RUN.json.
-        MAX_PRINTED_FLAGS = 8
-        shown = dict(sorted(regressions.items())[:MAX_PRINTED_FLAGS])
-        extra = len(regressions) - len(shown)
-        suffix = (f" … +{extra} more (full set in BENCH_RUN.json)"
-                  if extra > 0 else "")
-        print(f"[bench] REGRESSIONS vs committed BENCH_DETAIL "
-              f"({len(regressions)}, drift norm {norm:.3f}x): "
-              f"{shown}{suffix}", file=sys.stderr)
+        print(format_regressions(regressions, norm), file=sys.stderr)
     # The driver captures a bounded stdout tail: keep the contract line SHORT
     # (no inline per-query map — round 1's 6 KB line was truncated mid-JSON and
     # recorded as "parsed": null). Full per-query timings go to a side file.
@@ -760,6 +793,11 @@ def main() -> None:
     detail["drift_norm_factor"] = round(norm, 3)
     if regressions:
         detail["regressions_vs_committed"] = regressions
+    if refresh_adjudicated:
+        # Budget provenance for flagged-then-adjudicated queries:
+        # [prior_committed, contaminated_session_reading, isolated_min]
+        # — the isolated_min is what queries{} now carries.
+        detail["refresh_adjudicated"] = refresh_adjudicated
     if loaded and not force_write:
         # Contended box: these one-shot numbers are not budget-quality.
         ref = (prev.get("fingerprint") or {}).get("calibration_sec")
@@ -777,7 +815,6 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RUN.json")
     with open(run_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    refresh = os.environ.get("SPARK_GRAFT_BENCH_REFRESH", "") == "1"
     if refresh and (not loaded or force_write):
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

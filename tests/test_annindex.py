@@ -153,3 +153,67 @@ def test_trained_quantizer_artifact_checksums(spark):
             ic.astype("int64").tobytes()).hexdigest()[:16],
     }
     assert got == pins
+
+
+def test_compaction_never_rewrites_sources_and_routes_cells(spark):
+    """knn_index_compact must (1) leave the stored history AND delta
+    files byte-untouched (it writes a NEW compacted location; superseded
+    files merely become GC-eligible), (2) materialize exactly the cells
+    its integer threshold flags, and (3) agree with the pre-compaction
+    delta accounting cell-for-cell — nothing lost, nothing duplicated."""
+    from apache_flink_datastream_api_spark.operators.annindex import (
+        COMPACT_PCT, PIVF_K, _INDEX_CACHE, knn_index_compact,
+    )
+
+    knn_index_delta(spark, SF_DIR)  # ensure sources exist pre-snapshot
+    base = _INDEX_CACHE[(SF_DIR, "hist", PIVF_K)]
+
+    def snapshot(sub: str) -> dict[str, float]:
+        out = {}
+        for root, _, files in os.walk(os.path.join(base, sub)):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = {s: snapshot(s) for s in ("assign", "assign_delta")}
+    rows = knn_index_compact(spark, SF_DIR).collect()
+    assert {s: snapshot(s) for s in ("assign", "assign_delta")} == before
+
+    flagged = {r.cluster_id for r in rows if r.is_compacted == 1}
+    assert flagged and flagged != {r.cluster_id for r in rows}, \
+        "test data should exercise BOTH compacted and untouched cells"
+    comp_dir = os.path.join(base, "assign_compacted")
+    materialized = {
+        int(d.split("=")[1]) for d in os.listdir(comp_dir)
+        if d.startswith("cluster_id=")
+    }
+    assert materialized == flagged
+    for r in rows:
+        assert (r.n_delta * 100 > COMPACT_PCT * (r.n_history + r.n_delta)) \
+            == (r.is_compacted == 1)
+
+    pre = {r.cluster_id: r for r in knn_index_delta(spark, SF_DIR).collect()}
+    assert {r.cluster_id for r in rows} == set(pre)
+    for r in rows:
+        assert r.n_history == pre[r.cluster_id].n_history
+        assert r.n_delta == pre[r.cluster_id].n_delta
+        assert r.id_checksum == pre[r.cluster_id].id_checksum
+
+
+def test_compacted_serve_row_identical_to_delta_serve(spark):
+    """Compaction must be invisible to queries: serving against the
+    post-compaction layout returns row-identical top-k to serving the
+    original history+delta layout (also enforced cross-engine by
+    registering the delta-serve oracle verbatim for the compacted
+    query)."""
+    from apache_flink_datastream_api_spark.operators.annindex import (
+        knn_ivf_compacted_serve, knn_ivf_delta_serve,
+    )
+
+    cols = ["qid", "rank", "neighbor_id", "cos_sim"]
+    a = sorted(map(tuple, knn_ivf_delta_serve(spark, SF_DIR)
+                   .select(*cols).collect()))
+    b = sorted(map(tuple, knn_ivf_compacted_serve(spark, SF_DIR)
+                   .select(*cols).collect()))
+    assert a == b

@@ -229,3 +229,38 @@ def test_headline_queries_within_committed_budget():
         "isolated-JVM re-measure (committed_s, session_s, isolated_s): "
         f"{over}"
     )
+
+
+def test_drift_normalization_helpers():
+    """Host-drift normalization (VERDICT r8 item 1): the factor divides
+    measured wall-clock before the envelope test, never goes below 1
+    (a fast window must not loosen the guard), clamps at the refusal
+    cap, and degrades to 1.0 when either probe reading is missing."""
+    assert bench.drift_factor(1.071, 0.482) == 1.071 / 0.482  # the r8 case
+    assert bench.drift_factor(0.3, 0.482) == 1.0
+    assert bench.drift_factor(None, 0.482) == 1.0
+    assert bench.drift_factor(0.482, None) == 1.0
+    assert bench.drift_factor(10.0, 0.482) == bench.DRIFT_NORM_CAP
+    assert bench.drift_refused(10.0, 0.482)
+    assert not bench.drift_refused(1.071, 0.482)
+    assert not bench.drift_refused(None, 0.482)
+    # the r8 phantom-flag set under normalization: a 2.22x-drifted window
+    # measuring 2.379s against a 0.888s budget no longer flags
+    norm = bench.drift_factor(1.071, 0.482)
+    assert bench.over_budget(2.379, 0.888)          # raw: flagged (r8)
+    assert not bench.over_budget(2.379 / norm, 0.888)  # normalized: clean
+
+
+def test_regression_flag_dump_is_bounded():
+    """VERDICT r8 item 5: the stderr flag report must stay one bounded
+    line even with 50 hypothetical flags, so the driver's captured tail
+    can never lose the JSON contract line to a long dump."""
+    flags = {f"q_hypothetical_{i:03d}": [1.0, 9.9] for i in range(50)}
+    line = bench.format_regressions(flags, 1.234)
+    assert "\n" not in line
+    assert len(line) < 1200
+    assert "+42 more" in line and "BENCH_RUN.json" in line
+    assert "(50, drift norm 1.234x)" in line
+    # small sets print in full, no truncation note
+    small = bench.format_regressions({"q_a": [1.0, 3.0]}, 1.0)
+    assert "more" not in small and "q_a" in small
