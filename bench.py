@@ -543,6 +543,49 @@ def format_regressions(regressions: dict[str, list[float]],
             f"{shown}{suffix}")
 
 
+# Driver-run adjudication cap, shared by flags_to_adjudicate and the
+# tests: past a handful of flags the cause is systematic (contended run
+# or a genuinely broad regression) and ~3 min per re-measure would not
+# change the verdict.
+MAX_ADJUDICATIONS = 5
+
+
+def flags_to_adjudicate(regressions: dict, adjudicate_all: bool) -> list:
+    """Which flagged queries get an isolated-JVM re-measure. Driver-facing
+    runs cap the effort at MAX_ADJUDICATIONS (past that the cause is
+    systematic and the raw set is the honest report); a refresh run
+    adjudicates EVERYTHING because it is about to write budgets."""
+    if adjudicate_all or len(regressions) <= MAX_ADJUDICATIONS:
+        return list(regressions)
+    return []
+
+
+def adjudicate_flag(committed: float, iso: float,
+                    iso_spark_cal: float | None,
+                    ref_spark_cal: float | None,
+                    own_spark_cal: float | None,
+                    refresh: bool) -> tuple[bool, float | None]:
+    """Pure decision for one isolated re-measure of a flagged query.
+
+    Returns ``(cleared, new_budget)``: ``cleared`` is True when the
+    fresh-JVM reading, normalized by the SUBPROCESS's own multi-core
+    probe vs the PREVIOUSLY-committed reference, lands inside the
+    ``over_budget`` envelope (= shared-session lottery, not a
+    regression). ``new_budget`` is None on non-refresh runs; on a
+    refresh it is the isolated reading normalized onto THIS run's
+    reference window (``own_spark_cal`` — the new file's fingerprint
+    becomes the new committed reference, and every future comparison
+    divides by the drift factor vs it, so a budget must be a
+    reference-window estimate), whether or not the flag cleared — the
+    contaminated session reading is never budget-quality."""
+    iso_norm = drift_factor(iso_spark_cal, ref_spark_cal)
+    cleared = not over_budget(iso / iso_norm, committed)
+    budget = None
+    if refresh:
+        budget = round(iso / drift_factor(iso_spark_cal, own_spark_cal), 3)
+    return cleared, budget
+
+
 def _isolated_remeasure(
     name: str, ref_calibration: float | None,
     timeout_s: int = 300, attempts: int = 3,
@@ -634,6 +677,7 @@ def main() -> None:
     base_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
 
     times: dict[str, float] = {}
+    loadavg_by_query: dict[str, float] = {}
     for name in subset if subset is not None else HEADLINE:
         # progress marker so a crash mid-run is attributable to a query
         print(f"[bench] {name}", file=sys.stderr, flush=True)
@@ -658,6 +702,18 @@ def main() -> None:
             force(specs[name].fn(spark, SF_DIR))
             runs.append(time.time() - t0)
         times[name] = round(min(runs), 3)
+        # Free per-query load sample (r9 adjudication finding): the r9
+        # refresh run was clean by BOTH whole-run probes yet carried two
+        # multi-minute contaminated patches (HEADLINE positions 75-86 /
+        # 182-184, queries inflated 2-6x) — bracketing probes cannot see
+        # a mid-run transient, and diagnosing the patches took manual
+        # position analysis. One loadavg read per query makes the next
+        # patch mechanically visible in BENCH_RUN.json.
+        try:
+            with open("/proc/loadavg") as f:
+                loadavg_by_query[name] = float(f.read().split()[0])
+        except OSError:
+            pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -726,54 +782,45 @@ def main() -> None:
     # JVM; a lottery victim does not. Re-measure each flagged query in a
     # subprocess before reporting, so the recorded regression set
     # contains only reproducible offenders.
-    # Cap the adjudication effort on DRIVER-facing runs: past a handful
-    # of flags the cause is systematic (contended run or a genuinely
-    # broad regression) and per-query re-measures would add ~3 min each
-    # without changing the verdict — report the raw set instead. A
-    # REFRESH run has no cap: it is rare, builder-initiated, and about
-    # to WRITE these numbers as committed budgets — the r9 refresh
-    # proved a full run can carry two multi-minute contaminated patches
-    # (HEADLINE positions 75-86 and 182-184 inflated 2-6x with clean
-    # whole-run fingerprints) that the per-query min-of-2 cannot escape;
-    # skipping adjudication there commits garbage budgets.
-    MAX_ADJUDICATIONS = 5
+    # Driver-facing runs cap the adjudication effort (see
+    # flags_to_adjudicate); a REFRESH run has no cap: it is rare,
+    # builder-initiated, and about to WRITE these numbers as committed
+    # budgets — the r9 refresh proved a full run can carry two
+    # multi-minute contaminated patches (HEADLINE positions 75-86 and
+    # 182-184 inflated 2-6x with clean whole-run fingerprints) that the
+    # per-query min-of-2 cannot escape; skipping adjudication there
+    # commits garbage budgets.
     refresh = os.environ.get("SPARK_GRAFT_BENCH_REFRESH", "") == "1"
     adjudicate_all = refresh and (not loaded or force_write)
     ref_cal = (prev.get("fingerprint") or {}).get("calibration_sec")
-    if len(regressions) > MAX_ADJUDICATIONS and not adjudicate_all:
+    to_adjudicate = flags_to_adjudicate(regressions, adjudicate_all)
+    if regressions and not to_adjudicate:
         print(f"[bench] {len(regressions)} queries flagged — too many for "
               "per-query adjudication (systematic cause); reporting raw",
               file=sys.stderr)
     refresh_adjudicated: dict[str, list[float]] = {}
-    for name in list(regressions) if adjudicate_all \
-            or len(regressions) <= MAX_ADJUDICATIONS else []:
+    for name in to_adjudicate:
         committed, session_t = regressions[name][0], regressions[name][1]
         remeasure = _isolated_remeasure(name, ref_cal)
         if remeasure is None:
             continue  # no clean attempt: keep the original flag
         iso, iso_spark_cal = remeasure
-        # normalize by the SUBPROCESS's own multi-core probe — the fresh
-        # JVM sees the same drifted host this run does
-        iso_norm = drift_factor(iso_spark_cal, ref_spark_cal)
-        if not over_budget(iso / iso_norm, committed):
+        cleared, budget = adjudicate_flag(
+            committed, iso, iso_spark_cal, ref_spark_cal,
+            fingerprint.get("spark_calibration_sec"), refresh)
+        if cleared:
             print(f"[bench] {name} re-adjudicated in isolated JVM: {iso}s "
-                  f"(drift norm {iso_norm:.3f}x) vs budget {committed}s — "
-                  "shared-session lottery noise, not a regression",
-                  file=sys.stderr)
+                  f"vs budget {committed}s — shared-session lottery noise, "
+                  "not a regression", file=sys.stderr)
             del regressions[name]
         else:
             regressions[name].append(iso)  # reproduced: record the iso time
-        if refresh:
-            # Either way the SESSION reading is not budget-quality for
-            # this query (a cleared flag = contaminated patch; a
-            # reproduced one = the isolated value IS the current truth):
-            # the fresh-JVM measurement becomes the committed budget —
-            # normalized onto THIS refresh's reference window (the new
-            # file's fingerprint is the new committed reference, and
-            # every future comparison divides by the drift factor vs
-            # it, so a budget must be a reference-window estimate).
-            budget = round(iso / drift_factor(
-                iso_spark_cal, fingerprint.get("spark_calibration_sec")), 3)
+        if budget is not None:
+            # Refresh: either way the SESSION reading is not
+            # budget-quality (cleared = contaminated patch; reproduced =
+            # the isolated value IS the current truth) — the
+            # reference-window-normalized fresh-JVM reading becomes the
+            # committed budget.
             times[name] = budget
             refresh_adjudicated[name] = [committed, round(session_t, 3),
                                          budget]
@@ -809,12 +856,15 @@ def main() -> None:
             "(set SPARK_GRAFT_BENCH_FORCE=1 to override)",
             file=sys.stderr,
         )
-    # Every full run writes its detail to the gitignored RUN artifact;
-    # the committed budget only moves on an explicit builder refresh.
+    # Every full run writes its detail to the gitignored RUN artifact —
+    # plus the per-query loadavg trace (diagnostic only: it stays out of
+    # the committed budget file); the committed budget only moves on an
+    # explicit builder refresh.
     run_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RUN.json")
     with open(run_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+        json.dump({**detail, "loadavg_by_query": loadavg_by_query},
+                  f, indent=1, sort_keys=True)
     if refresh and (not loaded or force_write):
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

@@ -264,3 +264,45 @@ def test_regression_flag_dump_is_bounded():
     # small sets print in full, no truncation note
     small = bench.format_regressions({"q_a": [1.0, 3.0]}, 1.0)
     assert "more" not in small and "q_a" in small
+
+
+def test_flag_adjudication_decision():
+    """The per-flag adjudication decision (r9 refresh finding): the
+    isolated reading is normalized by the SUBPROCESS's own probe vs the
+    PREVIOUS committed reference for the cleared/reproduced verdict; on
+    a refresh the budget written is the reading normalized onto the NEW
+    reference window, regardless of verdict; driver runs never write."""
+    # r9 case pipeline_class_rebalance: r8 budget 0.365, iso 0.646 on a
+    # 1.235x window (0.620 vs ref 0.502) -> 0.523 normalized: envelope
+    # max(1.75*0.365, 1.365) = 1.365 -> cleared
+    cleared, budget = bench.adjudicate_flag(
+        0.365, 0.646, 0.620, 0.502, 0.502, refresh=True)
+    assert cleared and budget == round(0.646 / (0.620 / 0.502), 3) == 0.523
+    # same decision on a driver run: cleared, nothing written
+    cleared, budget = bench.adjudicate_flag(
+        0.365, 0.646, 0.620, 0.502, 0.502, refresh=False)
+    assert cleared and budget is None
+    # a genuine regression reproduces: iso 5.0 on a clean window vs a
+    # 1.0 budget -> NOT cleared; a refresh still replaces the budget
+    # with the isolated truth
+    cleared, budget = bench.adjudicate_flag(
+        1.0, 5.0, 0.502, 0.502, 0.502, refresh=True)
+    assert not cleared and budget == 5.0
+    # missing probes degrade to no normalization, never a crash
+    cleared, budget = bench.adjudicate_flag(
+        1.0, 1.4, None, 0.502, None, refresh=True)
+    assert cleared and budget == 1.4
+
+
+def test_flags_to_adjudicate_cap_vs_refresh():
+    """Driver-facing runs cap isolated re-measures at MAX_ADJUDICATIONS
+    (a bigger set = systematic cause, report raw); a refresh run
+    adjudicates everything because it writes budgets — the r9 refresh
+    committed two contaminated patches precisely because the cap
+    skipped adjudication on its 6-flag set."""
+    small = {f"q{i}": [1.0, 3.0] for i in range(bench.MAX_ADJUDICATIONS)}
+    big = {f"q{i}": [1.0, 3.0] for i in range(bench.MAX_ADJUDICATIONS + 1)}
+    assert bench.flags_to_adjudicate(small, False) == list(small)
+    assert bench.flags_to_adjudicate(big, False) == []
+    assert bench.flags_to_adjudicate(big, True) == list(big)
+    assert bench.flags_to_adjudicate({}, False) == []
