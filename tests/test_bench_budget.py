@@ -306,3 +306,31 @@ def test_flags_to_adjudicate_cap_vs_refresh():
     assert bench.flags_to_adjudicate(big, False) == []
     assert bench.flags_to_adjudicate(big, True) == list(big)
     assert bench.flags_to_adjudicate({}, False) == []
+
+
+def test_patch_report_finds_contention_streaks():
+    """scripts/bench_patch_report.find_patches must flag near-contiguous
+    inflation streaks (the r9 refresh failure mode), tolerate cool gaps
+    from too-cheap-to-inflate queries inside a patch, ignore isolated
+    lottery singletons, and divide out whole-run drift first."""
+    from scripts.bench_patch_report import find_patches
+
+    order = [f"q{i}" for i in range(20)]
+    budgets = {n: 1.0 for n in order}
+    # patch at 5-9 with a cool gap at 7; singleton at 15
+    times = {n: 1.0 for n in order}
+    for i in (5, 6, 8, 9):
+        times[f"q{i}"] = 3.0
+    times["q15"] = 3.0
+    patches = find_patches(times, budgets, 1.0, order)
+    assert len(patches) == 1
+    assert patches[0]["positions"] == [5, 9]
+    assert set(patches[0]["queries"]) == {"q5", "q6", "q8", "q9"}
+    # the same streak on a 3x-drifted window is NOT a patch (whole-run
+    # drift is normalized out first)
+    assert find_patches(times, budgets, 3.0, order) == []
+    # loadavg range is attached when the trace exists
+    lv = {n: 1.0 for n in order}
+    lv.update({"q5": 9.0, "q6": 12.0, "q8": 11.0, "q9": 8.5})
+    p = find_patches(times, budgets, 1.0, order, lv)[0]
+    assert p["loadavg_range"] == [8.5, 12.0]
