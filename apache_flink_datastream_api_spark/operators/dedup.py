@@ -407,11 +407,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             und.join(labels, und.src == labels.v)
             .select(F.col("dst").alias("v"), "label")
         )
+        # LAZY checkpoint (r9): the convergence probe below is this
+        # frame's first action and references it exactly once, so the
+        # probe job materializes the checkpoint blocks as a side effect —
+        # one job per round instead of two (eager-materialize + probe).
         new_labels = (
             labels.unionByName(prop)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # converged when no vertex's label changed this round
         changed = (
@@ -658,15 +662,17 @@ SPECS += [
 # (collisions mirrored in the oracle, so the comparison stays bit-true).
 
 def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toked = docs.select("doc_id", F.expr(TOKS_S).alias("toks"))
-    base = toked.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(X.shingles_spark("toks", MH_K))))
-        .alias("shingle"),
-    ).selectExpr(
-        "doc_id", "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) AS h")
+    # ONE materialized shingle staging feeds everything (r9): the audit's
+    # own `base` below is byte-identical to the staging dedup_minhash_lsh
+    # builds (MH_K == NJ_K, same portable hash — the dedup_family_overlap
+    # invariant), yet the old form re-derived tokenize+shingle+md5 FIVE
+    # times (lsh internal + mins + sizes + both inter sides). Now the
+    # scan-side derivation runs once into a checkpoint and all five
+    # consumers read cached blocks.
+    assert MH_K == NJ_K
+    shingled = ngram_shingle_table(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = dedup_minhash_lsh(spark, sf_dir, shingled=shingled)
+    base = shingled.selectExpr("doc_id", "sh_h AS h")
     mins = base.groupBy("doc_id").agg(
         *[F.expr(f"min({family_member_spark('h', _FAMILY[i])})").alias(f"m{i}")
           for i in range(MH_HASHES)])
@@ -758,8 +764,15 @@ SPECS += [
 # precision/recall — the banding-parameter tuning readout.
 
 def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    pred = dedup_minhash_lsh(spark, sf_dir)
+    # Share ONE materialized shingle staging between ground truth and
+    # prediction (r9, the dedup_family_overlap device): MH_K == NJ_K and
+    # the portable hash is shared, so both families' staging tables are
+    # byte-identical — the old form derived tokenize+shingle+md5 twice.
+    assert MH_K == NJ_K
+    shingled = ngram_shingle_table(spark, sf_dir).localCheckpoint(eager=True)
+    truth = dedup_ngram_jaccard(spark, sf_dir, shingled=shingled).select(
+        "doc_a", "doc_b")
+    pred = dedup_minhash_lsh(spark, sf_dir, shingled=shingled)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     pred_ss = (
         pred.join(F.broadcast(src.selectExpr("doc_id AS doc_a",
@@ -1075,13 +1088,25 @@ def dedup_family_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert MH_K == NJ_K
     shingled = ngram_shingle_table(spark, sf_dir).localCheckpoint(eager=True)
     # each pair set feeds TWO consumers (the keys union and its own flag
-    # join) — materialize the tiny pair lists so no family runs twice
-    mh = dedup_minhash_lsh(spark, sf_dir, shingled=shingled).select(
-        "doc_a", "doc_b").localCheckpoint(eager=True)
-    pf = dedup_prefix_filter_join(spark, sf_dir, shingled=shingled).select(
-        "doc_a", "doc_b").localCheckpoint(eager=True)
-    nb = dedup_ngram_jaccard(spark, sf_dir, shingled=shingled).select(
-        "doc_a", "doc_b").localCheckpoint(eager=True)
+    # join) — materialize the tiny pair lists so no family runs twice.
+    # The three families are INDEPENDENT once the shared staging table is
+    # materialized, so their jobs are submitted from a small thread pool
+    # (guide-§2.6 back-fill: each family's straggler tail is filled by
+    # the next family's tasks instead of idling the box; Spark schedules
+    # concurrent jobs FIFO within one session). Measured at sf0.1
+    # isolated: 6.9 s serial -> see OPTIMIZATION_r09.md. Thread-safe:
+    # none of the families mutates session conf or the catalog.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _pairs(fam):
+        return fam(spark, sf_dir, shingled=shingled).select(
+            "doc_a", "doc_b").localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_mh = pool.submit(_pairs, dedup_minhash_lsh)
+        f_pf = pool.submit(_pairs, dedup_prefix_filter_join)
+        f_nb = pool.submit(_pairs, dedup_ngram_jaccard)
+        mh, pf, nb = f_mh.result(), f_pf.result(), f_nb.result()
     keys = mh.unionAll(pf).unionAll(nb).distinct()
 
     def flag(df: DataFrame, name: str) -> DataFrame:

@@ -1598,24 +1598,36 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         return b.join(F.broadcast(a), F.col("da") < F.col("db")).selectExpr(
             f"(xb - xa) * 1000000 div greatest(1, (db - da) div {DAY_MS})"
             " AS slope_micro",
-        ).withColumn("shard", F.expr("slope_micro div 1000000000000"))
+        )
 
     # |days|^2/2 pair slopes is calendar-bounded but still millions of
-    # rows — two-pass driver-located median (the q_weighted_median
-    # machinery, 10th sharded user): pass 1 collects ~800 per-shard
-    # counts, the driver prefix-sums to locate the 1-2 shards holding
-    # the middle ranks, pass 2 re-derives only THOSE shards' slopes and
-    # ranks in-shard. Local wall-clock matches the rank-every-slope
-    # form (per-job fixed costs dominate at this size); the win is
-    # shuffle VOLUME — the full slope set crosses the wire zero times
-    # instead of twice, which is what survives a 100x day-range or a
-    # per-key trend fan-out.
-    shard_counts = sorted(
-        (r.shard, r.c)
-        for r in slopes().groupBy("shard").agg(F.count("*").alias("c"))
-        .collect()
+    # rows — DISTRIBUTED EXACT SELECTION (the q_weighted_median two-pass
+    # machinery, generalized r9 to an iterative narrowing): each level
+    # collects per-bucket counts under a truncated-div histogram
+    # (`slope div width` is order-consistent, so bucket order = value
+    # order), the driver prefix-sums to locate the 1-2 buckets holding
+    # the middle ranks, and the NEXT level re-buckets only those at
+    # 10^4x finer width — until the located bucket is small enough for
+    # a bounded in-bucket row_number. The r8 single-level form windowed
+    # whatever the median shard held, and 80% of all slopes share shard
+    # 0 at sf0.1 (2.3M rows through ONE sort task — the unsplittable-
+    # hot-key stall of guide §2.5, and the piece that would never
+    # survive a 100x day-range). Each level is one cheap broadcast-NLJ
+    # re-derive + a <=10^4-row collect; the full slope set still never
+    # crosses the wire.
+    # successive bucket widths; each level fans a parent bucket into at
+    # most 10^4 children, so every collect is <=10^4 rows, and the
+    # width-1 tail level (bucket == exact value) bounds the final
+    # in-bucket sort even under total value concentration.
+    WIDTHS = [10**12, 10**8, 10**4, 1]
+    SMALL = 65536                    # in-bucket sort budget (one task)
+
+    level_counts = sorted(
+        (r.b, r.c)
+        for r in slopes().selectExpr(f"slope_micro div {WIDTHS[0]} AS b")
+        .groupBy("b").agg(F.count("*").alias("c")).collect()
     )
-    m = sum(c for _, c in shard_counts)
+    m = sum(c for _, c in level_counts)
     if m == 0:
         # degenerate calendar (<2 distinct days → zero slope pairs): the
         # oracle's global aggregate over an empty WHERE yields one all-NULL
@@ -1625,20 +1637,75 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(NULL AS BIGINT) AS theil_sen_slope_micro",
         )
     r1, r2 = (m + 1) // 2, m // 2 + 1
-    targets: dict[int, int] = {}
-    run = 0
-    for s, c in shard_counts:
-        if run < r1 <= run + c or run < r2 <= run + c:
-            targets[s] = run
-        run += c
-    tgt = list(targets)
-    in_shard = Window.partitionBy("shard").orderBy("slope_micro")
-    base_expr = "CASE " + " ".join(
-        f"WHEN shard = {s} THEN {b}" for s, b in targets.items()) + " END"
+
+    def locate(counts, ranks, base_of):
+        """Map each target rank to its child bucket: returns
+        {child_path: (base, [ranks inside])}. ``counts`` are
+        ((parent_path, bucket), cnt) sorted so each parent's buckets are
+        ascending; ``base_of[parent_path]`` is the count of slopes
+        strictly below that parent bucket."""
+        out: dict[tuple, tuple[int, list[int]]] = {}
+        run = dict.fromkeys(base_of, 0)
+        for (path, bkt), c in counts:
+            lo = base_of[path] + run[path]
+            hits = [r for r in ranks if lo < r <= lo + c]
+            if hits:
+                child = path + (bkt,)
+                if child in out:
+                    out[child][1].extend(hits)
+                else:
+                    out[child] = (lo, hits)
+            run[path] += c
+        return out
+
+    # paths: tuple of bucket ids, one per level, AND-ed as div predicates
+    def path_pred(path):
+        return " AND ".join(
+            f"slope_micro div {WIDTHS[i]} = {bkt}"
+            for i, bkt in enumerate(path))
+
+    active = locate(
+        [(((), bkt), c) for bkt, c in level_counts], (r1, r2), {(): 0})
+    cnt_of = {(bkt,): c for bkt, c in level_counts}
+    level = 1
+    while level < len(WIDTHS) and any(
+            cnt_of[p] > SMALL for p in active):
+        big = [p for p in active if cnt_of[p] > SMALL]
+        keep = {p: v for p, v in active.items() if cnt_of[p] <= SMALL}
+        pred = " OR ".join(f"({path_pred(p)})" for p in big)
+        path_case = "CASE " + " ".join(
+            f"WHEN {path_pred(p)} THEN {i}" for i, p in enumerate(big)
+        ) + " END"
+        sub = sorted(
+            ((big[r.pid], r.b), r.c)
+            for r in slopes().where(pred)
+            .selectExpr(f"{path_case} AS pid",
+                        f"slope_micro div {WIDTHS[level]} AS b",
+                        "slope_micro")
+            .groupBy("pid", "b").agg(F.count("*").alias("c")).collect()
+        )
+        ranks_pending = [r for p in big for r in active[p][1]]
+        base_of = {p: active[p][0] for p in big}
+        located = locate(sub, tuple(ranks_pending), base_of)
+        cnt_of.update({pp + (bkt,): c for (pp, bkt), c in sub})
+        active = {**keep, **located}
+        level += 1
+
+    # final: bounded in-bucket ranking over ONLY the located buckets
+    paths = list(active)
+    pid_case = "CASE " + " ".join(
+        f"WHEN {path_pred(p)} THEN {i}" for i, p in enumerate(paths)
+    ) + " END"
+    base_case = "CASE " + " ".join(
+        f"WHEN pid = {i} THEN {active[p][0]}" for i, p in enumerate(paths)
+    ) + " END"
+    pred = " OR ".join(f"({path_pred(p)})" for p in paths)
+    in_bucket = Window.partitionBy("pid").orderBy("slope_micro")
     return (
-        slopes().where(F.col("shard").isin(tgt))
-        .withColumn("lr", F.row_number().over(in_shard))
-        .selectExpr("slope_micro", f"{base_expr} + lr AS rk")
+        slopes().where(pred)
+        .selectExpr("slope_micro", f"{pid_case} AS pid")
+        .withColumn("lr", F.row_number().over(in_bucket))
+        .selectExpr("slope_micro", f"{base_case} + lr AS rk")
         .where(f"rk = {r1} OR rk = {r2}")
         .agg(
             F.lit(m).alias("n_pairs"),
@@ -3246,10 +3313,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             continue
         deg = cur.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= KCORE_K).select("u")
+        # LAZY checkpoint (r9): the round's stat collect is the frame's
+        # first — and within this round only — action, so it materializes
+        # the checkpoint blocks as a side effect and the round pays ONE
+        # job instead of two (eager-materialize + stat). Safe because nxt
+        # appears exactly once in the stat plan (no concurrent-stage
+        # double compute); round r+1 then reads the already-cached blocks.
+        # Measured at sf0.1 (isolated JVM): 16 jobs -> 9.
         nxt = (
             cur.join(keep, "u", "left_semi")
             .join(keep.selectExpr("u AS v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         stat = nxt.agg(
             F.countDistinct("u").alias("n_nodes"),

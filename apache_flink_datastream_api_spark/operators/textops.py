@@ -1238,10 +1238,20 @@ def _bpe_merge_chain(cur: DataFrame) -> tuple[list[DataFrame], DataFrame]:
 
     ``cur`` must carry (freq, enc) plus any passthrough columns; returns
     (per-round 1-row best-pair DataFrames, the fully merged dict). Each
-    round = one map-side-combinable pair count weighted by freq, a 1-row
-    argmax broadcast, and a map-only literal replace — the shared engine
-    under both training (emit the merges) and encoding (emit the dict)."""
+    round = one map-side-combinable pair count weighted by freq and a
+    1-ROW argmax COLLECT; the winning pair folds back into the dict as a
+    literal ``replace`` PROJECTION (no join, no per-round checkpoint —
+    the merged dict is the cached initial encoding plus r nested
+    replaces, a map-only chain recomputed from cache each round). r9:
+    this halves the per-round job count (argmax-checkpoint + rewrite-
+    checkpoint -> one collect) — the per-round driver jobs, not the
+    dict-sized compute, dominate at any scale where the dict fits the
+    cluster, and the replace chain is O(rounds) plan depth, far below
+    driver limits. The 1-row collect is the same bounded driver state
+    the old eager checkpoint already shipped (argmax must reach the
+    driver-side loop either way to drive the next round)."""
     passthrough = [c for c in cur.columns if c != "enc"]
+    spark = cur.sparkSession
     rounds = []
     for _ in range(BPE_TRAIN_ROUNDS):
         pairs = (
@@ -1255,21 +1265,46 @@ def _bpe_merge_chain(cur: DataFrame) -> tuple[list[DataFrame], DataFrame]:
             )
             .selectExpr("freq", "p.pa AS pa", "p.pb AS pb")
         )
-        best = (
+        hit = (
             pairs.groupBy("pa", "pb").agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "pa", "pb").limit(1)
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        rounds.append(best)
-        cur = (
-            cur.crossJoin(F.broadcast(best.select("pa", "pb")))
-            .selectExpr(
-                *passthrough,
-                "replace(enc, concat('||', pa, '||', pb, '||'), "
-                "concat('||', pa, pb, '||')) AS enc",
-            )
-            .localCheckpoint(eager=True)
-        )
+        # The 1-row round frames are built JVM-side from literals over a
+        # single-partition range — NOT spark.createDataFrame(python_rows),
+        # which parallelizes through the Python-pickle RDD path at
+        # defaultParallelism slices (measured: 8 such frames put 256
+        # Python-worker tasks into the consumer's force, +1.6 s at sf0.1).
+        def _round_frame(pa: str, pb: str, cnt: int) -> DataFrame:
+            return spark.range(0, 1, 1, 1).select(
+                F.lit(pa).alias("pa"), F.lit(pb).alias("pb"),
+                F.lit(int(cnt)).cast("long").alias("cnt"))
+
+        if not hit:
+            # degenerate dict (no symbol pair anywhere): the old
+            # crossJoin-with-empty-argmax form emptied the dict and
+            # emitted a 0-row round — replicate exactly.
+            rounds.append(_round_frame("", "", 0).limit(0))
+            cur = cur.limit(0)
+            continue
+        row = hit[0]
+        rounds.append(_round_frame(row["pa"], row["pb"], row["cnt"]))
+        # F.lit (not a SQL literal): tokens are whitespace-split text and
+        # may contain quote characters. LAZY checkpoint: the next round's
+        # argmax job (or the caller's first action over the merged dict)
+        # materializes exactly this one replace layer from the previous
+        # round's cached blocks — each layer computes ONCE without paying
+        # a dedicated eager-materialize job (an uncheckpointed replace CHAIN
+        # instead re-ran r layers inside round r's argmax and measured
+        # ~1.2 s slower at sf0.1).
+        cur = cur.select(
+            *passthrough,
+            F.replace(
+                F.col("enc"),
+                F.lit(f"||{row['pa']}||{row['pb']}||"),
+                F.lit(f"||{row['pa']}{row['pb']}||"),
+            ).alias("enc"),
+        ).localCheckpoint(eager=False)
     return rounds, cur
 
 
