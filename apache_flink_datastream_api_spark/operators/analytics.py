@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import QuerySpec
+from ..functions.localdf import local_literal_df
 from ..sources.tables import load_table
 
 
@@ -1097,7 +1098,7 @@ def q_price_tier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
     )
-    tiers = spark.createDataFrame(PRICE_TIERS, "tier string, lo long, hi long")
+    tiers = local_literal_df(spark, PRICE_TIERS, "tier string, lo long, hi long")
     j = o.join(
         F.broadcast(tiers),
         (F.col("cents") >= F.col("lo")) & (F.col("cents") < F.col("hi")),

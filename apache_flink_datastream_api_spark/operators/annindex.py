@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import QuerySpec
+from ..functions.localdf import local_literal_df
 from ..sources.tables import load_table
 
 PIVF_K = 16        # coarse-quantizer cells
@@ -180,11 +181,11 @@ def knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = -2 * (cent @ qarr) + cc
         for c in np.argsort(d, kind="stable")[:PIVF_NPROBE]:
             probe_pairs.append((int(r.vec_id), int(c) + 1))
-    probes = F.broadcast(spark.createDataFrame(
-        probe_pairs, "qid long, cluster_id int"))
+    probes = F.broadcast(local_literal_df(
+        spark, probe_pairs, "qid long, cluster_id int"))
     cells = sorted({c for _, c in probe_pairs})
-    qdf = F.broadcast(spark.createDataFrame(
-        [(int(r.vec_id), list(r.q), int(r.qq)) for r in q_rows],
+    qdf = F.broadcast(local_literal_df(
+        spark, [(int(r.vec_id), list(r.q), int(r.qq)) for r in q_rows],
         "qid long, q_vec array<bigint>, q_nrm bigint"))
 
     cand = (
@@ -370,11 +371,11 @@ def knn_ivf_delta_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = -2 * (cent @ qarr) + cc
         for c in np.argsort(d, kind="stable")[:PIVF_NPROBE]:
             probe_pairs.append((int(r.vec_id), int(c) + 1))
-    probes = F.broadcast(spark.createDataFrame(
-        probe_pairs, "qid long, cluster_id int"))
+    probes = F.broadcast(local_literal_df(
+        spark, probe_pairs, "qid long, cluster_id int"))
     cells = sorted({c for _, c in probe_pairs})
-    qdf = F.broadcast(spark.createDataFrame(
-        [(int(r.vec_id), list(r.q), int(r.qq)) for r in q_rows],
+    qdf = F.broadcast(local_literal_df(
+        spark, [(int(r.vec_id), list(r.q), int(r.qq)) for r in q_rows],
         "qid long, q_vec array<bigint>, q_nrm bigint"))
 
     index = hist.select("vec_id", "q", "qq", "cluster_id").unionByName(
@@ -445,8 +446,8 @@ def _compacted_layout(spark: SparkSession, sf_dir: str):
     with open(manifest) as f:
         comp_cells = json.load(f)["compacted_cells"]
     comp = (spark.read.parquet(comp_dir) if comp_cells
-            else spark.createDataFrame(
-                [], "vec_id bigint, q array<bigint>, qq bigint, "
+            else local_literal_df(
+                spark, [], "vec_id bigint, q array<bigint>, qq bigint, "
                     "cluster_id int, is_delta int"))
     return hist, delta, comp, comp_cells
 
@@ -504,11 +505,11 @@ def knn_ivf_compacted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = -2 * (cent @ qarr) + cc
         for c in np.argsort(d, kind="stable")[:PIVF_NPROBE]:
             probe_pairs.append((int(r.vec_id), int(c) + 1))
-    probes = F.broadcast(spark.createDataFrame(
-        probe_pairs, "qid long, cluster_id int"))
+    probes = F.broadcast(local_literal_df(
+        spark, probe_pairs, "qid long, cluster_id int"))
     cells = sorted({c for _, c in probe_pairs})
-    qdf = F.broadcast(spark.createDataFrame(
-        [(int(r.vec_id), list(r.q), int(r.qq)) for r in q_rows],
+    qdf = F.broadcast(local_literal_df(
+        spark, [(int(r.vec_id), list(r.q), int(r.qq)) for r in q_rows],
         "qid long, q_vec array<bigint>, q_nrm bigint"))
 
     untouched = (

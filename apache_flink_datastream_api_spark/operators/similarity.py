@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.vectors import dot_duck, dot_spark, norm_duck, norm_spark
+from ..functions.localdf import local_literal_df
 from ..registry import QuerySpec, pinned_oracle
 from ..sources.tables import load_table
 
@@ -1887,8 +1888,8 @@ def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen.append((r, int(pick.vec_id), int(pick.md)))
         cq = q.where(F.col("vec_id") == int(pick.vec_id)).collect()[0].q
         cur = cur.withColumn("md", F.least(F.col("md"), dist_to(cq)))
-    return spark.createDataFrame(
-        chosen, "sel_round int, vec_id bigint, min_dist bigint")
+    return local_literal_df(
+        spark, chosen, "sel_round int, vec_id bigint, min_dist bigint")
 
 
 def _kmeans_init_oracle() -> str:

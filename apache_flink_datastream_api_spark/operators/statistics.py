@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import QuerySpec
+from ..functions.localdf import local_literal_df
 from ..sources.tables import load_table
 
 SPECS: list[QuerySpec] = []
@@ -3334,8 +3335,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((r, stat["n_nodes"], stat["n_edges"]))
         emptied = stat["n_edges"] == 0
     _evict(cur)
-    return spark.createDataFrame(
-        rows, "round INT, n_nodes BIGINT, n_edges BIGINT")
+    return local_literal_df(
+        spark, rows, "round INT, n_nodes BIGINT, n_edges BIGINT")
 
 
 def _kcore_oracle() -> str:
@@ -4781,8 +4782,8 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).crossJoin(
         F.broadcast(n_row))
-    pctl_rows = spark.createDataFrame(
-        [(int(p * 100), p) for p in RC_PCTLS], "pctl int, p double")
+    pctl_rows = local_literal_df(
+        spark, [(int(p * 100), p) for p in RC_PCTLS], "pctl int, p double")
     cuts = (
         cum.crossJoin(F.broadcast(pctl_rows))
         .where("cum >= CAST(ceil(p * n) AS BIGINT)")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as X
+from ..functions.localdf import local_literal_df
 from ..functions.hashing import portable_hash64, portable_hash64_sql
 from ..registry import QuerySpec
 from ..sources.tables import load_table, spread_small_source
@@ -1622,8 +1623,8 @@ def ml_perceptron_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_train"),
         )
     )
-    weights = spark.createDataFrame(
-        [(i, int(w[i])) for i in range(PCT_BUCKETS + 1)],
+    weights = local_literal_df(
+        spark, [(i, int(w[i])) for i in range(PCT_BUCKETS + 1)],
         "bucket bigint, weight bigint")
     return weights.crossJoin(F.broadcast(final))
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as X
+from ..functions.localdf import local_literal_df
 from ..functions.hashing import portable_hash64_sql
 from ..registry import QuerySpec
 from ..sources.tables import load_table, spread_small_source
@@ -1072,8 +1073,8 @@ def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     for src, sh, c in counts:
         bases.append((src, sh, totals.get(src, 0)))
         totals[src] = totals.get(src, 0) + c
-    base_df = spark.createDataFrame(
-        [(s, sh, b, totals[s]) for s, sh, b in bases],
+    base_df = local_literal_df(
+        spark, [(s, sh, b, totals[s]) for s, sh, b in bases],
         "source string, shard int, base long, n_src long",
     )
     w = Window.partitionBy("source", "shard").orderBy("h", "doc_id")
