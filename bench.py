@@ -634,6 +634,40 @@ def _isolated_remeasure(
     return None
 
 
+# The driver parses the contract line from the LAST 2000 characters of
+# combined output (measured: every BENCH_rNN.json records tail_len<=2000;
+# round 1's full 8 KB per-query map pushed the line's own start out of
+# that window -> "parsed": null). So the line must fit ENTIRELY inside
+# 2000 bytes — a 333-query map (~10 KB) physically cannot. Compromise
+# (VERDICT r9 item 2): emit the per-query map bounded to a byte budget,
+# most-expensive queries first — those carry the regression/scaling
+# signal — with the full map still in BENCH_RUN.json/BENCH_DETAIL.json.
+CONTRACT_LINE_BUDGET = 1600  # bytes; leaves margin inside the 2000 tail
+
+
+def contract_line_record(total: float, times: dict[str, float],
+                         sf_val) -> dict:
+    """The one-line JSON contract record, per-query map included up to
+    CONTRACT_LINE_BUDGET serialized bytes (descending cost, name as
+    tiebreaker, 3-decimal values, compact separators)."""
+    rec = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+    }
+    size = len(json.dumps(rec, separators=(",", ":")))
+    for name in sorted(times, key=lambda n: (-times[n], n)):
+        entry = len(json.dumps({name: round(times[name], 3)},
+                               separators=(",", ":")))  # includes {} = , + 1
+        if size + entry > CONTRACT_LINE_BUDGET:
+            break
+        rec["queries"][name] = round(times[name], 3)
+        size += entry
+    return rec
+
+
 def main() -> None:
     # Fingerprint BEFORE starting this bench's own JVM, so any java
     # process observed is a genuine co-tenant, not our executor.
@@ -871,17 +905,8 @@ def main() -> None:
     elif refresh:
         print("[bench] refresh requested but box is loaded — committed "
               "BENCH_DETAIL.json left untouched", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": detail["value"],
-                "unit": "sec",
-                "queries": {},  # per-query map in BENCH_DETAIL.json (kept off stdout)
-                "sf": sf_val,
-            }
-        )
-    )
+    print(json.dumps(contract_line_record(detail["value"], times, sf_val),
+                     separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -334,3 +334,29 @@ def test_patch_report_finds_contention_streaks():
     lv.update({"q5": 9.0, "q6": 12.0, "q8": 11.0, "q9": 8.5})
     p = find_patches(times, budgets, 1.0, order, lv)[0]
     assert p["loadavg_range"] == [8.5, 12.0]
+
+
+def test_contract_line_fits_driver_tail_with_per_query_map():
+    """VERDICT r9 item 2 + the r1 truncation scar: the driver parses the
+    contract line from the LAST 2000 chars of output (measured: every
+    BENCH_rNN.json tail_len <= 2000; r1's full 8 KB map pushed the line
+    start out of the window -> parsed: null). The line must therefore
+    carry as much per-query signal as fits — most expensive queries
+    first — while staying whole inside the window."""
+    import json
+
+    times = {f"q_synthetic_name_number_{i:03d}": 0.001 * i
+             for i in range(400)}
+    rec = bench.contract_line_record(299.9, times, 0.1)
+    line = json.dumps(rec, separators=(",", ":"))
+    assert len(line) <= bench.CONTRACT_LINE_BUDGET <= 1700
+    assert rec["metric"] == "headline_queries_total_runtime"
+    assert rec["value"] == 299.9 and rec["sf"] == 0.1
+    # non-empty, descending-cost prefix of the full map
+    assert len(rec["queries"]) > 30
+    vals = list(rec["queries"].values())
+    assert vals == sorted(vals, reverse=True)
+    assert max(times.values()) == vals[0]
+    # tiny maps are passed through whole
+    small = bench.contract_line_record(1.0, {"q_a": 0.5, "q_b": 0.25}, 0.1)
+    assert small["queries"] == {"q_a": 0.5, "q_b": 0.25}
