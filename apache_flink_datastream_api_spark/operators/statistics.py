@@ -664,14 +664,30 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paying 32x row materialization plus the generate-filter hazard;
     # measured 3.8 s -> ~0.4 s at sf0.1). The 1-row result unpivots to
     # 32 replica rows via stack(), driver-scale.
+    # r10 (guide §1.1/§1.2): each hash-family member u_r is computed
+    # ONCE per row in a projection — `_pois_case(u)` repeats its
+    # argument text in all 8 WHEN branches, so inlining the member
+    # expression put 8 copies of the mod-arithmetic tree into every
+    # CASE x 64 aggregate expressions (~340 KB plan text). With u_r as
+    # a column the CASE stays branch-short-circuited (most Poisson(1)
+    # draws exit in 1-2 comparisons; an indicator-sum form that always
+    # does all 8 comparisons measured 2.5x WORSE) and the plan tree
+    # shrinks ~8x. Same-JVM alternating A/B at sf0.1: 2.11 -> 1.66 s
+    # (-21%), every leg. Folding the grand mean into the same agg +
+    # pinning the 1-row result measured neutral — grand stays a
+    # separate cheap scan.
+    rows = orders.select(
+        "cents",
+        *[F.expr(_boot_member("h", abc, True)).alias(f"u{r}")
+          for r, abc in enumerate(fam)])
     aggs = []
-    for r, abc in enumerate(fam):
-        w = _pois_case(_boot_member("h", abc, True))
+    for r in range(_B):
+        w = _pois_case(f"u{r}")
         aggs.append(
             F.sum(F.expr(f"CAST({w} AS DECIMAL(28,0)) * cents"))
             .cast("long").alias(f"ws{r}"))
         aggs.append(F.sum(F.expr(w)).alias(f"wn{r}"))
-    one = orders.agg(*aggs)
+    one = rows.agg(*aggs)
     stack_args = ", ".join(f"{r}, ws{r}, wn{r}" for r in range(_B))
     means = one.selectExpr(
         f"stack({_B}, {stack_args}) AS (r, ws, wn)"
@@ -3759,6 +3775,14 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d") <= F.col("dcap"))
         .selectExpr("u AS w", "v")
     )
+    # NOTE (r10): the sorted-adjacency pair-explode device that wins in
+    # graph_triangle_count LOSES here, measured twice in alternating
+    # isolated A/B at sf0.1 (join 7.8 s vs adjacency-explode 12.9-14.5 s):
+    # center lists are dcap-bounded but still ~100+ entries, so the
+    # per-row flatten materializes ~10k-struct arrays through an
+    # ObjectHashAggregate (codegen lost) where the self-join streams the
+    # same pairs through a codegen'd broadcast join into the partial agg.
+    # Kept as the join.
     b = centers.selectExpr("w", "v AS v2")
     wedges = (
         centers.join(b, (centers.w == b.w) & (centers.v < b.v2))
@@ -4642,14 +4666,20 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges.selectExpr("pa AS u", "pb AS v").unionAll(
         edges.selectExpr("pb AS u", "pa AS v"))
     labels = e.select("u").distinct().withColumn("label", F.col("u"))
+    # Intermediate rounds stay LAZY: each is referenced exactly once (by
+    # the next round), so a per-round _pin paid an eager count job and a
+    # cache write for nothing — only the FINAL labels frame fans out (la,
+    # lb, dc) and needs materialization (r10; the kcore/components lesson
+    # of r9 applied to a fixed-round loop: zero per-round driver jobs).
     for _ in range(LPA_ROUNDS):
         nb = e.join(labels.selectExpr("u AS v", "label"), "v")
         counts = nb.groupBy("u", "label").agg(F.count("*").alias("c"))
-        labels = _pin(
+        labels = (
             counts.groupBy("u")
             .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("m"))
             .selectExpr("u", "-m.nl AS label")
         )
+    labels = _pin(labels)
     m_row = edges.agg(F.count("*").alias("m"))
     la = labels.selectExpr("u AS pa", "label AS label_a")
     lb = labels.selectExpr("u AS pb", "label AS label_b")
@@ -4675,9 +4705,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS contribution_ppm",
         )
     )
-    q_row = per_c.agg(F.sum("contribution_ppm").alias("q_ppm_total"))
+    # Global Q as an unbounded window over per_c (community-count rows —
+    # rollup-sized) instead of crossJoin(agg(per_c)): the old form put the
+    # whole dc/intra subtree in the plan TWICE (r10).
+    w_all = Window.partitionBy()
     return (
-        per_c.crossJoin(F.broadcast(q_row))
+        per_c.withColumn("q_ppm_total",
+                         F.sum("contribution_ppm").over(w_all))
         .orderBy(F.desc("size"), "label")
         .limit(MOD_TOP)
     )

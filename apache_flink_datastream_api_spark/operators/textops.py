@@ -1871,9 +1871,18 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_small_source(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
         spark)
+    # NOTE (r10): staging tok via localCheckpoint (the dedup_minhash
+    # §2.4 device — it feeds five rollups) was measured in 3-round
+    # alternating isolated A/B at sf0.1 and LOSES for
+    # ml_naive_bayes_langid (2.83 -> 3.18 s min, worst leg every round)
+    # with no win for the other two consumers: the corpus is small
+    # enough that re-running the tokenize is cheaper than losing AQE
+    # runtime stats behind the checkpoint (the prefix_filter_join
+    # lesson). Kept lazy.
     tok = docs.select(
         "doc_id", "lang", F.explode(F.expr(TOKS_S)).alias("w"),
-        (F.col("doc_id") % 10 < NB_TRAIN_MOD).alias("is_train"))
+        (F.col("doc_id") % 10 < NB_TRAIN_MOD).alias("is_train"),
+    )
     train, test = tok.where("is_train"), tok.where("NOT is_train")
     cnt_wc = train.groupBy("w", F.col("lang").alias("c")).agg(
         F.count("*").alias("cnt"))
@@ -1989,12 +1998,21 @@ def ml_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _nb_scored(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_lnm"), "c")
     ranked = scored.withColumn("r", F.row_number().over(w)).where("r <= 2")
-    top1 = ranked.where("r = 1").selectExpr(
-        "doc_id", "true_lang", "c AS pred_1", "score_lnm AS s1")
-    top2 = ranked.where("r = 2").selectExpr(
-        "doc_id", "c AS pred_2", "score_lnm AS s2")
+    # Top-1/top-2 via ONE conditional aggregation on the already
+    # doc_id-clustered ranked relation instead of a r=1 x r=2 self-join,
+    # which put the whole scored subtree (evidence join + window) in
+    # the plan twice (r10, guide §2.4). Every doc has a runner-up (the
+    # scored relation is test x all classes), so the s2 filter matches
+    # the old inner join exactly.
     return (
-        top1.join(top2, "doc_id")
+        ranked.groupBy("doc_id")
+        .agg(F.max(F.when(F.col("r") == 1, F.col("true_lang")))
+             .alias("true_lang"),
+             F.max(F.when(F.col("r") == 1, F.col("c"))).alias("pred_1"),
+             F.max(F.when(F.col("r") == 2, F.col("c"))).alias("pred_2"),
+             F.max(F.when(F.col("r") == 1, F.col("score_lnm"))).alias("s1"),
+             F.max(F.when(F.col("r") == 2, F.col("score_lnm"))).alias("s2"))
+        .where("s2 IS NOT NULL")
         .selectExpr("doc_id", "true_lang", "pred_1", "pred_2",
                     "s1 - s2 AS margin_lnm")
         .orderBy("margin_lnm", "doc_id")
@@ -2104,17 +2122,27 @@ def ml_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _nb_scored(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_lnm"), "c")
     ranked = scored.withColumn("r", F.row_number().over(w)).where("r <= 2")
-    top1 = ranked.where("r = 1").selectExpr(
-        "doc_id", "true_lang", "c AS pred", "score_lnm AS s1")
-    top2 = ranked.where("r = 2").selectExpr("doc_id", "score_lnm AS s2")
-    m = top1.join(top2, "doc_id").selectExpr(
-        "doc_id", "CAST(pred = true_lang AS BIGINT) AS correct",
-        "s1 - s2 AS margin_lnm")
-    n_row = m.agg(F.count("*").alias("n"))
+    # Same two devices as ml_active_learning_batch (r10, guide §2.4):
+    # (1) top-1/top-2 via one conditional aggregation instead of the
+    # r=1 x r=2 self-join that duplicated the scored subtree; (2) the
+    # denominator n as an unbounded window count on the SAME
+    # single-partition pass that ranks by margin, instead of
+    # crossJoin(broadcast(agg(m))) which put the m subtree in the plan
+    # twice. m is |eval docs| rows — the global window is rollup-sized.
+    m = (
+        ranked.groupBy("doc_id")
+        .agg(F.max(F.when(F.col("r") == 1,
+                          (F.col("c") == F.col("true_lang")).cast("bigint")))
+             .alias("correct"),
+             F.max(F.when(F.col("r") == 1, F.col("score_lnm"))).alias("s1"),
+             F.max(F.when(F.col("r") == 2, F.col("score_lnm"))).alias("s2"))
+        .where("s2 IS NOT NULL")
+        .selectExpr("doc_id", "correct", "s1 - s2 AS margin_lnm")
+    )
     wq = Window.orderBy("margin_lnm", "doc_id")
     return (
         m.withColumn("rn", F.row_number().over(wq))
-        .crossJoin(F.broadcast(n_row))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
         .selectExpr(
             "correct", "margin_lnm",
             f"least(CAST((rn - 1) * {CAL_BINS} div n AS INT),"
