@@ -3319,6 +3319,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.selectExpr("pb AS u", "pa AS v"))
         .localCheckpoint(eager=True)
     )
+    # Round r's trajectory stat (distinct nodes, edge count) is exactly
+    # the row count and degree sum of round r+1's DEGREE table — so the
+    # degree rollup is computed ONCE per round, checkpointed, counted
+    # for the stat, and reused as the next round's keep-filter input
+    # (r10, guide §2.4: the per-round countDistinct shuffle over the
+    # full edge list duplicated the next round's groupBy). The first
+    # degree table is eager because `keep` feeds TWO semi joins — a
+    # lazy checkpoint referenced twice in one job risks double compute;
+    # every later one is already materialized by its own stat action.
+    deg = cur.groupBy("u").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=True)
     rows: list[tuple[int, int, int]] = []
     emptied = False
     for r in range(1, KCORE_ROUNDS + 1):
@@ -3328,29 +3339,32 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # none of the dead rounds' plan+materialization constants.
             rows.append((r, 0, 0))
             continue
-        deg = cur.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.where(F.col("d") >= KCORE_K).select("u")
-        # LAZY checkpoint (r9): the round's stat collect is the frame's
-        # first — and within this round only — action, so it materializes
-        # the checkpoint blocks as a side effect and the round pays ONE
-        # job instead of two (eager-materialize + stat). Safe because nxt
-        # appears exactly once in the stat plan (no concurrent-stage
-        # double compute); round r+1 then reads the already-cached blocks.
-        # Measured at sf0.1 (isolated JVM): 16 jobs -> 9.
+        # LAZY checkpoints (r9): the round's stat collect is the first
+        # action over nxt AND deg_next, so it materializes both
+        # checkpoint chains as a side effect and the round pays ONE job
+        # (eager-materialize + countDistinct-stat was 2 jobs + an extra
+        # shuffle before). Measured at sf0.1 (isolated JVM): 16 -> 9
+        # jobs (r9), then minus one shuffle per round (r10).
         nxt = (
             cur.join(keep, "u", "left_semi")
             .join(keep.selectExpr("u AS v"), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
-        stat = nxt.agg(
-            F.countDistinct("u").alias("n_nodes"),
-            F.expr("count(*) div 2").alias("n_edges"),
+        deg_next = nxt.groupBy("u").agg(
+            F.count("*").alias("d")).localCheckpoint(eager=False)
+        stat = deg_next.agg(
+            F.count("*").alias("n_nodes"),
+            F.expr("CAST(coalesce(sum(d), 0) AS BIGINT) div 2")
+            .alias("n_edges"),
         ).collect()[0]
         _evict(cur)  # round r-1's blocks are dead once round r is live
-        cur = nxt
+        _evict(deg)
+        cur, deg = nxt, deg_next
         rows.append((r, stat["n_nodes"], stat["n_edges"]))
         emptied = stat["n_edges"] == 0
     _evict(cur)
+    _evict(deg)
     return local_literal_df(
         spark, rows, "round INT, n_nodes BIGINT, n_edges BIGINT")
 

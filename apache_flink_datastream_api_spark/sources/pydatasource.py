@@ -631,7 +631,7 @@ def k6_python_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
             stream.writeStream.format("audit_trail_sink")
             .option("path", d)
             .option("checkpointLocation", _ephemeral_checkpoint())
-            .trigger(processingTime="100 milliseconds")
+            .trigger(processingTime="0 seconds")
             .start()
         )
         try:

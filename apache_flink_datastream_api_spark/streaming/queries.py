@@ -1610,11 +1610,13 @@ def j3_first_touch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every micro-batch pays a store open/commit per store per shuffle
     # partition — the per-batch floor is 5x a single-agg query's. At the
     # demo state volume 4 partitions halve wall-clock vs the 8 the other
-    # stream queries use (measured r8: 5.2 s vs 10.4 s at sf0.1); a real
+    # stream queries use (measured r8: 5.2 s vs 10.4 s at sf0.1), and 2
+    # shaves the floor further (r10, 5/5 alternating isolated pairs at
+    # sf0.1: 5.30/5.73/5.86 -> 4.87/4.92/5.14 min legs, ~-8-14%); a real
     # deployment sizes via SPARK_GRAFT_STREAM_PARTITIONS as usual, which
     # takes precedence here too. Conf is restored after the bounded run
     # so later queries in the session are unaffected.
-    target = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    target = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2")
     prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.shuffle.partitions", target)
     try:
