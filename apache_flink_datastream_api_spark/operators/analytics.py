@@ -2314,13 +2314,17 @@ def q_brand_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS od_ms")
     seq = dom.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     wlag = Window.partitionBy("o_custkey").orderBy("od_ms", "o_orderkey")
+    # trans fans out 4 ways (tot, ma, mb, and the final join base), each
+    # re-planning the fact join + two windows; it is brand x brand rows,
+    # so pin it (r10, guide §2.4; same-JVM alternating A/B at sf0.1:
+    # 2.75/2.79/2.59/2.33 -> 2.27/2.59/2.17/2.19, every pair).
     trans = (
         seq.withColumn("next_brand", F.lead("brand").over(wlag))
         .where("next_brand IS NOT NULL")
         .groupBy(F.col("brand").alias("b1"),
                  F.col("next_brand").alias("b2"))
         .agg(F.count("*").alias("support"))
-    )
+    ).localCheckpoint(eager=True)
     tot = trans.agg(F.sum("support").alias("n"))
     ma = trans.groupBy("b1").agg(F.sum("support").alias("ca"))
     mb = trans.groupBy("b2").agg(F.sum("support").alias("cb"))

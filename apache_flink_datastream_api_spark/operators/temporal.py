@@ -2006,13 +2006,18 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mask").agg(F.count("*").alias("n_conv"))
     )
     coalitions = spark.range(16).selectExpr("CAST(id AS INT) AS s")
+    # v is 16 rows but its subtree (events scan -> first-purchase join
+    # -> two rollups -> coalition BNLJ) is referenced NINE times below
+    # (2 per channel + the total); pinned, the heavy derivation runs
+    # once (r10, guide §2.4; same-JVM alternating A/B at sf0.1:
+    # 1.77 -> 1.20 s min, -32%, every leg).
     v = (
         coalitions.join(
             F.broadcast(profiles),
             F.expr("(mask & s) = mask"), "left")
         .groupBy("s")
         .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
-    )
+    ).localCheckpoint(eager=True)
     rows = []
     for i, ch in enumerate(SHAP_CHANNELS):
         bit = 1 << i

@@ -756,10 +756,16 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
     toks = docs.select(F.expr(TOKS_S).alias("t"))
+    # uni fans out 3 ways (n_uni total + both broadcast join sides) and
+    # bi 2 ways (n_bi total + the scored base) — pinned at the
+    # vocab-sized rollup so the tokenize+explode runs once per table
+    # instead of per consumer (r10, guide §2.4; same-JVM alternating
+    # A/B at sf0.1: every leg wins, 2.09/1.99/1.57/1.49 ->
+    # 1.72/1.62/1.46/1.41).
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w").agg(F.count("*").alias("c"))
-    )
+    ).localCheckpoint(eager=True)
     bi = (
         toks.where(F.expr("size(t) >= 2"))
         .selectExpr(
@@ -768,7 +774,7 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("p.w1 AS w1", "p.w2 AS w2")
         .groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-    )
+    ).localCheckpoint(eager=True)
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
     n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
     scored = (
