@@ -1096,17 +1096,39 @@ def dedup_family_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrent jobs FIFO within one session). Measured at sf0.1
     # isolated: 6.9 s serial -> see OPTIMIZATION_r09.md. Thread-safe:
     # none of the families mutates session conf or the catalog.
-    from concurrent.futures import ThreadPoolExecutor
+    # InheritableThread (ADVICE r9): plain executor threads in pinned-
+    # thread mode do NOT inherit the caller's Spark local properties
+    # (job group/description/tags), so harness-level job attribution or
+    # cancellation would miss the family jobs; InheritableThread copies
+    # them at start.
+    from pyspark import InheritableThread
 
     def _pairs(fam):
         return fam(spark, sf_dir, shingled=shingled).select(
             "doc_a", "doc_b").localCheckpoint(eager=True)
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_mh = pool.submit(_pairs, dedup_minhash_lsh)
-        f_pf = pool.submit(_pairs, dedup_prefix_filter_join)
-        f_nb = pool.submit(_pairs, dedup_ngram_jaccard)
-        mh, pf, nb = f_mh.result(), f_pf.result(), f_nb.result()
+    results: dict[str, DataFrame] = {}
+    errors: list[BaseException] = []
+
+    def _run(name, fam):
+        try:
+            results[name] = _pairs(fam)
+        except BaseException as e:  # propagate to the caller thread
+            errors.append(e)
+
+    threads = [
+        InheritableThread(target=_run, args=(n, f))
+        for n, f in (("mh", dedup_minhash_lsh),
+                     ("pf", dedup_prefix_filter_join),
+                     ("nb", dedup_ngram_jaccard))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    mh, pf, nb = results["mh"], results["pf"], results["nb"]
     keys = mh.unionAll(pf).unionAll(nb).distinct()
 
     def flag(df: DataFrame, name: str) -> DataFrame:

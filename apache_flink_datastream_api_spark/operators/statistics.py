@@ -1633,9 +1633,13 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derive + a <=10^4-row collect; the full slope set still never
     # crosses the wire.
     # successive bucket widths; each level fans a parent bucket into at
-    # most 10^4 children, so every collect is <=10^4 rows, and the
-    # width-1 tail level (bucket == exact value) bounds the final
-    # in-bucket sort even under total value concentration.
+    # most 10^4 children — except bucket 0, which truncated-div makes
+    # span (-width, +width) and so fans into up to 2*10^4 - 1 children
+    # holding ~2x a normal bucket's mass (ADVICE r9); the collect bound
+    # is therefore <=2*10^4 rows, still driver-trivial, and correctness
+    # is unaffected (truncation stays monotone). The width-1 tail level
+    # (bucket == exact value) bounds the final in-bucket sort even
+    # under total value concentration.
     WIDTHS = [10**12, 10**8, 10**4, 1]
     SMALL = 65536                    # in-bucket sort budget (one task)
 

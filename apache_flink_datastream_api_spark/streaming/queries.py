@@ -158,9 +158,14 @@ def _chain_partitions(spark: SparkSession, default: str = "4"):
     per-batch floor and want fewer, larger partitions than the
     single-store default of 8 (measured at sf0.1, alternating A/B:
     j3_threeway 4.8->4.0 s, w6 1.8->1.5 s, x8_neardup 3.1->2.7 s at 4
-    vs 8; the single-store x4 family is FASTER at 8 and keeps it).
+    vs 8; the single-store x4 family is FASTER at 8 and keeps it; 2 was
+    re-measured r10 and wins only for the FIVE-store j3_first_touch).
     SPARK_GRAFT_STREAM_PARTITIONS takes precedence as everywhere;
-    the session value is restored so later queries are unaffected."""
+    the session value is restored so later queries are unaffected.
+    SERIAL-ONLY (ADVICE r9): this mutates the session-global
+    shuffle.partitions — two streaming drains must not run concurrently
+    in one session (the bench and driver sim run queries serially;
+    dedup_family_overlap's concurrent jobs are batch-only)."""
     target = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", default)
     prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.shuffle.partitions", target)
